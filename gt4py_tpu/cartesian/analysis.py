@@ -1,0 +1,415 @@
+"""Static analyses over the stencil IR.
+
+- C-style dtype promotion + expression dtype inference (reference:
+  gtc/passes/gtir_dtype_resolver.py and gtir_upcaster.py -- the numpy-ufunc
+  "minimal signature" rule collapses to max-rank promotion with integer
+  ranks below float32).
+- Temporary dtype resolution (first definitive assignment wins).
+- Extent (halo) analysis: a backward sweep accumulating read offsets into
+  per-field extents and per-statement compute extents (reference:
+  gtc/passes/oir_optimizations/utils.py:250-330 StencilExtentComputer).
+- K-boundary computation for API fields (reference:
+  gtc/passes/gtir_k_boundary.py:73-78).
+- Access-info metadata for the call-time machinery (reference:
+  backend/module_generator.py:56-107 make_args_data_from_gtir).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from gt4py_tpu import config
+from gt4py_tpu.core.definitions import Boundary, Extent
+from gt4py_tpu.cartesian import ir
+
+
+# --------------------------------------------------------------------------- #
+# dtype promotion / inference
+# --------------------------------------------------------------------------- #
+
+_RANK = {
+    np.dtype(np.bool_): 0,
+    np.dtype(np.int8): 1,
+    np.dtype(np.int16): 2,
+    np.dtype(np.int32): 3,
+    np.dtype(np.int64): 4,
+    np.dtype(np.uint8): 1,
+    np.dtype(np.uint16): 2,
+    np.dtype(np.uint32): 3,
+    np.dtype(np.uint64): 4,
+    np.dtype(np.float16): 5,
+    np.dtype(np.bfloat16) if hasattr(np, "bfloat16") else np.dtype(np.float16): 5,
+    np.dtype(np.float32): 6,
+    np.dtype(np.float64): 7,
+}
+
+
+def default_float_dtype() -> np.dtype:
+    return np.dtype(f"f{config.LITERAL_FLOAT_PRECISION // 8}")
+
+
+def default_int_dtype() -> np.dtype:
+    return np.dtype(f"i{config.LITERAL_INT_PRECISION // 8}")
+
+
+def promote_dtypes(*dtypes: np.dtype) -> np.dtype:
+    """C-style promotion: highest rank wins; all integer ranks < float32.
+
+    This reproduces the reference's ufunc-signature upcasting for the types
+    GTScript supports (gtir_upcaster._numpy_ufunc_upcasting_rule).
+    """
+    best = dtypes[0]
+    for dt in dtypes[1:]:
+        if _RANK.get(np.dtype(dt), 99) > _RANK.get(np.dtype(best), 99):
+            best = dt
+    return np.dtype(best)
+
+
+_BOOL = np.dtype(np.bool_)
+_FLOAT_FUNCS = {
+    ir.NativeFunction.SIN, ir.NativeFunction.COS, ir.NativeFunction.TAN,
+    ir.NativeFunction.ARCSIN, ir.NativeFunction.ARCCOS, ir.NativeFunction.ARCTAN,
+    ir.NativeFunction.ARCTAN2, ir.NativeFunction.SINH, ir.NativeFunction.COSH,
+    ir.NativeFunction.TANH, ir.NativeFunction.ARCSINH, ir.NativeFunction.ARCCOSH,
+    ir.NativeFunction.ARCTANH, ir.NativeFunction.SQRT, ir.NativeFunction.EXP,
+    ir.NativeFunction.LOG, ir.NativeFunction.LOG10, ir.NativeFunction.GAMMA,
+    ir.NativeFunction.CBRT, ir.NativeFunction.ERF, ir.NativeFunction.ERFC,
+    ir.NativeFunction.FLOOR, ir.NativeFunction.CEIL, ir.NativeFunction.TRUNC,
+    ir.NativeFunction.ROUND, ir.NativeFunction.ROUND_AWAY_FROM_ZERO,
+}
+_BOOL_FUNCS = {ir.NativeFunction.ISFINITE, ir.NativeFunction.ISINF, ir.NativeFunction.ISNAN}
+
+
+class DtypeEnv:
+    """Name -> dtype environment for inference."""
+
+    def __init__(self, stencil: ir.Stencil, scalar_dtypes: Optional[Dict[str, np.dtype]] = None):
+        self.stencil = stencil
+        self.scalar_dtypes = scalar_dtypes or {}
+
+    def dtype_of(self, name: str) -> Optional[np.dtype]:
+        d = self.stencil.decl(name)
+        if d is not None:
+            return d.dtype
+        s = self.stencil.scalar_decls.get(name)
+        if s is not None:
+            return self.scalar_dtypes.get(name, s.dtype)
+        return None
+
+
+def infer_expr_dtype(expr: ir.Expr, env: DtypeEnv) -> np.dtype:
+    if isinstance(expr, ir.Literal):
+        if expr.dtype is not None:
+            return np.dtype(expr.dtype)
+        if isinstance(expr.value, bool):
+            return _BOOL
+        if isinstance(expr.value, int):
+            return default_int_dtype()
+        return default_float_dtype()
+    if isinstance(expr, ir.ScalarAccess):
+        dt = env.dtype_of(expr.name)
+        if dt is None:
+            raise ValueError(f"Cannot infer dtype of scalar '{expr.name}'")
+        return dt
+    if isinstance(expr, ir.FieldAccess):
+        dt = env.dtype_of(expr.name)
+        if dt is None:
+            raise ValueError(f"Cannot infer dtype of field '{expr.name}'")
+        return dt
+    if isinstance(expr, ir.AxisPosition) or isinstance(expr, ir.AxisSize):
+        return default_int_dtype()
+    if isinstance(expr, ir.Cast):
+        return np.dtype(expr.dtype)
+    if isinstance(expr, ir.UnaryOp):
+        if expr.op == ir.UnaryOperator.NOT:
+            return _BOOL
+        return infer_expr_dtype(expr.expr, env)
+    if isinstance(expr, ir.BinaryOp):
+        if expr.op.is_comparison or expr.op.is_logical:
+            return _BOOL
+        ldt = infer_expr_dtype(expr.left, env)
+        rdt = infer_expr_dtype(expr.right, env)
+        target = promote_dtypes(ldt, rdt)
+        if expr.op == ir.BinaryOperator.DIV and target.kind in "bi":
+            return default_float_dtype()
+        return target
+    if isinstance(expr, ir.TernaryOp):
+        return promote_dtypes(
+            infer_expr_dtype(expr.true_expr, env), infer_expr_dtype(expr.false_expr, env)
+        )
+    if isinstance(expr, ir.NativeFuncCall):
+        if expr.func in _BOOL_FUNCS:
+            return _BOOL
+        arg_dt = promote_dtypes(*[infer_expr_dtype(a, env) for a in expr.args])
+        if expr.func in _FLOAT_FUNCS and arg_dt.kind in "bi":
+            return default_float_dtype()
+        return arg_dt
+    raise TypeError(f"Cannot infer dtype of {type(expr).__name__}")
+
+
+def resolve_temp_dtypes(stencil: ir.Stencil) -> None:
+    """Fill in temporary field dtypes from their first assignment, in
+    program order (reference: gtc/passes/gtir_dtype_resolver.py:97)."""
+    env = DtypeEnv(stencil)
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            for node in ir.walk_values(section.body):
+                if isinstance(node, ir.Assign):
+                    name = node.target.name
+                    decl = stencil.temp_decls.get(name)
+                    if decl is not None and decl.dtype is None:
+                        decl.dtype = infer_expr_dtype(node.value, env)
+    missing = [n for n, d in stencil.temp_decls.items() if d.dtype is None]
+    if missing:
+        raise ValueError(f"Could not infer dtype of temporaries: {missing}")
+
+
+# --------------------------------------------------------------------------- #
+# Extent (halo) analysis
+# --------------------------------------------------------------------------- #
+
+
+def _stmt_reads(stmt: ir.Stmt) -> List[ir.FieldAccess]:
+    """All field reads in a statement (excluding assignment targets)."""
+    reads: List[ir.FieldAccess] = []
+
+    def visit(node):
+        if isinstance(node, ir.Assign):
+            collect(node.value)
+            for d in node.target.data_index:
+                collect(d)
+            if isinstance(node.target.offset, (ir.VariableKOffset, ir.AbsoluteKIndex)):
+                collect(node.target.offset.k)
+        elif isinstance(node, ir.If):
+            collect(node.cond)
+            for s in node.body + node.orelse:
+                visit(s)
+        elif isinstance(node, ir.While):
+            collect(node.cond)
+            for s in node.body:
+                visit(s)
+        elif isinstance(node, ir.HorizontalRestriction):
+            for s in node.body:
+                visit(s)
+
+    def collect(expr):
+        for n in ir.walk_values(expr):
+            if isinstance(n, ir.FieldAccess):
+                reads.append(n)
+
+    visit(stmt)
+    return reads
+
+
+def _stmt_writes(stmt: ir.Stmt) -> List[ir.FieldAccess]:
+    return [n.target for n in ir.walk_values(stmt) if isinstance(n, ir.Assign)]
+
+
+@dataclass
+class ExtentAnalysis:
+    """Result of the backward extent sweep."""
+
+    #: horizontal+K extent of every field's *reads* relative to the domain
+    field_extents: Dict[str, Extent]
+    #: horizontal compute extent of each top-level statement unit (by id)
+    stmt_extents: Dict[int, Extent]
+
+    def stmt_extent(self, stmt: ir.Stmt) -> Extent:
+        return self.stmt_extents.get(id(stmt), Extent.zeros())
+
+    def field_extent(self, name: str) -> Extent:
+        return self.field_extents.get(name, Extent.zeros()).union_zero()
+
+    def boundary(self, name: str) -> Boundary:
+        return self.field_extent(name).to_boundary()
+
+
+def compute_extents(stencil: ir.Stencil) -> ExtentAnalysis:
+    """Backward sweep: each statement unit's compute extent is the union of
+    the extents required of the fields it writes; its reads then extend the
+    read fields' extents by (unit extent + offset).
+
+    Statement units are the top-level statements of each vertical section
+    (an If/While/HorizontalRestriction counts as one unit, matching the
+    reference's per-HorizontalExecution granularity).
+    """
+    field_extents: Dict[str, Extent] = {}
+    stmt_extents: Dict[int, Extent] = {}
+
+    for loop in reversed(stencil.vertical_loops):
+        for section in reversed(loop.sections):
+            for stmt in reversed(section.body):
+                writes = _stmt_writes(stmt)
+                ext = Extent.zeros()
+                for w in writes:
+                    ext = ext | field_extents.get(w.name, Extent.zeros()).horizontal
+                ext = ext.union_zero()
+                stmt_extents[id(stmt)] = Extent(i=ext.i, j=ext.j)
+                for r in _stmt_reads(stmt):
+                    if isinstance(r.offset, ir.CartesianOffset):
+                        off = Extent.from_offset(r.offset.i, r.offset.j, r.offset.k)
+                    else:
+                        off = Extent.zeros()  # variable/absolute K: clipped reads
+                    acc = Extent(i=ext.i, j=ext.j) + off
+                    field_extents[r.name] = field_extents.get(r.name, Extent.zeros()) | acc
+                # writes at non-zero k offsets also grow the field's extent
+                for w in writes:
+                    if isinstance(w.offset, ir.CartesianOffset) and w.offset.k:
+                        off = Extent.from_offset(0, 0, w.offset.k)
+                        field_extents[w.name] = (
+                            field_extents.get(w.name, Extent.zeros()) | off
+                        )
+
+    return ExtentAnalysis(field_extents=field_extents, stmt_extents=stmt_extents)
+
+
+def compute_k_boundary(stencil: ir.Stencil) -> Dict[str, Tuple[int, int]]:
+    """Per-API-field K halo requirement: how far reads reach below the
+    domain start / above the domain end, accounting for section intervals
+    (reference: gtc/passes/gtir_k_boundary.py:73)."""
+    k_boundary: Dict[str, Tuple[int, int]] = {
+        name: (0, 0) for name in stencil.field_decls
+    }
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            start, end = section.interval.start, section.interval.end
+            for stmt in section.body:
+                for r in _stmt_reads(stmt):
+                    if r.name not in k_boundary:
+                        continue
+                    if not isinstance(r.offset, ir.CartesianOffset):
+                        continue
+                    dk = r.offset.k
+                    lower, upper = k_boundary[r.name]
+                    if start.level == ir.LevelMarker.START:
+                        lower = max(lower, -(start.offset + dk))
+                    if end.level == ir.LevelMarker.END:
+                        upper = max(upper, end.offset + dk)
+                    k_boundary[r.name] = (lower, upper)
+    return k_boundary
+
+
+def compute_min_k_size(stencil: ir.Stencil) -> int:
+    """Minimum domain K size so all static section intervals are non-empty
+    (reference: gtc/passes/gtir_k_boundary.py:78 compute_min_k_size)."""
+    min_k = 0
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            s, e = section.interval.start, section.interval.end
+            if s.level == ir.LevelMarker.START and e.level == ir.LevelMarker.END:
+                min_k = max(min_k, s.offset - e.offset + 1, s.offset + 1)
+            elif s.level == e.level:
+                bound = max(abs(s.offset), abs(e.offset))
+                min_k = max(min_k, bound)
+            else:  # END..START is invalid; handled by validation
+                pass
+    return min_k
+
+
+# --------------------------------------------------------------------------- #
+# Access info (FieldInfo / ParameterInfo)
+# --------------------------------------------------------------------------- #
+
+
+class AccessKind(enum.Flag):
+    NONE = 0
+    READ = 1
+    WRITE = 2
+    READ_WRITE = 3
+
+
+@dataclass
+class FieldInfo:
+    access: AccessKind
+    boundary: Boundary
+    dimensions: Tuple[bool, bool, bool]
+    data_dims: Tuple[int, ...]
+    dtype: np.dtype
+
+    @property
+    def domain_ndim(self) -> int:
+        return sum(self.dimensions)
+
+
+@dataclass
+class ParameterInfo:
+    access: AccessKind
+    dtype: np.dtype
+
+
+@dataclass
+class StencilAnalysis:
+    """Everything the runtime needs about one parsed stencil."""
+
+    stencil: ir.Stencil
+    extents: ExtentAnalysis
+    field_info: Dict[str, FieldInfo]
+    parameter_info: Dict[str, ParameterInfo]
+    k_boundary: Dict[str, Tuple[int, int]]
+    min_k_size: int
+
+
+def analyze(stencil: ir.Stencil) -> StencilAnalysis:
+    from gt4py_tpu.cartesian import validation
+
+    resolve_temp_dtypes(stencil)
+    validation.validate(stencil)
+    extents = compute_extents(stencil)
+    k_bounds = compute_k_boundary(stencil)
+
+    read_fields: Dict[str, bool] = {}
+    written_fields: Dict[str, bool] = {}
+    read_scalars: Dict[str, bool] = {}
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            for stmt in section.body:
+                for r in _stmt_reads(stmt):
+                    read_fields[r.name] = True
+                for w in _stmt_writes(stmt):
+                    written_fields[w.name] = True
+                for n in ir.walk_values(stmt):
+                    if isinstance(n, ir.ScalarAccess):
+                        read_scalars[n.name] = True
+
+    field_info: Dict[str, FieldInfo] = {}
+    for name, decl in stencil.field_decls.items():
+        access = AccessKind.NONE
+        if name in read_fields:
+            access |= AccessKind.READ
+        if name in written_fields:
+            access |= AccessKind.WRITE
+        ext = extents.field_extent(name)
+        kb = k_bounds.get(name, (0, 0))
+        boundary = Boundary(
+            i=(-min(ext.i[0], 0), max(ext.i[1], 0)),
+            j=(-min(ext.j[0], 0), max(ext.j[1], 0)),
+            k=kb,
+        )
+        field_info[name] = FieldInfo(
+            access=access,
+            boundary=boundary,
+            dimensions=decl.dimensions,
+            data_dims=decl.data_dims,
+            dtype=decl.dtype,
+        )
+
+    parameter_info = {
+        name: ParameterInfo(
+            access=AccessKind.READ if name in read_scalars else AccessKind.NONE,
+            dtype=decl.dtype,
+        )
+        for name, decl in stencil.scalar_decls.items()
+    }
+
+    return StencilAnalysis(
+        stencil=stencil,
+        extents=extents,
+        field_info=field_info,
+        parameter_info=parameter_info,
+        k_boundary=k_bounds,
+        min_k_size=compute_min_k_size(stencil),
+    )

@@ -1,0 +1,300 @@
+"""Call-time machinery: argument binding, origin normalization, domain
+inference, validation, dispatch.
+
+Reference: src/gt4py/cartesian/stencil_object.py:146-665 (StencilObject,
+_call_run, _normalize_origins, _get_max_domain, _validate_args) and
+FrozenStencil :94-143.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from gt4py_tpu.cartesian.analysis import AccessKind, StencilAnalysis
+
+
+class ArgumentError(ValueError):
+    pass
+
+
+def _array_of(value):
+    """Extract the raw array and metadata from a field argument."""
+    from gt4py_tpu.storage import FieldStorage
+
+    if isinstance(value, FieldStorage):
+        return value.data, value.origin, value
+    return value, getattr(value, "__gt_origin__", None), None
+
+
+class StencilObject:
+    """A built, callable stencil.
+
+    Calling conventions mirror the reference: positional/keyword field and
+    scalar arguments in declaration order, plus ``origin=``, ``domain=``,
+    ``exec_info=`` and ``validate_args=`` keywords.
+    """
+
+    def __init__(
+        self,
+        analysis: StencilAnalysis,
+        backend,
+        backend_name: str,
+        name: str,
+        options: Dict[str, Any],
+        stencil_id: str,
+    ):
+        self.analysis = analysis
+        self.backend = backend
+        self.backend_name = backend_name
+        self.name = name
+        self.options = options
+        self.stencil_id = stencil_id
+        self.field_info = analysis.field_info
+        self.parameter_info = analysis.parameter_info
+        self.ir = analysis.stencil
+        self._domain_origin_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ #
+
+    def __call__(
+        self,
+        *args,
+        origin=None,
+        domain=None,
+        exec_info: Optional[dict] = None,
+        validate_args: bool = True,
+        **kwargs,
+    ):
+        if exec_info is not None:
+            exec_info["call_run_start_time"] = time.perf_counter()
+
+        field_args, scalar_args = self._bind_args(args, kwargs)
+        self._call_run(
+            field_args, scalar_args, origin, domain, exec_info, validate_args
+        )
+
+        if exec_info is not None:
+            exec_info["call_run_end_time"] = time.perf_counter()
+
+    def run(self, *, _domain_, _origin_, exec_info=None, **kwargs):
+        """Low-level entry: explicit domain and per-field origins."""
+        field_args = {}
+        scalar_args = {}
+        for p in self.ir.api_params:
+            if p.name in kwargs:
+                (field_args if p.is_field else scalar_args)[p.name] = kwargs[p.name]
+        self._call_run(field_args, scalar_args, _origin_, _domain_, exec_info, False)
+
+    # ------------------------------------------------------------------ #
+
+    def _bind_args(self, args, kwargs) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        field_args: Dict[str, Any] = {}
+        scalar_args: Dict[str, Any] = {}
+        params = self.ir.api_params
+        if len(args) > len(params):
+            raise ArgumentError(
+                f"Too many positional arguments for stencil '{self.name}'"
+            )
+        pos = {p.name: a for p, a in zip(params, args)}
+        for p in params:
+            if p.name in pos and p.name in kwargs:
+                raise ArgumentError(f"Duplicate argument '{p.name}'")
+            if p.name in pos:
+                value = pos[p.name]
+            elif p.name in kwargs:
+                value = kwargs[p.name]
+            elif p.optional:
+                value = None
+            else:
+                raise ArgumentError(
+                    f"Missing argument '{p.name}' for stencil '{self.name}'"
+                )
+            (field_args if p.is_field else scalar_args)[p.name] = value
+        return field_args, scalar_args
+
+    def _call_run(
+        self, field_args, scalar_args, origin, domain, exec_info, validate_args
+    ) -> None:
+        arrays: Dict[str, np.ndarray] = {}
+        holders: Dict[str, Any] = {}
+        origins: Dict[str, Tuple[int, ...]] = {}
+
+        origin = self._normalize_origin_arg(origin)
+
+        for name, value in field_args.items():
+            if value is None:
+                info = self.field_info.get(name)
+                if info is not None and info.access != AccessKind.NONE:
+                    raise ArgumentError(f"Field '{name}' is required but got None")
+                continue
+            arr, attr_origin, holder = _array_of(value)
+            arrays[name] = arr
+            holders[name] = holder
+            origins[name] = self._field_origin(name, origin, attr_origin)
+
+        domain = self._get_max_domain(arrays, origins) if domain is None else tuple(domain)
+
+        if validate_args:
+            self._validate_args(arrays, scalar_args, origins, domain)
+
+        result = self.backend.run(arrays, scalar_args, domain, origins, exec_info)
+
+        # functional backends (jax) return updated arrays: write them back
+        if result is not None:
+            for name, new_arr in result.items():
+                holder = holders.get(name)
+                if holder is not None:
+                    holder.data = new_arr
+                else:
+                    target = arrays[name]
+                    if isinstance(target, np.ndarray):
+                        target[...] = np.asarray(new_arr)
+                    else:
+                        raise ArgumentError(
+                            f"Backend '{self.backend_name}' returned a new array "
+                            f"for '{name}' but the input holder is immutable; "
+                            "pass gt4py_tpu.storage fields instead."
+                        )
+
+    # ------------------------------------------------------------------ #
+
+    def _normalize_origin_arg(self, origin) -> Dict[str, Tuple[int, ...]]:
+        """Reference: stencil_object._normalize_origins (:499-532)."""
+        if origin is None:
+            return {}
+        if isinstance(origin, dict):
+            return dict(origin)
+        return {"_all_": tuple(int(x) for x in origin)}
+
+    def _field_origin(self, name, origin_map, attr_origin) -> Tuple[int, ...]:
+        info = self.field_info[name]
+        ndim = info.domain_ndim
+        if name in origin_map:
+            o = origin_map[name]
+        elif "_all_" in origin_map:
+            o = origin_map["_all_"][:ndim]
+        elif attr_origin is not None:
+            o = tuple(attr_origin)[:ndim]
+        else:
+            o = (0,) * ndim
+        if len(o) != ndim:
+            # '_all_' origins are given for IJK; select the present axes
+            full = tuple(o) + (0,) * (3 - len(o))
+            o = tuple(c for c, present in zip(full, info.dimensions) if present)
+        return tuple(int(x) for x in o)
+
+    def _get_max_domain(self, arrays, origins) -> Tuple[int, int, int]:
+        """Largest domain compatible with all field shapes
+        (reference: stencil_object._get_max_domain, :298-343)."""
+        max_domain = [1 << 30] * 3
+        for name, arr in arrays.items():
+            info = self.field_info[name]
+            origin = origins[name]
+            spatial_shape = arr.shape[: info.domain_ndim]
+            ax_i = 0
+            for ax3, present in enumerate(info.dimensions):
+                if not present:
+                    continue
+                upper = (info.boundary.i, info.boundary.j, info.boundary.k)[ax3][1]
+                avail = spatial_shape[ax_i] - origin[ax_i] - upper
+                max_domain[ax3] = min(max_domain[ax3], avail)
+                ax_i += 1
+        if any(d >= (1 << 30) or d <= 0 for d in max_domain):
+            for i, d in enumerate(max_domain):
+                if d >= (1 << 30):
+                    max_domain[i] = 1
+            if any(d <= 0 for d in max_domain):
+                raise ArgumentError(
+                    f"Cannot infer a valid domain (got {tuple(max_domain)}); "
+                    "check field shapes, origins and halo requirements."
+                )
+        return tuple(max_domain)
+
+    def _validate_args(self, arrays, scalars, origins, domain) -> None:
+        """Reference: stencil_object._validate_args (:345-497)."""
+        if len(domain) != 3 or any(int(d) <= 0 for d in domain):
+            raise ArgumentError(f"Invalid domain {domain}")
+        if domain[2] < self.analysis.min_k_size:
+            raise ArgumentError(
+                f"Domain K size {domain[2]} is below the stencil minimum "
+                f"{self.analysis.min_k_size}"
+            )
+        for name, arr in arrays.items():
+            info = self.field_info[name]
+            expected_ndim = info.domain_ndim + len(info.data_dims)
+            if arr.ndim != expected_ndim:
+                raise ArgumentError(
+                    f"Field '{name}' has ndim {arr.ndim}, expected {expected_ndim}"
+                )
+            if np.dtype(arr.dtype) != np.dtype(info.dtype):
+                raise ArgumentError(
+                    f"Field '{name}' has dtype {arr.dtype}, expected {info.dtype}"
+                )
+            if info.data_dims and tuple(arr.shape[info.domain_ndim:]) != tuple(
+                info.data_dims
+            ):
+                raise ArgumentError(
+                    f"Field '{name}' data dimensions {arr.shape[info.domain_ndim:]} "
+                    f"!= declared {info.data_dims}"
+                )
+            origin = origins[name]
+            ax_i = 0
+            for ax3, present in enumerate(info.dimensions):
+                if not present:
+                    continue
+                lower, upper = (info.boundary.i, info.boundary.j, info.boundary.k)[ax3]
+                if origin[ax_i] < lower:
+                    raise ArgumentError(
+                        f"Origin {origin} of field '{name}' is below the halo "
+                        f"requirement {lower} on axis {'IJK'[ax3]}"
+                    )
+                need = origin[ax_i] + domain[ax3] + upper
+                if arr.shape[ax_i] < need:
+                    raise ArgumentError(
+                        f"Field '{name}' axis {'IJK'[ax3]} has size "
+                        f"{arr.shape[ax_i]}, needs >= {need} "
+                        f"(origin {origin[ax_i]} + domain {domain[ax3]} + halo {upper})"
+                    )
+                ax_i += 1
+        for name, pinfo in self.parameter_info.items():
+            if scalars.get(name) is None and pinfo.access != AccessKind.NONE:
+                raise ArgumentError(f"Missing scalar parameter '{name}'")
+
+    # ------------------------------------------------------------------ #
+
+    def freeze(self, *, origin, domain) -> "FrozenStencil":
+        return FrozenStencil(self, origin, domain)
+
+    def __str__(self) -> str:
+        lines = [f"StencilObject '{self.name}' (backend={self.backend_name})"]
+        for name, info in self.field_info.items():
+            lines.append(
+                f"  field {name}: dtype={info.dtype}, access={info.access}, "
+                f"boundary={tuple(info.boundary)}"
+            )
+        for name, pinfo in self.parameter_info.items():
+            lines.append(f"  param {name}: dtype={pinfo.dtype}")
+        return "\n".join(lines)
+
+
+class FrozenStencil:
+    """Stencil with pre-validated origin/domain for low-overhead calls
+    (reference: stencil_object.FrozenStencil, :94-143)."""
+
+    def __init__(self, stencil_object: StencilObject, origin, domain):
+        self.stencil_object = stencil_object
+        self.origin = origin
+        self.domain = tuple(domain)
+
+    def __call__(self, **kwargs):
+        field_args = {}
+        scalar_args = {}
+        for p in self.stencil_object.ir.api_params:
+            if p.name in kwargs:
+                (field_args if p.is_field else scalar_args)[p.name] = kwargs[p.name]
+        self.stencil_object._call_run(
+            field_args, scalar_args, self.origin, self.domain, None, False
+        )

@@ -1,0 +1,68 @@
+"""Environment-driven configuration.
+
+Mirrors the reference's env-config surface (reference:
+src/gt4py/cartesian/config.py:24-94 and src/gt4py/next/config.py:69-177)
+collapsed into one module with TPU-relevant knobs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v is not None else default
+
+
+#: Extra debug output (IR dumps on error, verbose exceptions).
+DEBUG: bool = _env_bool("GT4PY_TPU_DEBUG", False)
+
+#: Default backend used by ``@stencil`` when none is given.
+DEFAULT_BACKEND: str = os.environ.get("GT4PY_TPU_DEFAULT_BACKEND", "jax")
+
+#: Cache root for build artifacts (lowered-IR cache, module dumps).
+CACHE_ROOT: str = os.environ.get(
+    "GT4PY_TPU_CACHE_ROOT", os.path.join(os.getcwd(), ".gt4py_tpu_cache")
+)
+
+#: Literal precision defaults (reference: cartesian/definitions.py:30-43).
+LITERAL_FLOAT_PRECISION: int = _env_int("GT4PY_TPU_LITERAL_FLOAT_PRECISION", 64)
+LITERAL_INT_PRECISION: int = _env_int("GT4PY_TPU_LITERAL_INT_PRECISION", 64)
+
+#: Metrics collection level (reference: next/instrumentation/metrics.py:41-52).
+#: 0=disabled, 10=minimal, 20=performance, 30=info, 40=verbose, 50=all
+COLLECT_METRICS_LEVEL: int = _env_int("GT4PY_TPU_COLLECT_METRICS_LEVEL", 0)
+
+#: Dump collected metrics as JSON at interpreter exit (path or empty).
+DUMP_METRICS_AT_EXIT: Optional[str] = os.environ.get("GT4PY_TPU_DUMP_METRICS_AT_EXIT")
+
+#: Whether jitted stencil executables may donate input buffers (in-place
+#: semantics on device, saves HBM).  Disable for debugging aliasing issues.
+DONATE_BUFFERS: bool = _env_bool("GT4PY_TPU_DONATE_BUFFERS", True)
+
+#: Enable float64 support in JAX.  The reference numerics (numpy backend)
+#: are float64; parity requires x64.  This is applied lazily on first JAX use.
+ENABLE_X64: bool = _env_bool("GT4PY_TPU_ENABLE_X64", True)
+
+_x64_applied = False
+
+
+def ensure_jax_config() -> None:
+    """Apply process-wide JAX configuration (idempotent, lazy)."""
+    global _x64_applied
+    if _x64_applied:
+        return
+    import jax
+
+    if ENABLE_X64:
+        jax.config.update("jax_enable_x64", True)
+    _x64_applied = True
