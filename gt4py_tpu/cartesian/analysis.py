@@ -151,6 +151,33 @@ def infer_expr_dtype(expr: ir.Expr, env: DtypeEnv) -> np.dtype:
     raise TypeError(f"Cannot infer dtype of {type(expr).__name__}")
 
 
+def try_static_int(expr: ir.Expr) -> Optional[int]:
+    """Evaluate an expression to a compile-time integer if possible."""
+    if isinstance(expr, ir.Literal) and isinstance(expr.value, (int, np.integer)):
+        return int(expr.value)
+    if isinstance(expr, ir.UnaryOp):
+        v = try_static_int(expr.expr)
+        if v is None:
+            return None
+        return -v if expr.op == ir.UnaryOperator.NEG else v
+    if isinstance(expr, ir.BinaryOp):
+        lo, hi = try_static_int(expr.left), try_static_int(expr.right)
+        if lo is None or hi is None:
+            return None
+        ops = {
+            ir.BinaryOperator.ADD: lambda a, b: a + b,
+            ir.BinaryOperator.SUB: lambda a, b: a - b,
+            ir.BinaryOperator.MUL: lambda a, b: a * b,
+            ir.BinaryOperator.FLOOR_DIV: lambda a, b: a // b,
+            ir.BinaryOperator.MOD: lambda a, b: a % b,
+        }
+        fn = ops.get(expr.op)
+        return fn(lo, hi) if fn else None
+    if isinstance(expr, ir.Cast):
+        return try_static_int(expr.expr)
+    return None
+
+
 def resolve_temp_dtypes(stencil: ir.Stencil) -> None:
     """Fill in temporary field dtypes from their first assignment, in
     program order (reference: gtc/passes/gtir_dtype_resolver.py:97)."""

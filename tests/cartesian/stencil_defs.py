@@ -1,0 +1,415 @@
+"""Canonical stencil definitions shared across backend-parity tests.
+
+Mirrors the reference's registry pattern
+(reference: tests/cartesian_tests/integration_tests/multi_feature_tests/
+stencil_definitions.py:55-473): each entry declares a definition function
+and an input generator; tests compile it for every backend and compare
+results against the numpy oracle.
+"""
+
+import numpy as np
+
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.gtscript import (
+    BACKWARD,
+    FORWARD,
+    PARALLEL,
+    computation,
+    horizontal,
+    interval,
+    region,
+    I,
+    J,
+    K,
+    sin,
+    sqrt,
+    exp,
+    __INLINED,
+)
+from gt4py_tpu.utils import Registry
+
+Field3D = gtscript.Field[np.float64]
+
+REGISTRY = Registry()  # name -> (definition, make_inputs, externals)
+
+
+def register(externals=None, domain=None, origin=None):
+    def _reg(make):
+        definition, make_inputs = make()
+        REGISTRY[make.__name__] = dict(
+            definition=definition,
+            make_inputs=make_inputs,
+            externals=externals or {},
+            domain=domain,
+            origin=origin,
+        )
+        return make
+
+    return _reg
+
+
+def rand(*shape, seed=0, lo=0.0, hi=1.0):
+    rng = np.random.default_rng(seed)
+    return lo + (hi - lo) * rng.random(shape)
+
+
+@register(origin=(0, 0, 0))
+def copy_stencil():
+    def definition(field_a: Field3D, field_b: Field3D):
+        with computation(PARALLEL), interval(...):
+            field_b = field_a[0, 0, 0]
+
+    def make_inputs():
+        return dict(field_a=rand(8, 9, 10), field_b=np.zeros((8, 9, 10)))
+
+    return definition, make_inputs
+
+
+@register(origin=(1, 1, 0), domain=(14, 14, 6))
+def laplacian():
+    def definition(out_f: Field3D, in_f: Field3D):
+        with computation(PARALLEL), interval(...):
+            out_f = -4.0 * in_f[0, 0, 0] + (
+                in_f[1, 0, 0] + in_f[-1, 0, 0] + in_f[0, 1, 0] + in_f[0, -1, 0]
+            )
+
+    def make_inputs():
+        return dict(out_f=np.zeros((16, 16, 6)), in_f=rand(16, 16, 6, seed=1))
+
+    return definition, make_inputs
+
+
+@register(origin=(2, 2, 0), domain=(12, 12, 5))
+def horizontal_diffusion():
+    def definition(in_field: Field3D, out_field: Field3D, coeff: Field3D):
+        with computation(PARALLEL), interval(...):
+            lap_field = 4.0 * in_field[0, 0, 0] - (
+                in_field[1, 0, 0] + in_field[-1, 0, 0]
+                + in_field[0, 1, 0] + in_field[0, -1, 0]
+            )
+            res = lap_field[1, 0, 0] - lap_field[0, 0, 0]
+            flx_field = 0 if (res * (in_field[1, 0, 0] - in_field[0, 0, 0])) > 0 else res
+            res = lap_field[0, 1, 0] - lap_field[0, 0, 0]
+            fly_field = 0 if (res * (in_field[0, 1, 0] - in_field[0, 0, 0])) > 0 else res
+            out_field = in_field[0, 0, 0] - coeff[0, 0, 0] * (
+                flx_field[0, 0, 0] - flx_field[-1, 0, 0]
+                + fly_field[0, 0, 0] - fly_field[0, -1, 0]
+            )
+
+    def make_inputs():
+        return dict(
+            in_field=rand(16, 16, 5, seed=2),
+            out_field=np.zeros((16, 16, 5)),
+            coeff=rand(16, 16, 5, seed=3),
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def tridiagonal_solver():
+    def definition(inf: Field3D, diag: Field3D, sup: Field3D, rhs: Field3D, out: Field3D):
+        with computation(FORWARD):
+            with interval(0, 1):
+                sup = sup / diag
+                rhs = rhs / diag
+            with interval(1, None):
+                sup = sup / (diag - sup[0, 0, -1] * inf)
+                rhs = (rhs - inf * rhs[0, 0, -1]) / (diag - sup[0, 0, -1] * inf)
+        with computation(BACKWARD):
+            with interval(-1, None):
+                out = rhs
+            with interval(0, -1):
+                out = rhs - sup * out[0, 0, 1]
+
+    def make_inputs():
+        return dict(
+            inf=rand(6, 7, 12, seed=3, hi=0.1),
+            diag=rand(6, 7, 12, seed=4, lo=2.0, hi=3.0),
+            sup=rand(6, 7, 12, seed=5, hi=0.1),
+            rhs=rand(6, 7, 12, seed=6),
+            out=np.zeros((6, 7, 12)),
+        )
+
+    return definition, make_inputs
+
+
+@register(
+    origin=(0, 0, 0),
+    externals={"BET_M": 0.5, "BET_P": 0.5},
+)
+def vertical_advection_dycore():
+    def definition(
+        utens_stage: Field3D,
+        u_stage: Field3D,
+        wcon: Field3D,
+        u_pos: Field3D,
+        utens: Field3D,
+        *,
+        dtr_stage: float,
+    ):
+        from __externals__ import BET_M, BET_P
+
+        with computation(FORWARD):
+            with interval(0, 1):
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+                cs = gcv * BET_M
+
+                ccol = gcv * BET_P
+                bcol = dtr_stage - ccol[0, 0, 0]
+
+                correction_term = -cs * (u_stage[0, 0, 1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0]
+                    + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0]
+                    + correction_term
+                )
+
+                divided = 1.0 / bcol[0, 0, 0]
+                ccol = ccol[0, 0, 0] * divided
+                dcol = dcol[0, 0, 0] * divided
+
+            with interval(1, -1):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+
+                as_ = gav * BET_M
+                cs = gcv * BET_M
+
+                acol = gav * BET_P
+                ccol = gcv * BET_P
+                bcol = dtr_stage - acol[0, 0, 0] - ccol[0, 0, 0]
+
+                correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0]) - cs * (
+                    u_stage[0, 0, 1] - u_stage[0, 0, 0]
+                )
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0]
+                    + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0]
+                    + correction_term
+                )
+
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                ccol = ccol[0, 0, 0] * divided
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+
+            with interval(-1, None):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                as_ = gav * BET_M
+                acol = gav * BET_P
+                bcol = dtr_stage - acol[0, 0, 0]
+
+                correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0]
+                    + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0]
+                    + correction_term
+                )
+
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+
+        with computation(BACKWARD):
+            with interval(-1, None):
+                datacol = dcol[0, 0, 0]
+                utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+
+            with interval(0, -1):
+                datacol = dcol[0, 0, 0] - ccol[0, 0, 0] * datacol[0, 0, 1]
+                utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+
+    ni, nj, nk = 8, 9, 10
+
+    def make_inputs():
+        return dict(
+            utens_stage=rand(ni, nj, nk, seed=10),
+            u_stage=rand(ni, nj, nk, seed=11),
+            wcon=rand(ni + 1, nj, nk + 1, seed=12, hi=0.2),
+            u_pos=rand(ni, nj, nk, seed=13),
+            utens=rand(ni, nj, nk, seed=14),
+            dtr_stage=3.0,
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def runtime_if_nested():
+    def definition(in_f: Field3D, out_f: Field3D):
+        with computation(PARALLEL), interval(...):
+            if in_f > 0.5:
+                tmp = in_f * 2.0
+                if tmp > 1.5:
+                    out_f = tmp
+                else:
+                    out_f = -tmp
+            else:
+                out_f = 0.0
+
+    def make_inputs():
+        return dict(in_f=rand(7, 7, 7, seed=20), out_f=np.zeros((7, 7, 7)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def while_halving():
+    def definition(field_a: Field3D):
+        with computation(PARALLEL), interval(...):
+            while field_a > 1.0:
+                field_a = field_a / 2.0
+
+    def make_inputs():
+        return dict(field_a=rand(5, 5, 5, seed=21, hi=10.0))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def k_intervals():
+    def definition(in_field: Field3D, out_field: Field3D):
+        with computation(PARALLEL):
+            with interval(0, 6):
+                out_field = in_field
+            with interval(6, -10):
+                out_field = in_field + 1
+            with interval(-10, None):
+                out_field = in_field
+
+    def make_inputs():
+        return dict(in_field=rand(4, 4, 20, seed=22), out_field=np.zeros((4, 4, 20)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def horizontal_regions():
+    def definition(field_in: Field3D, field_out: Field3D):
+        with computation(PARALLEL), interval(...):
+            field_out = field_in
+            with horizontal(
+                region[I[0] : I[0] + 2, J[0] : J[0] + 2],
+                region[I[-1] - 2 : I[-1], J[-1] - 2 : J[-1]],
+            ):
+                field_out = field_in + 1.0
+
+    def make_inputs():
+        return dict(field_in=rand(9, 9, 3, seed=23), field_out=np.zeros((9, 9, 3)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def native_function_chain():
+    def definition(field_a: Field3D, field_b: Field3D):
+        with computation(PARALLEL), interval(...):
+            field_b = sqrt(abs(sin(field_a) * 2.0) + exp(-abs(field_a))) + min(
+                field_a, 0.5
+            ) + max(field_a, 0.7)
+
+    def make_inputs():
+        return dict(field_a=rand(6, 6, 6, seed=24), field_b=np.zeros((6, 6, 6)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def forward_cumsum():
+    def definition(inp: Field3D, out: Field3D):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = inp
+            with interval(1, None):
+                out = out[0, 0, -1] + inp
+
+    def make_inputs():
+        return dict(inp=rand(3, 4, 9, seed=25), out=np.zeros((3, 4, 9)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def variable_k_offset():
+    def definition(inp: Field3D, idx: gtscript.Field[np.int64], out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = inp[0, 0, idx]
+
+    def make_inputs():
+        rng = np.random.default_rng(26)
+        return dict(
+            inp=rand(4, 4, 8, seed=26),
+            idx=rng.integers(-3, 4, size=(4, 4, 8)).astype(np.int64),
+            out=np.zeros((4, 4, 8)),
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def data_dims_norm():
+    def definition(vec: gtscript.Field[(np.float64, (3,))], out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = sqrt(
+                vec[0, 0, 0][0] ** 2 + vec[0, 0, 0][1] ** 2 + vec[0, 0, 0][2] ** 2
+            )
+
+    def make_inputs():
+        return dict(vec=rand(4, 4, 4, 3, seed=27), out=np.zeros((4, 4, 4)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0), externals={"FACTOR": 2.5, "USE_IT": True})
+def externals_inlined():
+    def definition(inp: Field3D, out: Field3D):
+        from __externals__ import FACTOR, USE_IT
+
+        with computation(PARALLEL), interval(...):
+            if __INLINED(USE_IT):
+                out = inp * FACTOR
+            else:
+                out = inp
+
+    def make_inputs():
+        return dict(inp=rand(4, 4, 4, seed=28), out=np.zeros((4, 4, 4)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 1, 0), domain=(8, 6, 3))
+def gtscript_function_offsets():
+    @gtscript.function
+    def avg_j(b):
+        return 0.5 * (b[0, 1, 0] + b[0, -1, 0])
+
+    def definition(inp: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = avg_j(inp)
+
+    def make_inputs():
+        return dict(inp=rand(8, 8, 3, seed=29), out=np.zeros((8, 8, 3)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def lower_dim_fields():
+    Field2D = gtscript.Field[gtscript.IJ, np.float64]
+
+    def definition(field_a: Field3D, field_b: Field2D, *, scalar_in: float):
+        with computation(PARALLEL), interval(...):
+            tmp = field_a * scalar_in
+        with computation(FORWARD), interval(0, 1):
+            field_b += tmp
+
+    def make_inputs():
+        return dict(
+            field_a=rand(5, 6, 7, seed=30),
+            field_b=np.zeros((5, 6)),
+            scalar_in=2.0,
+        )
+
+    return definition, make_inputs

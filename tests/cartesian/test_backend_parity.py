@@ -1,0 +1,48 @@
+"""Backend-parity harness: every canonical stencil runs on every backend
+and must match the numpy oracle (reference pattern:
+tests/cartesian_tests/.../test_code_generation.py)."""
+
+import numpy as np
+import pytest
+
+from gt4py_tpu.cartesian import gtscript
+
+from . import stencil_defs
+
+
+PARITY_BACKENDS = ["jax"]
+
+
+def _run_on_backend(entry, backend):
+    stencil = gtscript.stencil(
+        backend=backend,
+        definition=entry["definition"],
+        externals=entry["externals"],
+        rebuild=True,
+    )
+    inputs = entry["make_inputs"]()
+    fields = {k: v for k, v in inputs.items() if isinstance(v, np.ndarray)}
+    scalars = {k: v for k, v in inputs.items() if not isinstance(v, np.ndarray)}
+    kwargs = {}
+    if entry["origin"] is not None:
+        kwargs["origin"] = entry["origin"]
+    if entry["domain"] is not None:
+        kwargs["domain"] = entry["domain"]
+    stencil(**fields, **scalars, **kwargs)
+    return fields
+
+
+@pytest.mark.parametrize("backend", PARITY_BACKENDS)
+@pytest.mark.parametrize("name", sorted(stencil_defs.REGISTRY))
+def test_backend_parity(name, backend):
+    entry = stencil_defs.REGISTRY[name]
+    oracle = _run_on_backend(entry, "numpy")
+    result = _run_on_backend(entry, backend)
+    for fname in oracle:
+        np.testing.assert_allclose(
+            result[fname],
+            oracle[fname],
+            rtol=1e-12,
+            atol=1e-12,
+            err_msg=f"{name}.{fname} mismatch on backend {backend}",
+        )
