@@ -1,0 +1,132 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.md): grid-points/s/chip over the dycore workloads
+(horizontal diffusion + vertical advection w/ tridiagonal scans) at
+512^2 x 80.  ``vs_baseline`` is the speedup over the numpy oracle
+(reference gt4py numpy-backend semantics) measured on this machine.
+
+Methodology: the tunneled TPU has ~ms-scale dispatch/readback latency, so
+each workload is iterated inside a single jit (lax.fori_loop) and timed at
+two iteration counts; the per-iteration time is the slope, which cancels
+dispatch latency, readback, and compile effects.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+NI, NJ, NK = 512, 512, 80
+HALO = 3
+DTYPE = np.float32  # TPU-native precision; f64 parity is gated in tests
+
+
+def _build_state(model):
+    import jax.numpy as jnp
+
+    return {k: jnp.asarray(v) for k, v in model.init_state(seed=3).items()}
+
+
+def _timed_loop(step_fn, state, iters):
+    """Time `iters` applications of step_fn composed inside one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(state):
+        def body(_, s):
+            return step_fn(s)
+
+        final = jax.lax.fori_loop(0, iters, body, state)
+        return jnp.sum(final["u"])
+
+    # warm (compile + first dispatch)
+    float(run(state))
+    t0 = time.perf_counter()
+    float(run(state))
+    return time.perf_counter() - t0
+
+
+def bench_tpu_dycore():
+    """Per-iteration time of the fused hdiff+vadv+update step on device."""
+    from gt4py_tpu.models import MiniDycore
+
+    model = MiniDycore(NI, NJ, NK, dtype=DTYPE, backend="jax")
+    step = model.step_fn()
+    state = _build_state(model)
+
+    i1, i2 = 4, 20
+    t1 = _timed_loop(step, state, i1)
+    t2 = _timed_loop(step, state, i2)
+    per_iter = max((t2 - t1) / (i2 - i1), 1e-9)
+    return per_iter
+
+
+def bench_oracle_dycore(n_iters=2):
+    """Numpy-oracle timestep (hdiff + vadv + update) on this host."""
+    from gt4py_tpu.models.dycore import make_hdiff, make_vadv
+
+    h = HALO
+    hdiff = make_hdiff(np.float64, backend="numpy")
+    vadv = make_vadv(np.float64, backend="numpy")
+    shape = (NI + 2 * h, NJ + 2 * h, NK)
+    rng = np.random.default_rng(3)
+    u = rng.random(shape)
+    coeff = 0.025 * rng.random(shape)
+    wcon = 0.2 * rng.random(shape)
+    utens = 0.01 * rng.random(shape)
+    utens_stage = rng.random(shape)
+    diffused = np.zeros_like(u)
+
+    origin = (h, h, 0)
+    domain = (NI, NJ, NK)
+
+    def one_step():
+        hdiff(u, diffused, coeff, origin=origin, domain=domain)
+        vadv(
+            utens_stage, diffused, wcon, diffused, utens,
+            dtr_stage=3.0, origin=origin, domain=domain,
+        )
+        u[h:-h, h:-h] = diffused[h:-h, h:-h] + (1.0 / 3.0) * utens_stage[h:-h, h:-h]
+
+    one_step()  # warm (build caches)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        one_step()
+    return (time.perf_counter() - t0) / n_iters
+
+
+def main():
+    from gt4py_tpu import config
+
+    config.ensure_jax_config()
+    import jax
+
+    platform = jax.devices()[0].platform
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    tpu_per_iter = bench_tpu_dycore()
+    oracle_per_iter = bench_oracle_dycore()
+
+    points = NI * NJ * NK
+    gps = points / tpu_per_iter
+    oracle_gps = points / oracle_per_iter
+    result = {
+        "metric": "grid-points/s/chip (hdiff+vadv dycore step, 512^2x80, f32)",
+        "value": round(gps / 1e9, 3),
+        "unit": "Gpoint/s",
+        "vs_baseline": round(gps / oracle_gps, 2),
+    }
+    print(
+        f"# tpu {tpu_per_iter*1e3:.3f} ms/step, oracle {oracle_per_iter*1e3:.1f} ms/step",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,23 @@ class _TraceCtx:
         return 1 if self.klevel is not None else self.kslice[1] - self.kslice[0]
 
     def shape(self):
-        return (self.ni, self.nj, self.nk)
+        """Physical evaluation shape: buffers are K-leading (K, I, J)."""
+        return (self.nk, self.ni, self.nj)
+
+
+def _phys_shape(logical_shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Logical (I, J, K, *dd) -> physical (K, I, J, *dd).
+
+    The executor stores every buffer K-leading: serial-K scans slice
+    contiguous planes off axis 0 with no transposes, and whole-plane
+    elementwise ops put J on the TPU lane dimension (J is large) instead of
+    K (80 -> padded 128, 60% wasted lanes).  This is the reference's
+    'K-first' optimal-layout choice (storage/cartesian/layout_registry.py)
+    expressed as TPU tiling.
+    """
+    return (logical_shape[2], logical_shape[0], logical_shape[1]) + tuple(
+        logical_shape[3:]
+    )
 
 
 _NATIVE_JNP: Dict[ir.NativeFunction, Callable] = {}
@@ -138,8 +154,111 @@ def _init_native_jnp():
     )
 
 
+class _ScanIneligible(Exception):
+    """Section cannot use the lax.scan fast path; fall back to fori_loop."""
+
+
+def _xs_name(name: str, dk: int) -> str:
+    return f"{name}__xs[{dk}]"
+
+
+def _carry_name(name: str, depth: int) -> str:
+    return f"{name}__carry[{depth}]"
+
+
+def _needs_old_plane_seed(body, name: str) -> bool:
+    """True if the pre-sweep plane value of `name` can be observed in the
+    section: a dk==0 read, or a masked write, before the first unconditional
+    whole-plane write."""
+    state = {"definite": False, "needs": False}
+
+    def check_expr(expr):
+        if state["definite"] or state["needs"]:
+            return
+        for acc in ir.field_accesses(expr):
+            if (
+                acc.name == name
+                and isinstance(acc.offset, ir.CartesianOffset)
+                and acc.offset.k == 0
+            ):
+                state["needs"] = True
+                return
+
+    def walk(stmts, masked):
+        for stmt in stmts:
+            if state["needs"]:
+                return
+            if isinstance(stmt, ir.Assign):
+                if not state["definite"]:
+                    check_expr(stmt.value)
+                    for d in stmt.target.data_index:
+                        check_expr(d)
+                    if stmt.target.name == name:
+                        if masked or stmt.target.data_index:
+                            state["needs"] = True
+                        else:
+                            state["definite"] = True
+            elif isinstance(stmt, ir.If):
+                if not state["definite"]:
+                    check_expr(stmt.cond)
+                walk(stmt.body, True)
+                walk(stmt.orelse, True)
+            elif isinstance(stmt, ir.While):
+                if not state["definite"]:
+                    check_expr(stmt.cond)
+                walk(stmt.body, True)
+            elif isinstance(stmt, ir.HorizontalRestriction):
+                walk(stmt.body, True)
+
+    walk(body, False)
+    return state["needs"]
+
+
+def _rewrite_section_for_planes(body, written, const_fields, backward: bool):
+    """Clone the section body, renaming K-offset field accesses to plane
+    buffers: behind-the-sweep reads -> carry planes, ahead/old reads ->
+    scan-input planes, current planes keep their name."""
+    import copy as _copy
+
+    out = []
+    for stmt in body:
+        cloned = _copy.deepcopy(stmt)
+        for node in ir.walk_values(cloned):
+            if isinstance(node, ir.Assign):
+                t = node.target
+                if t.name in const_fields:
+                    raise _ScanIneligible()
+                t.offset = ir.CartesianOffset(t.offset.i, t.offset.j, 0)
+        for node in ir.walk_values(cloned):
+            if not isinstance(node, ir.FieldAccess):
+                continue
+            off = node.offset
+            if not isinstance(off, ir.CartesianOffset):
+                raise _ScanIneligible()
+            dk = off.k
+            name = node.name
+            if name in const_fields:
+                new_name = name
+            elif name in written:
+                behind = (dk > 0) if backward else (dk < 0)
+                if dk == 0:
+                    new_name = name
+                elif behind:
+                    new_name = _carry_name(name, abs(dk))
+                else:
+                    new_name = _xs_name(name, dk)
+            else:
+                new_name = _xs_name(name, dk)
+            node.name = new_name
+            node.offset = ir.CartesianOffset(off.i, off.j, 0)
+        out.append((stmt, cloned))
+    return out
+
+
 class JaxTracer:
     """Traces the stencil IR into jnp operations on an env of buffers."""
+
+    serial_k_value = None  # set per-plane inside the lax.scan fast path
 
     def __init__(self, analysis: StencilAnalysis, meta: Dict[str, _FieldMeta], domain):
         if not _NATIVE_JNP:
@@ -153,10 +272,11 @@ class JaxTracer:
 
     def trace(self, env: Dict[str, Any], scalars: Dict[str, Any]) -> Dict[str, Any]:
         """env: full 3D(+data) jnp buffers by name.  Returns updated env."""
-        import jax.numpy as jnp
-
         self.scalars = scalars
-        # allocate temporaries
+        # temporaries get metas up-front but buffers lazily: temps that live
+        # entirely inside one serial scan never touch HBM (the TPU analog of
+        # the reference's LocalTemporariesToScalars / K-cache passes,
+        # gtc/passes/oir_optimizations/{temporaries,caches}.py)
         for name, decl in self.stencil.temp_decls.items():
             ext = self.analysis.extents.field_extent(name)
             shape = (
@@ -164,7 +284,6 @@ class JaxTracer:
                 self.domain[1] - ext.j[0] + ext.j[1],
                 self.domain[2],
             ) + tuple(decl.data_dims)
-            env[name] = jnp.zeros(shape, dtype=decl.dtype)
             self.meta[name] = _FieldMeta(
                 shape=shape,
                 origin=(-ext.i[0], -ext.j[0], 0),
@@ -172,9 +291,35 @@ class JaxTracer:
                 dimensions=(True, True, True),
                 data_ndim=len(decl.data_dims),
             )
+        self._temp_section_count = self._count_temp_sections()
 
         for loop in self.stencil.vertical_loops:
             env = self._trace_loop(env, loop)
+        return env
+
+    def _count_temp_sections(self) -> Dict[str, int]:
+        """How many vertical sections access each temporary."""
+        counts: Dict[str, int] = {}
+        for loop in self.stencil.vertical_loops:
+            for section in loop.sections:
+                names = {
+                    n.name
+                    for n in ir.walk_values(section.body)
+                    if isinstance(n, ir.FieldAccess) and n.name in self.stencil.temp_decls
+                }
+                for n in names:
+                    counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    def _ensure_buffer(self, env, name: str):
+        """Materialize a lazily-allocated temporary buffer."""
+        if name in env:
+            return env
+        import jax.numpy as jnp
+
+        m = self.meta[name]
+        env = dict(env)
+        env[name] = jnp.zeros(_phys_shape(m.shape), dtype=m.dtype)
         return env
 
     def _trace_loop(self, env, loop: ir.VerticalLoop):
@@ -196,6 +341,13 @@ class JaxTracer:
                 backward = loop.loop_order == ir.LoopOrder.BACKWARD
                 n = k1 - k0
 
+                if n > 1:
+                    try:
+                        env = self._trace_serial_scan(env, section, (k0, k1), backward)
+                        continue
+                    except _ScanIneligible:
+                        pass
+
                 def body(i, env, _k0=k0, _k1=k1, _bwd=backward, _section=section):
                     k = (_k1 - 1 - i) if _bwd else (_k0 + i)
                     for stmt in _section.body:
@@ -210,6 +362,231 @@ class JaxTracer:
                 else:
                     env = jax.lax.fori_loop(0, n, body, env)
         return env
+
+    # ---------------- serial-K lax.scan fast path ---------------- #
+    #
+    # FORWARD/BACKWARD sections lower to lax.scan over K-leading plane
+    # stacks: reads of not-yet-written planes become pre-shifted scan
+    # inputs, reads of already-written planes become scan carries, and the
+    # written planes are stacked scan outputs.  This is the TPU-native form
+    # of the reference's serial K loop (oir.VerticalLoop / the embedded
+    # ScanOperator, reference: src/gt4py/next/embedded/operators.py:40-90):
+    # per-level work is a fused whole-IJ-plane kernel and XLA pipelines the
+    # K sweep without per-level dynamic-slice round trips to HBM.
+
+    def _trace_serial_scan(self, env, section, krange, backward: bool):
+        import jax
+        import jax.numpy as jnp
+
+        k0, k1 = krange
+        n = k1 - k0
+
+        written = set(ir.assigned_names(section.body))
+        # fields without a K axis are per-sweep constants (closure-captured)
+        const_fields = {
+            name
+            for node in ir.walk_values(section.body)
+            if isinstance(node, ir.FieldAccess)
+            for name in [node.name]
+            if self.meta[name].shape[2] == 1
+        }
+        if const_fields & written:
+            raise _ScanIneligible()
+        # classify accesses; raises _ScanIneligible on unsupported patterns
+        xs_specs, carry_specs = self._classify_serial_accesses(
+            section, written, const_fields, backward
+        )
+
+        # Liveness: temporaries accessed only in this section (and with no
+        # ahead-of-sweep reads) never need an HBM buffer -- their planes live
+        # in the scan carry/step only.  Written fields whose first touch is
+        # an unconditional whole-plane write don't need an old-value seed.
+        temp_counts = getattr(self, "_temp_section_count", {})
+        local_written = {
+            name
+            for name in written
+            if temp_counts.get(name, 99) == 1
+            and name not in env
+            and not any(n == name for (n, dk) in xs_specs if dk != 0)
+        }
+        for name in written:
+            if name in local_written or not _needs_old_plane_seed(section.body, name):
+                xs_specs.discard((name, 0))
+
+        plane_metas: Dict[str, _FieldMeta] = {}
+
+        def plane_meta(name: str) -> _FieldMeta:
+            m = self.meta[name]
+            return _FieldMeta(
+                shape=(m.shape[0], m.shape[1], 1) + m.shape[3:],
+                origin=(m.origin[0], m.origin[1], 0),
+                dtype=m.dtype,
+                dimensions=m.dimensions,
+                data_ndim=m.data_ndim,
+            )
+
+        def k_index(name: str, dk: int, k: int) -> int:
+            return self.meta[name].origin[2] + k + dk
+
+        # --- scan inputs: contiguous plane slices off the K-leading axis --- #
+        xs = {}
+        for (name, dk) in sorted(xs_specs):
+            buf = env.get(name)
+            if buf is None:  # unallocated temporary: old values are zeros
+                m = self.meta[name]
+                buf = jnp.zeros(_phys_shape(m.shape), dtype=m.dtype)
+            ok = self.meta[name].origin[2]
+            sl = buf[ok + k0 + dk : ok + k1 + dk]  # (n, SI, SJ, *dd) -- no copy
+            stack = sl[:, None]  # per-step plane keeps its singleton K axis
+            if backward:
+                stack = stack[::-1]
+            xs[_xs_name(name, dk)] = stack
+            plane_metas[_xs_name(name, dk)] = plane_meta(name)
+
+        ks = jnp.arange(k0, k1, dtype=jnp.int32)
+        xs["__k"] = ks[::-1] if backward else ks
+
+        # --- carry init: planes "behind" the sweep start --- #
+        carry0 = {}
+        for name, depths in sorted(carry_specs.items()):
+            m = self.meta[name]
+            ok = m.origin[2]
+            SK = m.shape[2]
+            for d in sorted(depths):
+                k_abs = (ok + k1 - 1 + d) if backward else (ok + k0 - d)
+                if 0 <= k_abs < SK and name in env:
+                    plane = env[name][k_abs : k_abs + 1]
+                else:
+                    plane = jnp.zeros(
+                        (1, m.shape[0], m.shape[1]) + m.shape[3:], dtype=m.dtype
+                    )
+                carry0[_carry_name(name, d)] = plane
+                plane_metas[_carry_name(name, d)] = plane_meta(name)
+
+        for name in written:
+            plane_metas[name] = plane_meta(name)
+        for name in const_fields:
+            plane_metas[name] = self.meta[name]
+
+        rewritten = _rewrite_section_for_planes(
+            section.body, written, const_fields, backward
+        )
+
+        extents = self.analysis.extents
+        saved_meta = self.meta
+        dI, dJ, _ = self.domain
+
+        const_bufs = {name: env[name] for name in const_fields}
+        seeded = {name for name in written if (name, 0) in xs_specs}
+
+        def step(carry, x):
+            plane_env = dict(carry)
+            plane_env.update({k: v for k, v in x.items() if k != "__k"})
+            plane_env.update(const_bufs)
+            # current planes of written fields start as their old values
+            # (or zeros when the old value is provably unobservable)
+            for name in written:
+                if name in seeded:
+                    plane_env[name] = x[_xs_name(name, 0)]
+                else:
+                    m = plane_metas[name]
+                    plane_env[name] = jnp.zeros(_phys_shape(m.shape), dtype=m.dtype)
+
+            sub = JaxTracer.__new__(JaxTracer)
+            sub.analysis = self.analysis
+            sub.stencil = self.stencil
+            sub.meta = plane_metas
+            sub.domain = (dI, dJ, 1)
+            sub.scalars = self.scalars
+            sub.serial_k_value = x["__k"]
+
+            e = plane_env
+            for orig_stmt, stmt in rewritten:
+                ctx = _TraceCtx(sub, extents.stmt_extent(orig_stmt), kslice=(0, 1))
+                e = sub._trace_stmt(e, stmt, ctx)
+
+            new_carry = {}
+            for name, depths in carry_specs.items():
+                for d in sorted(depths):
+                    if d == 1:
+                        new_carry[_carry_name(name, 1)] = e[name]
+                    else:
+                        new_carry[_carry_name(name, d)] = carry[_carry_name(name, d - 1)]
+            ys = {name: e[name] for name in written if name not in local_written}
+            return new_carry, ys
+
+        _, ys = jax.lax.scan(step, carry0, xs)
+
+        # per-field write region: union of the extents of the statements
+        # that write it -- unseeded planes are zero outside this region, so
+        # the writeback must not clobber halo points beyond it
+        write_ext: Dict[str, Extent] = {}
+        for stmt in section.body:
+            ext = extents.stmt_extent(stmt)
+            for w in ir.walk_values(stmt):
+                if isinstance(w, ir.Assign):
+                    cur = write_ext.get(w.target.name)
+                    write_ext[w.target.name] = ext if cur is None else (cur | ext)
+
+        env = dict(env)
+        for name in written - local_written:
+            env = self._ensure_buffer(env, name)
+            stack = ys[name]  # (n, 1, SI, SJ, *dd)
+            if backward:
+                stack = stack[::-1]
+            planes = jnp.squeeze(stack, axis=1)  # (n, SI, SJ, *dd)
+            m = self.meta[name]
+            oi, oj, ok = m.origin
+            ext = write_ext.get(name, Extent.zeros())
+            i0, i1 = oi + ext.i[0], oi + dI + ext.i[1]
+            j0, j1 = oj + ext.j[0], oj + dJ + ext.j[1]
+            buf = env[name]
+            # contiguous K-leading writeback of the computed region only
+            env[name] = buf.at[ok + k0 : ok + k1, i0:i1, j0:j1].set(
+                planes[:, i0:i1, j0:j1].astype(buf.dtype)
+            )
+        self.meta = saved_meta
+        return env
+
+    def _classify_serial_accesses(self, section, written, const_fields, backward: bool):
+        """Collect (name, dk) scan-input specs and carry depths per field.
+
+        Raises _ScanIneligible for patterns the scan path cannot express
+        (variable/absolute K, non-zero K offsets on assignment targets).
+        """
+        xs_specs = set()
+        carry_specs: Dict[str, set] = {}
+        for node in ir.walk_values(section.body):
+            if isinstance(node, ir.Assign):
+                off = node.target.offset
+                if not isinstance(off, ir.CartesianOffset) or off.k != 0:
+                    raise _ScanIneligible()
+            if isinstance(node, ir.FieldAccess):
+                off = node.offset
+                if not isinstance(off, ir.CartesianOffset):
+                    raise _ScanIneligible()
+                dk = off.k
+                name = node.name
+                if name in const_fields:
+                    continue
+                if name not in written:
+                    xs_specs.add((name, dk))
+                else:
+                    behind = (dk > 0) if backward else (dk < 0)
+                    if dk == 0:
+                        pass  # current plane, seeded from xs(name, 0)
+                    elif behind:
+                        carry_specs.setdefault(name, set()).add(abs(dk))
+                    else:
+                        xs_specs.add((name, dk))
+        # carries must be contiguous depths 1..D for the shift-register update
+        for name, depths in carry_specs.items():
+            depth = max(depths)
+            carry_specs[name] = set(range(1, depth + 1))
+        # every written field needs its old current plane
+        for name in written:
+            xs_specs.add((name, 0))
+        return xs_specs, carry_specs
 
     # ------------------- statements ------------------- #
 
@@ -227,6 +604,8 @@ class JaxTracer:
     def _trace_assign(self, env, stmt: ir.Assign, ctx: _TraceCtx):
         import jax.numpy as jnp
 
+        if stmt.target.name in getattr(self, "_temp_section_count", {}):
+            env = self._ensure_buffer(env, stmt.target.name)
         value = self._eval(env, stmt.value, ctx)
         name = stmt.target.name
         meta = self.meta[name]
@@ -297,9 +676,9 @@ class JaxTracer:
         import jax.numpy as jnp
 
         dI, dJ, _ = self.domain
-        i_glob = jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1]).reshape(-1, 1, 1)
-        j_glob = jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1]).reshape(1, -1, 1)
-        mask = jnp.zeros((ctx.ni, ctx.nj, 1), dtype=bool)
+        i_glob = jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1]).reshape(1, -1, 1)
+        j_glob = jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1]).reshape(1, 1, -1)
+        mask = jnp.zeros((1, ctx.ni, ctx.nj), dtype=bool)
         for m in stmt.masks:
             ilo, ihi = m.i.resolve(dI)
             jlo, jhi = m.j.resolve(dJ)
@@ -345,7 +724,9 @@ class JaxTracer:
 
         name = acc.name
         meta = self.meta[name]
-        buf = env[name]
+        buf = env.get(name)
+        if buf is None:  # unwritten temporary (only reachable in dead code)
+            buf = jnp.zeros(_phys_shape(meta.shape), dtype=meta.dtype)
         off = acc.offset
         if not isinstance(off, ir.CartesianOffset):
             if for_write:
@@ -357,11 +738,11 @@ class JaxTracer:
 
         dyn_k = not isinstance(k0, int)
         if not dyn_k:
-            idx = (slice(i0, i0 + ni), slice(j0, j0 + nj), slice(k0, k0 + nk))
+            idx = (slice(k0, k0 + nk), slice(i0, i0 + ni), slice(j0, j0 + nj))
             region = buf[idx]
         else:
-            starts = (i0, j0, k0) + (0,) * len(data_shape)
-            sizes = (ni, nj, nk) + data_shape
+            starts = (k0, i0, j0) + (0,) * len(data_shape)
+            sizes = (nk, ni, nj) + data_shape
             region = jax.lax.dynamic_slice(buf, starts, sizes)
 
         didx = ()
@@ -397,7 +778,7 @@ class JaxTracer:
         ok = meta.origin[2]
 
         (i0, j0, _), (ni, nj, _) = self._region_spec(meta, ir.CartesianOffset(), ctx)
-        block = buf[slice(i0, i0 + ni), slice(j0, j0 + nj), :]
+        block = buf[:, slice(i0, i0 + ni), slice(j0, j0 + nj)]
 
         if isinstance(off, ir.VariableKOffset):
             dk = jnp.asarray(self._eval(env, off.k, ctx)).astype(jnp.int32)
@@ -405,19 +786,17 @@ class JaxTracer:
                 base = jnp.asarray(ok + ctx.klevel, dtype=jnp.int32)
             else:
                 kk0, kk1 = ctx.kslice
-                base = (ok + jnp.arange(kk0, kk1, dtype=jnp.int32)).reshape(1, 1, -1)
+                base = (ok + jnp.arange(kk0, kk1, dtype=jnp.int32)).reshape(-1, 1, 1)
             kidx = jnp.clip(base + dk, 0, SK - 1)
         else:  # AbsoluteKIndex
             kval = jnp.asarray(self._eval(env, off.k, ctx)).astype(jnp.int32)
             kidx = jnp.clip(kval + ok, 0, SK - 1)
-            if kidx.ndim == 0:
-                kidx = kidx.reshape(1, 1, 1)
 
         kidx = jnp.asarray(kidx)
         if kidx.ndim == 0:
             kidx = kidx.reshape(1, 1, 1)
-        kidx = jnp.broadcast_to(kidx, (ni, nj, ctx.nk))
-        out = jnp.take_along_axis(block, kidx, axis=2)
+        kidx = jnp.broadcast_to(kidx, (ctx.nk, ni, nj))
+        out = jnp.take_along_axis(block, kidx, axis=0)
 
         if acc.data_index:
             didx = tuple(self._data_index_value(env, d, ctx) for d in acc.data_index)
@@ -457,13 +836,16 @@ class JaxTracer:
         if isinstance(expr, ir.AxisPosition):
             dI, dJ, _ = self.domain
             dt = default_int_dtype()
+            if expr.axis == "K" and self.serial_k_value is not None:
+                return jnp.asarray(self.serial_k_value, dtype=dt)
+            # physical (K, I, J) broadcasting
             if expr.axis == "I":
-                return jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1], dtype=dt).reshape(-1, 1, 1)
+                return jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1], dtype=dt).reshape(1, -1, 1)
             if expr.axis == "J":
-                return jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1], dtype=dt).reshape(1, -1, 1)
+                return jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1], dtype=dt).reshape(1, 1, -1)
             if ctx.klevel is not None:
                 return jnp.asarray(ctx.klevel, dtype=dt)
-            return jnp.arange(ctx.kslice[0], ctx.kslice[1], dtype=dt).reshape(1, 1, -1)
+            return jnp.arange(ctx.kslice[0], ctx.kslice[1], dtype=dt).reshape(-1, 1, 1)
 
         if isinstance(expr, ir.AxisSize):
             return jnp.asarray(
@@ -513,6 +895,14 @@ class JaxTracer:
         raise TypeError(f"Cannot trace {type(expr).__name__}")
 
 
+def _to_logical(buf, user_shape):
+    """Physical (K, I, J, *dd) buffer -> user-shaped logical array."""
+    import jax.numpy as jnp
+
+    buf = jnp.transpose(buf, (1, 2, 0) + tuple(range(3, buf.ndim)))
+    return buf.reshape(user_shape)
+
+
 def _apply_binop_jnp(op: ir.BinaryOperator, left, right):
     import jax.numpy as jnp
 
@@ -544,6 +934,7 @@ class JaxBackend:
     storage_device = "tpu"
 
     def __init__(self, analysis: StencilAnalysis, options: Optional[dict] = None):
+        config.ensure_jax_config()  # x64 etc. before any tracing
         self.analysis = analysis
         self.options = options or {}
         self._programs: Dict[Any, Callable] = {}
@@ -577,8 +968,36 @@ class JaxBackend:
         donate = (0,) if config.DONATE_BUFFERS else ()
         return jax.jit(program, donate_argnums=donate)
 
-    def run(self, arrays, scalars, domain, origins, exec_info=None):
-        jax = _jax()
+    def apply(self, arrays, scalars, domain, origins, physical_layout=False):
+        """Functionally apply the stencil: traceable under an outer jit.
+
+        ``arrays`` are jnp arrays (or tracers); returns a dict of updated
+        arrays for written fields.  This is the composition entry used by
+        models and benchmarks to fuse multiple stencils into one XLA program.
+
+        With ``physical_layout=True`` the caller passes and receives full
+        K-leading (K, I, J, *dd) buffers (the executor's native layout) --
+        chained stencils then compose with zero transposes.
+        """
+        import jax.numpy as jnp
+
+        metas, full_bufs = self._prepare(
+            arrays, origins, as_device=False, physical_in=physical_layout
+        )
+        tracer = JaxTracer(self.analysis, dict(metas), tuple(domain))
+        env = tracer.trace(dict(full_bufs), dict(scalars))
+        out = {}
+        for name in self.written:
+            if name in full_bufs:
+                if physical_layout:
+                    out[name] = env[name]
+                else:
+                    out[name] = _to_logical(env[name], arrays[name].shape)
+        return out
+
+    def _prepare(self, arrays, origins, as_device=True, physical_in=False):
+        """Reshape user arrays to full physical (K, I, J, *dd) buffers and
+        build logical metas."""
         import jax.numpy as jnp
 
         metas: Dict[str, _FieldMeta] = {}
@@ -586,8 +1005,21 @@ class JaxBackend:
         for name, arr in arrays.items():
             decl = self.analysis.stencil.field_decls[name]
             data_ndim = len(decl.data_dims)
-            buf = jnp.asarray(arr)
-            # reshape to full 3D(+data): missing axes become size-1
+            buf = jnp.asarray(arr) if as_device else arr
+            if physical_in:
+                shape = list(buf.shape)
+                logical = (shape[1], shape[2], shape[0]) + tuple(shape[3:])
+                o = origins[name]
+                full_origin3 = tuple(o) + (0,) * (3 - len(o))
+                full_bufs[name] = buf
+                metas[name] = _FieldMeta(
+                    shape=logical,
+                    origin=full_origin3,
+                    dtype=np.dtype(decl.dtype),
+                    dimensions=decl.dimensions,
+                    data_ndim=data_ndim,
+                )
+                continue
             shape = list(buf.shape)
             spatial = len(shape) - data_ndim
             full_shape: List[int] = []
@@ -602,7 +1034,9 @@ class JaxBackend:
                     full_shape.append(1)
                     full_origin.append(0)
             full_shape.extend(shape[spatial:])
-            buf = buf.reshape(full_shape)
+            buf = jnp.reshape(buf, full_shape)
+            # physical K-leading layout (see _phys_shape)
+            buf = jnp.transpose(buf, (2, 0, 1) + tuple(range(3, buf.ndim)))
             full_bufs[name] = buf
             metas[name] = _FieldMeta(
                 shape=tuple(full_shape),
@@ -611,6 +1045,12 @@ class JaxBackend:
                 dimensions=decl.dimensions,
                 data_ndim=data_ndim,
             )
+        return metas, full_bufs
+
+    def run(self, arrays, scalars, domain, origins, exec_info=None):
+        jax = _jax()
+
+        metas, full_bufs = self._prepare(arrays, origins)
 
         scalar_vals = {
             name: scalars[name]
@@ -635,10 +1075,8 @@ class JaxBackend:
             jax.block_until_ready(out)
             exec_info["run_end_time"] = time.perf_counter()
 
-        # reshape back to user shapes
+        # transpose back from physical (K, I, J) and drop size-1 axes
         result = {}
         for name, buf in out.items():
-            decl = self.analysis.stencil.field_decls[name]
-            user_shape = arrays[name].shape
-            result[name] = buf.reshape(user_shape)
+            result[name] = _to_logical(buf, arrays[name].shape)
         return result

@@ -958,7 +958,9 @@ def parse_definition(
     for p in sig.parameters.values():
         annotation = p.annotation
         if isinstance(annotation, str):
-            annotation = eval(annotation, definition.__globals__)  # noqa: S307
+            # string annotations (``from __future__ import annotations``):
+            # evaluate in the definition's globals + closure namespace
+            annotation = eval(annotation, ctx.definition_globals)  # noqa: S307
         if annotation is inspect.Parameter.empty:
             raise GTScriptDefinitionError(
                 f"Missing annotation for parameter '{p.name}' of stencil '{name}'"

@@ -458,6 +458,8 @@ def children(node: Any):
             v = getattr(node, f.name)
             if isinstance(v, (Expr, Stmt, VerticalLoop, VerticalSection)):
                 yield v
+            elif isinstance(v, (VariableKOffset, AbsoluteKIndex)):
+                yield v.k  # data-dependent K offsets carry an expression
             elif isinstance(v, (list, tuple)):
                 for item in v:
                     if isinstance(item, (Expr, Stmt, VerticalLoop, VerticalSection)):

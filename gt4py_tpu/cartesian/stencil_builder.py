@@ -54,9 +54,17 @@ class StencilBuilder:
             source = inspect.getsource(self.definition)
         except (OSError, TypeError):
             source = repr(self.definition)
+        # annotations are resolved from closures, so the same source can
+        # produce different stencils (e.g. Field[dtype] factories): include
+        # their reprs in the fingerprint
+        annotations = {
+            k: repr(v) for k, v in getattr(self.definition, "__annotations__", {}).items()
+        }
         key = repr(
             (
                 source,
+                self.name,
+                sorted(annotations.items()),
                 sorted((k, repr(v)) for k, v in self.externals.items()),
                 sorted((repr(k), repr(v)) for k, v in self.dtypes.items()),
                 self.backend_name,

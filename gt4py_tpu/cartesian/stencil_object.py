@@ -268,6 +268,41 @@ class StencilObject:
     def freeze(self, *, origin, domain) -> "FrozenStencil":
         return FrozenStencil(self, origin, domain)
 
+    def functional(self, *, origin, domain, physical_layout: bool = False):
+        """Return a pure function for composing under ``jax.jit``.
+
+        ``fn(**arrays_and_scalars) -> dict`` applies the stencil and returns
+        updated arrays for written fields.  Only available on functional
+        (jax/pallas) backends.  This is the TPU-native composition path:
+        chains of stencils trace into ONE fused XLA program with no
+        host round-trips between them.
+        """
+        if not hasattr(self.backend, "apply"):
+            raise TypeError(
+                f"Backend '{self.backend_name}' does not support functional "
+                "composition; use the 'jax' or 'pallas' backend."
+            )
+        origin_map = self._normalize_origin_arg(origin)
+        domain = tuple(domain)
+
+        def fn(**kwargs):
+            arrays = {}
+            scalars = {}
+            origins = {}
+            for p in self.ir.api_params:
+                if p.name not in kwargs or kwargs[p.name] is None:
+                    continue
+                if p.is_field:
+                    arrays[p.name] = kwargs[p.name]
+                    origins[p.name] = self._field_origin(p.name, origin_map, None)
+                else:
+                    scalars[p.name] = kwargs[p.name]
+            return self.backend.apply(
+                arrays, scalars, domain, origins, physical_layout=physical_layout
+            )
+
+        return fn
+
     def __str__(self) -> str:
         lines = [f"StencilObject '{self.name}' (backend={self.backend_name})"]
         for name, info in self.field_info.items():

@@ -1,0 +1,212 @@
+"""Mini dynamical core: horizontal diffusion + vertical advection.
+
+The stencil definitions follow the reference's canonical workloads
+(reference: tests/cartesian_tests/integration_tests/multi_feature_tests/
+stencil_definitions.py:317-330 horizontal_diffusion and :236-315
+vertical_advection_dycore) -- re-authored here as model code, composed
+functionally so a full timestep traces into ONE fused XLA program.
+
+Distribution: the same local step runs inside ``shard_map`` with explicit
+ppermute halo exchange (periodic boundaries), or on sharded global arrays
+via GSPMD.
+"""
+
+# NOTE: no ``from __future__ import annotations`` here -- stencil parameter
+# annotations must evaluate eagerly so closure-local Field descriptors
+# (``Field = gtscript.Field[dtype]`` inside factory functions) resolve.
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.gtscript import (
+    BACKWARD,
+    FORWARD,
+    PARALLEL,
+    computation,
+    interval,
+)
+
+
+def make_hdiff(dtype, backend="jax"):
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(backend=backend, name=f"hdiff_{np.dtype(dtype).name}")
+    def horizontal_diffusion(in_field: Field, out_field: Field, coeff: Field):
+        with computation(PARALLEL), interval(...):
+            lap_field = 4.0 * in_field[0, 0, 0] - (
+                in_field[1, 0, 0] + in_field[-1, 0, 0]
+                + in_field[0, 1, 0] + in_field[0, -1, 0]
+            )
+            res = lap_field[1, 0, 0] - lap_field[0, 0, 0]
+            flx_field = 0 if (res * (in_field[1, 0, 0] - in_field[0, 0, 0])) > 0 else res
+            res = lap_field[0, 1, 0] - lap_field[0, 0, 0]
+            fly_field = 0 if (res * (in_field[0, 1, 0] - in_field[0, 0, 0])) > 0 else res
+            out_field = in_field[0, 0, 0] - coeff[0, 0, 0] * (
+                flx_field[0, 0, 0] - flx_field[-1, 0, 0]
+                + fly_field[0, 0, 0] - fly_field[0, -1, 0]
+            )
+
+    return horizontal_diffusion
+
+
+def make_vadv(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"vadv_{np.dtype(dtype).name}",
+        externals={"BET_M": bet_m, "BET_P": bet_p},
+    )
+    def vertical_advection_dycore(
+        utens_stage: Field,
+        u_stage: Field,
+        wcon: Field,
+        u_pos: Field,
+        utens: Field,
+        *,
+        dtr_stage: float,
+    ):
+        from __externals__ import BET_M, BET_P
+
+        with computation(FORWARD):
+            with interval(0, 1):
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+                cs = gcv * BET_M
+                ccol = gcv * BET_P
+                bcol = dtr_stage - ccol[0, 0, 0]
+                correction_term = -cs * (u_stage[0, 0, 1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / bcol[0, 0, 0]
+                ccol = ccol[0, 0, 0] * divided
+                dcol = dcol[0, 0, 0] * divided
+            with interval(1, -1):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+                as_ = gav * BET_M
+                cs = gcv * BET_M
+                acol = gav * BET_P
+                ccol = gcv * BET_P
+                bcol = dtr_stage - acol[0, 0, 0] - ccol[0, 0, 0]
+                correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0]) - cs * (
+                    u_stage[0, 0, 1] - u_stage[0, 0, 0]
+                )
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                ccol = ccol[0, 0, 0] * divided
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+            with interval(-1, None):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                as_ = gav * BET_M
+                acol = gav * BET_P
+                bcol = dtr_stage - acol[0, 0, 0]
+                correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+
+        with computation(BACKWARD):
+            with interval(-1, None):
+                datacol = dcol[0, 0, 0]
+                utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+            with interval(0, -1):
+                datacol = dcol[0, 0, 0] - ccol[0, 0, 0] * datacol[0, 0, 1]
+                utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+
+    return vertical_advection_dycore
+
+
+def periodic_fill(arr, h: int):
+    """Fill I/J halos (width h) of a physical (K, NI+2h, NJ+2h) array
+    periodically (axes 1=I, 2=J)."""
+    if h == 0:
+        return arr
+    ni = arr.shape[1] - 2 * h
+    nj = arr.shape[2] - 2 * h
+    arr = arr.at[:, 0:h].set(arr[:, ni : ni + h])
+    arr = arr.at[:, h + ni :].set(arr[:, h : 2 * h])
+    arr = arr.at[:, :, 0:h].set(arr[:, :, nj : nj + h])
+    arr = arr.at[:, :, h + nj :].set(arr[:, :, h : 2 * h])
+    return arr
+
+
+class MiniDycore:
+    """A mini timestep: periodic-halo hdiff + vertical advection + update.
+
+    ``step_fn(fill_halos=True)`` returns a pure jax function
+    ``step(state) -> state`` over a dict of halo-extended field arrays;
+    the entire step traces into one fused XLA program.  With
+    ``fill_halos=False`` halos are assumed pre-filled (the shard_map halo
+    exchange path).
+    """
+
+    HALO = 3
+
+    def __init__(self, ni: int, nj: int, nk: int, *, dtype=np.float32, backend="jax"):
+        self.ni, self.nj, self.nk = ni, nj, nk
+        self.dtype = np.dtype(dtype)
+        h = self.HALO
+        self.hdiff = make_hdiff(dtype, backend)
+        self.vadv = make_vadv(dtype, backend)
+        # physical K-leading layout end-to-end: zero transposes per step
+        self.hdiff_fn = self.hdiff.functional(
+            origin=(h, h, 0), domain=(ni, nj, nk), physical_layout=True
+        )
+        self.vadv_fn = self.vadv.functional(
+            origin=(h, h, 0), domain=(ni, nj, nk), physical_layout=True
+        )
+
+    def field_shape(self) -> Tuple[int, int, int]:
+        """Physical (K, NI+2h, NJ+2h) buffer shape."""
+        h = self.HALO
+        return (self.nk, self.ni + 2 * h, self.nj + 2 * h)
+
+    def init_state(self, seed: int = 0) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(seed)
+        shape = self.field_shape()
+        dt = self.dtype
+        return {
+            "u": rng.random(shape).astype(dt),
+            "coeff": (0.025 * rng.random(shape)).astype(dt),
+            "wcon": (0.2 * rng.random(shape)).astype(dt),
+            "utens": (0.01 * rng.random(shape)).astype(dt),
+            "utens_stage": rng.random(shape).astype(dt),
+        }
+
+    def step_fn(self, *, fill_halos: bool = True, dtr_stage: float = 3.0):
+        h = self.HALO
+
+        def step(state: Dict) -> Dict:
+            import jax.numpy as jnp
+
+            u = state["u"]
+            if fill_halos:
+                u = periodic_fill(u, h)
+            diffused = self.hdiff_fn(
+                in_field=u, out_field=u, coeff=state["coeff"]
+            )["out_field"]
+            utens_stage = self.vadv_fn(
+                utens_stage=state["utens_stage"],
+                u_stage=diffused,
+                wcon=state["wcon"],
+                u_pos=diffused,
+                utens=state["utens"],
+                dtr_stage=jnp.asarray(dtr_stage, dtype=self.dtype),
+            )["utens_stage"]
+            u_new = diffused + (1.0 / dtr_stage) * utens_stage
+            new_state = dict(state)
+            new_state["u"] = u_new.astype(self.dtype)
+            new_state["utens_stage"] = utens_stage
+            return new_state
+
+        return step

@@ -46,3 +46,51 @@ def test_backend_parity(name, backend):
             atol=1e-12,
             err_msg=f"{name}.{fname} mismatch on backend {backend}",
         )
+
+
+def _run_with_halo(entry, backend, halo=2):
+    """Run on arrays embedded in a halo: the compute domain sits at
+    origin=(halo, halo, 0) and the halo ring must remain untouched
+    (regression: the scan writeback once clobbered halos with zeros)."""
+    stencil = gtscript.stencil(
+        backend=backend,
+        definition=entry["definition"],
+        externals=entry["externals"],
+        rebuild=True,
+    )
+    inputs = entry["make_inputs"]()
+    fields = {}
+    rng = np.random.default_rng(99)
+    for k, v in inputs.items():
+        if not isinstance(v, np.ndarray):
+            continue
+        if v.ndim < 3:
+            fields[k] = v
+            continue
+        padded = rng.random(
+            (v.shape[0] + 2 * halo, v.shape[1] + 2 * halo) + v.shape[2:]
+        ).astype(v.dtype)
+        padded[halo:-halo, halo:-halo] = v
+        fields[k] = padded
+    scalars = {k: v for k, v in inputs.items() if not isinstance(v, np.ndarray)}
+    first = next(iter(inputs.values()))
+    domain = first.shape[:3]
+    stencil(**fields, **scalars, origin=(halo, halo, 0), domain=domain)
+    return fields
+
+
+@pytest.mark.parametrize("backend", PARITY_BACKENDS)
+@pytest.mark.parametrize("name", ["tridiagonal_solver", "vertical_advection_dycore",
+                                  "forward_cumsum", "runtime_if_nested"])
+def test_backend_parity_with_halo(name, backend):
+    entry = stencil_defs.REGISTRY[name]
+    oracle = _run_with_halo(entry, "numpy")
+    result = _run_with_halo(entry, backend)
+    for fname in oracle:
+        np.testing.assert_allclose(
+            result[fname],
+            oracle[fname],
+            rtol=1e-12,
+            atol=1e-12,
+            err_msg=f"{name}.{fname} halo-run mismatch on backend {backend}",
+        )
