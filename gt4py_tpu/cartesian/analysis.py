@@ -48,11 +48,15 @@ _RANK = {
 }
 
 
-def default_float_dtype() -> np.dtype:
+def default_float_dtype(stencil: Optional[ir.Stencil] = None) -> np.dtype:
+    if stencil is not None and stencil.literal_float_dtype is not None:
+        return stencil.literal_float_dtype
     return np.dtype(f"f{config.LITERAL_FLOAT_PRECISION // 8}")
 
 
-def default_int_dtype() -> np.dtype:
+def default_int_dtype(stencil: Optional[ir.Stencil] = None) -> np.dtype:
+    if stencil is not None and stencil.literal_int_dtype is not None:
+        return stencil.literal_int_dtype
     return np.dtype(f"i{config.LITERAL_INT_PRECISION // 8}")
 
 
@@ -108,8 +112,8 @@ def infer_expr_dtype(expr: ir.Expr, env: DtypeEnv) -> np.dtype:
         if isinstance(expr.value, bool):
             return _BOOL
         if isinstance(expr.value, int):
-            return default_int_dtype()
-        return default_float_dtype()
+            return default_int_dtype(env.stencil)
+        return default_float_dtype(env.stencil)
     if isinstance(expr, ir.ScalarAccess):
         dt = env.dtype_of(expr.name)
         if dt is None:
@@ -121,7 +125,7 @@ def infer_expr_dtype(expr: ir.Expr, env: DtypeEnv) -> np.dtype:
             raise ValueError(f"Cannot infer dtype of field '{expr.name}'")
         return dt
     if isinstance(expr, ir.AxisPosition) or isinstance(expr, ir.AxisSize):
-        return default_int_dtype()
+        return default_int_dtype(env.stencil)
     if isinstance(expr, ir.Cast):
         return np.dtype(expr.dtype)
     if isinstance(expr, ir.UnaryOp):
@@ -135,7 +139,7 @@ def infer_expr_dtype(expr: ir.Expr, env: DtypeEnv) -> np.dtype:
         rdt = infer_expr_dtype(expr.right, env)
         target = promote_dtypes(ldt, rdt)
         if expr.op == ir.BinaryOperator.DIV and target.kind in "bi":
-            return default_float_dtype()
+            return default_float_dtype(env.stencil)
         return target
     if isinstance(expr, ir.TernaryOp):
         return promote_dtypes(
@@ -146,7 +150,7 @@ def infer_expr_dtype(expr: ir.Expr, env: DtypeEnv) -> np.dtype:
             return _BOOL
         arg_dt = promote_dtypes(*[infer_expr_dtype(a, env) for a in expr.args])
         if expr.func in _FLOAT_FUNCS and arg_dt.kind in "bi":
-            return default_float_dtype()
+            return default_float_dtype(env.stencil)
         return arg_dt
     raise TypeError(f"Cannot infer dtype of {type(expr).__name__}")
 

@@ -36,3 +36,8 @@ try:  # jax backends are optional at import time
     from . import jax_backend  # noqa: E402,F401
 except ImportError:  # pragma: no cover
     pass
+
+try:
+    from . import pallas_backend  # noqa: E402,F401
+except ImportError:  # pragma: no cover
+    pass

@@ -259,6 +259,14 @@ class JaxTracer:
     """Traces the stencil IR into jnp operations on an env of buffers."""
 
     serial_k_value = None  # set per-plane inside the lax.scan fast path
+    axis_offset = (0, 0)  # global (I, J) offset of this trace's domain (tiles)
+    no_scan = False  # disable the lax.scan fast path (inside pallas kernels)
+    global_domain = None  # full-domain sizes for region masks (tiles)
+    #: mutable-reference mode (inside pallas kernels): env values are VMEM
+    #: Refs mutated by stores, not functionally-updated arrays -- Mosaic has
+    #: no dynamic_update_slice on values, and refs avoid copies anyway
+    ref_env = False
+    temp_refs: Optional[Dict[str, Any]] = None  # pre-allocated temp scratch
 
     def __init__(self, analysis: StencilAnalysis, meta: Dict[str, _FieldMeta], domain):
         if not _NATIVE_JNP:
@@ -319,7 +327,12 @@ class JaxTracer:
 
         m = self.meta[name]
         env = dict(env)
-        env[name] = jnp.zeros(_phys_shape(m.shape), dtype=m.dtype)
+        if self.ref_env:
+            ref = self.temp_refs[name]
+            ref[...] = jnp.zeros(ref.shape, dtype=m.dtype)
+            env[name] = ref
+        else:
+            env[name] = jnp.zeros(_phys_shape(m.shape), dtype=m.dtype)
         return env
 
     def _trace_loop(self, env, loop: ir.VerticalLoop):
@@ -341,12 +354,17 @@ class JaxTracer:
                 backward = loop.loop_order == ir.LoopOrder.BACKWARD
                 n = k1 - k0
 
-                if n > 1:
+                if n > 1 and not self.no_scan:
                     try:
                         env = self._trace_serial_scan(env, section, (k0, k1), backward)
                         continue
                     except _ScanIneligible:
                         pass
+
+                # stable fori carry: materialize written temps up front
+                for name in ir.assigned_names(section.body):
+                    if name in self.stencil.temp_decls:
+                        env = self._ensure_buffer(env, name)
 
                 def body(i, env, _k0=k0, _k1=k1, _bwd=backward, _section=section):
                     k = (_k1 - 1 - i) if _bwd else (_k0 + i)
@@ -359,6 +377,11 @@ class JaxTracer:
 
                 if n == 1:
                     env = body(0, env)
+                elif self.ref_env:
+                    # refs are mutated in place; carry only a dummy token
+                    jax.lax.fori_loop(
+                        0, n, lambda i, c, _e=env: (body(i, _e), c)[1], 0
+                    )
                 else:
                     env = jax.lax.fori_loop(0, n, body, env)
         return env
@@ -650,6 +673,24 @@ class JaxTracer:
             jnp.asarray(self._eval(env, stmt.cond, ctx)).astype(bool), ctx.shape()
         )
 
+        if self.ref_env:
+            # refs mutate in place; the loop carries only the active mask
+            def body_mask(mask):
+                ctx.masks.append(mask)
+                for s in stmt.body:
+                    self._trace_stmt(env, s, ctx)
+                ctx.masks.pop()
+                return jnp.logical_and(
+                    mask,
+                    jnp.broadcast_to(
+                        jnp.asarray(self._eval(env, stmt.cond, ctx)).astype(bool),
+                        ctx.shape(),
+                    ),
+                )
+
+            jax.lax.while_loop(lambda m: jnp.any(m), body_mask, mask0)
+            return env
+
         def cond_fn(carry):
             env_c, mask = carry
             return jnp.any(mask)
@@ -676,12 +717,18 @@ class JaxTracer:
         import jax.numpy as jnp
 
         dI, dJ, _ = self.domain
-        i_glob = jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1]).reshape(1, -1, 1)
-        j_glob = jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1]).reshape(1, 1, -1)
+        gI, gJ, _ = getattr(self, "global_domain", None) or self.domain
+        gi, gj = self.axis_offset
+        i_glob = (
+            gi + jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1], dtype=jnp.int32)
+        ).reshape(1, -1, 1)
+        j_glob = (
+            gj + jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1], dtype=jnp.int32)
+        ).reshape(1, 1, -1)
         mask = jnp.zeros((1, ctx.ni, ctx.nj), dtype=bool)
         for m in stmt.masks:
-            ilo, ihi = m.i.resolve(dI)
-            jlo, jhi = m.j.resolve(dJ)
+            ilo, ihi = m.i.resolve(gI)
+            jlo, jhi = m.j.resolve(gJ)
             mask = mask | (
                 (i_glob >= ilo) & (i_glob < ihi) & (j_glob >= jlo) & (j_glob < jhi)
             )
@@ -740,6 +787,16 @@ class JaxTracer:
         if not dyn_k:
             idx = (slice(k0, k0 + nk), slice(i0, i0 + ni), slice(j0, j0 + nj))
             region = buf[idx]
+        elif self.ref_env:
+            from jax.experimental import pallas as pl
+
+            # Mosaic memref slices need 32-bit indices
+            idx = (
+                pl.ds(jnp.asarray(k0, dtype=jnp.int32), nk),
+                slice(i0, i0 + ni),
+                slice(j0, j0 + nj),
+            )
+            region = buf[idx]
         else:
             starts = (k0, i0, j0) + (0,) * len(data_shape)
             sizes = (nk, ni, nj) + data_shape
@@ -754,6 +811,9 @@ class JaxTracer:
             return region, None
 
         def write_back(buf, value):
+            if self.ref_env:
+                buf[idx] = value  # VMEM ref store
+                return buf
             if acc.data_index:
                 # write one component: read-modify-write the full region
                 if not dyn_k:
@@ -763,7 +823,10 @@ class JaxTracer:
                 full = full.at[(slice(None), slice(None), slice(None)) + didx].set(value)
                 value = full
             if not dyn_k:
-                return buf.at[idx].set(value)
+                # dynamic_update_slice, not .at[].set: the latter lowers to
+                # scatter, which Mosaic (pallas kernels) cannot compile
+                static_starts = (k0, i0, j0) + (0,) * len(data_shape)
+                return jax.lax.dynamic_update_slice(buf, value, static_starts)
             return jax.lax.dynamic_update_slice(buf, value, starts)
 
         return region, write_back
@@ -822,8 +885,8 @@ class JaxTracer:
             if isinstance(expr.value, bool):
                 return jnp.asarray(expr.value, dtype=bool)
             if isinstance(expr.value, int):
-                return jnp.asarray(expr.value, dtype=default_int_dtype())
-            return jnp.asarray(expr.value, dtype=default_float_dtype())
+                return jnp.asarray(expr.value, dtype=default_int_dtype(self.stencil))
+            return jnp.asarray(expr.value, dtype=default_float_dtype(self.stencil))
 
         if isinstance(expr, ir.ScalarAccess):
             decl = self.stencil.scalar_decls[expr.name]
@@ -835,14 +898,19 @@ class JaxTracer:
 
         if isinstance(expr, ir.AxisPosition):
             dI, dJ, _ = self.domain
-            dt = default_int_dtype()
+            dt = default_int_dtype(self.stencil)
             if expr.axis == "K" and self.serial_k_value is not None:
                 return jnp.asarray(self.serial_k_value, dtype=dt)
             # physical (K, I, J) broadcasting
+            gi, gj = self.axis_offset
             if expr.axis == "I":
-                return jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1], dtype=dt).reshape(1, -1, 1)
+                return (
+                    gi + jnp.arange(ctx.ext.i[0], dI + ctx.ext.i[1], dtype=dt)
+                ).reshape(1, -1, 1)
             if expr.axis == "J":
-                return jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1], dtype=dt).reshape(1, 1, -1)
+                return (
+                    gj + jnp.arange(ctx.ext.j[0], dJ + ctx.ext.j[1], dtype=dt)
+                ).reshape(1, 1, -1)
             if ctx.klevel is not None:
                 return jnp.asarray(ctx.klevel, dtype=dt)
             return jnp.arange(ctx.kslice[0], ctx.kslice[1], dtype=dt).reshape(-1, 1, 1)
@@ -850,7 +918,7 @@ class JaxTracer:
         if isinstance(expr, ir.AxisSize):
             return jnp.asarray(
                 {"I": self.domain[0], "J": self.domain[1], "K": self.domain[2]}[expr.axis],
-                dtype=default_int_dtype(),
+                dtype=default_int_dtype(self.stencil),
             )
 
         if isinstance(expr, ir.Cast):
@@ -953,16 +1021,20 @@ class JaxBackend:
             tuple(sorted((n, str(d)) for n, d in scalar_dtypes.items())),
         )
 
+    def _trace_env(self, metas, env, scalars, domain):
+        """Execute the stencil on an env of physical buffers (overridable:
+        the pallas backend lowers to fused tile kernels here)."""
+        tracer = JaxTracer(self.analysis, dict(metas), tuple(domain))
+        return tracer.trace(dict(env), dict(scalars))
+
     def _build_program(self, metas: Dict[str, _FieldMeta], domain):
         jax = _jax()
 
-        analysis = self.analysis
         written = [n for n in self.written if n in metas]
 
         def program(written_arrays, read_arrays, scalars):
-            tracer = JaxTracer(analysis, dict(metas), domain)
             env = {**read_arrays, **written_arrays}
-            env = tracer.trace(env, scalars)
+            env = self._trace_env(metas, env, scalars, domain)
             return {n: env[n] for n in written}
 
         donate = (0,) if config.DONATE_BUFFERS else ()
@@ -984,8 +1056,7 @@ class JaxBackend:
         metas, full_bufs = self._prepare(
             arrays, origins, as_device=False, physical_in=physical_layout
         )
-        tracer = JaxTracer(self.analysis, dict(metas), tuple(domain))
-        env = tracer.trace(dict(full_bufs), dict(scalars))
+        env = self._trace_env(metas, full_bufs, scalars, tuple(domain))
         out = {}
         for name in self.written:
             if name in full_bufs:

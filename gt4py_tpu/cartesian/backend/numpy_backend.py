@@ -353,8 +353,8 @@ class NumpyExecutor:
             if isinstance(expr.value, bool):
                 return np.bool_(expr.value)
             if isinstance(expr.value, int):
-                return np.asarray(expr.value, dtype=default_int_dtype())[()]
-            return np.asarray(expr.value, dtype=default_float_dtype())[()]
+                return np.asarray(expr.value, dtype=default_int_dtype(self.stencil))[()]
+            return np.asarray(expr.value, dtype=default_float_dtype(self.stencil))[()]
 
         if isinstance(expr, ir.ScalarAccess):
             decl = self.stencil.scalar_decls[expr.name]
@@ -366,17 +366,17 @@ class NumpyExecutor:
         if isinstance(expr, ir.AxisPosition):
             dI, dJ, _ = self.domain
             if expr.axis == "I":
-                return np.arange(ctx.ext.i[0], dI + ctx.ext.i[1], dtype=default_int_dtype()).reshape(-1, 1, 1)
+                return np.arange(ctx.ext.i[0], dI + ctx.ext.i[1], dtype=default_int_dtype(self.stencil)).reshape(-1, 1, 1)
             if expr.axis == "J":
-                return np.arange(ctx.ext.j[0], dJ + ctx.ext.j[1], dtype=default_int_dtype()).reshape(1, -1, 1)
+                return np.arange(ctx.ext.j[0], dJ + ctx.ext.j[1], dtype=default_int_dtype(self.stencil)).reshape(1, -1, 1)
             if ctx.klevel is not None:
-                return np.asarray(ctx.klevel, dtype=default_int_dtype())[()]
-            return np.arange(ctx.kslice[0], ctx.kslice[1], dtype=default_int_dtype()).reshape(1, 1, -1)
+                return np.asarray(ctx.klevel, dtype=default_int_dtype(self.stencil))[()]
+            return np.arange(ctx.kslice[0], ctx.kslice[1], dtype=default_int_dtype(self.stencil)).reshape(1, 1, -1)
 
         if isinstance(expr, ir.AxisSize):
             return np.asarray(
                 {"I": self.domain[0], "J": self.domain[1], "K": self.domain[2]}[expr.axis],
-                dtype=default_int_dtype(),
+                dtype=default_int_dtype(self.stencil),
             )[()]
 
         if isinstance(expr, ir.Cast):

@@ -938,6 +938,7 @@ def parse_definition(
     externals: Optional[Dict[str, Any]] = None,
     dtypes: Optional[Dict[Any, Any]] = None,
     name: Optional[str] = None,
+    literal_precision: Optional[int] = None,
 ) -> ir.Stencil:
     """Parse a GTScript definition function into a validated ``ir.Stencil``."""
     externals = dict(externals or {})
@@ -1018,6 +1019,12 @@ def parse_definition(
         vertical_loops=vertical_loops,
         externals=dict(ctx.used_externals),
         sources=_safe_source(definition),
+        literal_float_dtype=(
+            np.dtype(f"f{literal_precision // 8}") if literal_precision else None
+        ),
+        literal_int_dtype=(
+            np.dtype(f"i{literal_precision // 8}") if literal_precision else None
+        ),
     )
     return stencil
 

@@ -438,6 +438,10 @@ class Stencil:
     vertical_loops: List[VerticalLoop]
     externals: Dict[str, Any] = field(default_factory=dict)
     sources: str = ""
+    #: dtype of untyped float/int literals (reference: literal-precision
+    #: build options, cartesian/definitions.py:30-43); None -> config default
+    literal_float_dtype: Optional[np.dtype] = None
+    literal_int_dtype: Optional[np.dtype] = None
 
     def walk_loops(self):
         yield from self.vertical_loops

@@ -81,6 +81,7 @@ class StencilBuilder:
                 externals=self.externals,
                 dtypes=self.dtypes,
                 name=self.name,
+                literal_precision=self.options.get("literal_precision"),
             )
             self._analysis = analysis_mod.analyze(stencil_ir)
         return self._analysis

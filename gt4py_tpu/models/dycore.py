@@ -29,10 +29,18 @@ from gt4py_tpu.cartesian.gtscript import (
 )
 
 
+def _literal_precision(dtype) -> int:
+    return 32 if np.dtype(dtype).itemsize <= 4 else 64
+
+
 def make_hdiff(dtype, backend="jax"):
     Field = gtscript.Field[dtype]
 
-    @gtscript.stencil(backend=backend, name=f"hdiff_{np.dtype(dtype).name}")
+    @gtscript.stencil(
+        backend=backend,
+        name=f"hdiff_{np.dtype(dtype).name}",
+        literal_precision=_literal_precision(dtype),
+    )
     def horizontal_diffusion(in_field: Field, out_field: Field, coeff: Field):
         with computation(PARALLEL), interval(...):
             lap_field = 4.0 * in_field[0, 0, 0] - (
@@ -58,6 +66,7 @@ def make_vadv(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
         backend=backend,
         name=f"vadv_{np.dtype(dtype).name}",
         externals={"BET_M": bet_m, "BET_P": bet_p},
+        literal_precision=_literal_precision(dtype),
     )
     def vertical_advection_dycore(
         utens_stage: Field,
@@ -126,17 +135,17 @@ def make_vadv(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
     return vertical_advection_dycore
 
 
-def periodic_fill(arr, h: int):
-    """Fill I/J halos (width h) of a physical (K, NI+2h, NJ+2h) array
-    periodically (axes 1=I, 2=J)."""
+def periodic_fill(arr, h: int, ni=None, nj=None):
+    """Fill I/J halos (width h) of a physical (K, >=NI+2h, >=NJ+2h) array
+    periodically (axes 1=I, 2=J); trailing alignment padding is ignored."""
     if h == 0:
         return arr
-    ni = arr.shape[1] - 2 * h
-    nj = arr.shape[2] - 2 * h
+    ni = arr.shape[1] - 2 * h if ni is None else ni
+    nj = arr.shape[2] - 2 * h if nj is None else nj
     arr = arr.at[:, 0:h].set(arr[:, ni : ni + h])
-    arr = arr.at[:, h + ni :].set(arr[:, h : 2 * h])
+    arr = arr.at[:, h + ni : 2 * h + ni].set(arr[:, h : 2 * h])
     arr = arr.at[:, :, 0:h].set(arr[:, :, nj : nj + h])
-    arr = arr.at[:, :, h + nj :].set(arr[:, :, h : 2 * h])
+    arr = arr.at[:, :, h + nj : 2 * h + nj].set(arr[:, :, h : 2 * h])
     return arr
 
 
@@ -166,10 +175,19 @@ class MiniDycore:
             origin=(h, h, 0), domain=(ni, nj, nk), physical_layout=True
         )
 
+    #: upper-edge allocation padding so pallas halo windows can align to
+    #: the TPU (8, 128) tiling without leaving the buffer
+    PAD_I = 8
+    PAD_J = 128
+
     def field_shape(self) -> Tuple[int, int, int]:
-        """Physical (K, NI+2h, NJ+2h) buffer shape."""
+        """Physical (K, NI+2h+pad, NJ+2h+pad) buffer shape."""
         h = self.HALO
-        return (self.nk, self.ni + 2 * h, self.nj + 2 * h)
+        return (
+            self.nk,
+            self.ni + 2 * h + self.PAD_I,
+            self.nj + 2 * h + self.PAD_J,
+        )
 
     def init_state(self, seed: int = 0) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(seed)
@@ -191,7 +209,7 @@ class MiniDycore:
 
             u = state["u"]
             if fill_halos:
-                u = periodic_fill(u, h)
+                u = periodic_fill(u, h, self.ni, self.nj)
             diffused = self.hdiff_fn(
                 in_field=u, out_field=u, coeff=state["coeff"]
             )["out_field"]

@@ -10,7 +10,7 @@ from gt4py_tpu.cartesian import gtscript
 from . import stencil_defs
 
 
-PARITY_BACKENDS = ["jax"]
+PARITY_BACKENDS = ["jax", "pallas"]
 
 
 def _run_on_backend(entry, backend):
