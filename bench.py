@@ -66,6 +66,44 @@ def bench_tpu_dycore():
     return per_iter
 
 
+def bench_tpu_fv():
+    """Per-iteration time of the FVTP2D advection step on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models import FvAdvection
+
+    model = FvAdvection(NI, NJ, NK, dtype=DTYPE, backend="jax")
+    st = {k: jnp.asarray(v) for k, v in model.init_state(seed=4).items()}
+    fv_step = model.step_fn()
+
+    def step(state):
+        q = fv_step(state["q"], state["cx"], state["cy"])
+        new = dict(state)
+        new["q"] = q
+        new["u"] = q  # reuse the _timed_loop harness (sums state["u"])
+        return new
+
+    st["u"] = st["q"]
+    i1, i2 = 4, 20
+    t1 = _timed_loop(step, st, i1)
+    t2 = _timed_loop(step, st, i2)
+    return max((t2 - t1) / (i2 - i1), 1e-9)
+
+
+def bench_oracle_fv(n_iters=1):
+    from gt4py_tpu.models import FvAdvection
+
+    model = FvAdvection(NI, NJ, NK, dtype=np.float64, backend="numpy")
+    st = model.init_state(seed=4)
+    L = {k: np.transpose(v, (1, 2, 0)).copy() for k, v in st.items()}
+    model.run_numpy_oracle(L["q"], L["cx"], L["cy"])  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        model.run_numpy_oracle(L["q"], L["cx"], L["cy"])
+    return (time.perf_counter() - t0) / n_iters
+
+
 def bench_oracle_dycore(n_iters=2):
     """Numpy-oracle timestep (hdiff + vadv + update) on this host."""
     from gt4py_tpu.models.dycore import make_hdiff, make_vadv
@@ -109,20 +147,25 @@ def main():
     platform = jax.devices()[0].platform
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
-    tpu_per_iter = bench_tpu_dycore()
-    oracle_per_iter = bench_oracle_dycore()
+    tpu_dycore = bench_tpu_dycore()
+    tpu_fv = bench_tpu_fv()
+    oracle_dycore = bench_oracle_dycore()
+    oracle_fv = bench_oracle_fv()
 
+    # combined BASELINE metric: total points processed per second across
+    # the hdiff+vadv dycore step and the FVTP2D advection step
     points = NI * NJ * NK
-    gps = points / tpu_per_iter
-    oracle_gps = points / oracle_per_iter
+    gps = 2 * points / (tpu_dycore + tpu_fv)
+    oracle_gps = 2 * points / (oracle_dycore + oracle_fv)
     result = {
-        "metric": "grid-points/s/chip (hdiff+vadv dycore step, 512^2x80, f32)",
+        "metric": "grid-points/s/chip (hdiff+vadv+FV advection, 512^2x80, f32)",
         "value": round(gps / 1e9, 3),
         "unit": "Gpoint/s",
         "vs_baseline": round(gps / oracle_gps, 2),
     }
     print(
-        f"# tpu {tpu_per_iter*1e3:.3f} ms/step, oracle {oracle_per_iter*1e3:.1f} ms/step",
+        f"# tpu: dycore {tpu_dycore*1e3:.2f} ms, fv {tpu_fv*1e3:.2f} ms | "
+        f"oracle: dycore {oracle_dycore*1e3:.0f} ms, fv {oracle_fv*1e3:.0f} ms",
         file=sys.stderr,
     )
     print(json.dumps(result))

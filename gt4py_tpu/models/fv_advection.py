@@ -1,0 +1,267 @@
+"""FVTP2D-style finite-volume advection with monotone PPM flux limiters.
+
+Two-dimensional flux-form transport following Lin & Rood (1996) inner/outer
+operator splitting with PPM (piecewise parabolic) reconstruction and the
+Colella-Woodward monotonicity limiter.  This workload is *not present in the
+reference repository* -- it lives in FV3/Pace dycores built on GT4Py
+(SURVEY.md §6) -- so it is authored here natively in the GTScript DSL, with
+the numpy backend as its correctness oracle.
+
+All stencils are PARALLEL (per-level), written in GTScript with relative
+offsets; monotone limiting uses pointwise ternaries.  Periodic boundaries
+via halo filling between stages.
+"""
+
+# NOTE: annotations must evaluate eagerly (closure-local Field descriptors).
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+from .dycore import _literal_precision, periodic_fill
+
+
+def make_xflux(dtype, backend="jax"):
+    """PPM flux in I: ``flux[i]`` is the transport through face i
+    (between cells i-1 and i), given the face Courant number ``cx``."""
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"ppm_xflux_{np.dtype(dtype).name}",
+        literal_precision=_literal_precision(dtype),
+    )
+    def xflux(q: Field, cx: Field, flux: Field):
+        with computation(PARALLEL), interval(...):
+            # 4th-order edge interpolation: al at face i (left edge of cell i)
+            al = 7.0 / 12.0 * (q[-1, 0, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[-2, 0, 0] + q[1, 0, 0]
+            )
+            # edge deviations of cell i
+            bl = al[0, 0, 0] - q[0, 0, 0]
+            br = al[1, 0, 0] - q[0, 0, 0]
+            # Colella-Woodward monotone limiter
+            dm = br - bl
+            a6 = -3.0 * (bl + br)
+            smooth = bl * br < 0.0
+            blm = (-2.0 * br if dm * a6 > dm * dm else bl) if smooth else 0.0
+            brm = (-2.0 * bl if dm * a6 < -dm * dm else br) if smooth else 0.0
+            dml = brm - blm
+            a6l = -3.0 * (blm + brm)
+            # PPM flux integral through face i for both wind directions
+            fpos = (q[-1, 0, 0] + brm[-1, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dml[-1, 0, 0] - a6l[-1, 0, 0] * (1.0 - 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fneg = (q[0, 0, 0] + blm[0, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dml[0, 0, 0] + a6l[0, 0, 0] * (1.0 + 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            flux = cx[0, 0, 0] * (fpos if cx[0, 0, 0] >= 0.0 else fneg)
+
+    return xflux
+
+
+def make_yflux(dtype, backend="jax"):
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"ppm_yflux_{np.dtype(dtype).name}",
+        literal_precision=_literal_precision(dtype),
+    )
+    def yflux(q: Field, cy: Field, flux: Field):
+        with computation(PARALLEL), interval(...):
+            al = 7.0 / 12.0 * (q[0, -1, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[0, -2, 0] + q[0, 1, 0]
+            )
+            bl = al[0, 0, 0] - q[0, 0, 0]
+            br = al[0, 1, 0] - q[0, 0, 0]
+            dm = br - bl
+            a6 = -3.0 * (bl + br)
+            smooth = bl * br < 0.0
+            blm = (-2.0 * br if dm * a6 > dm * dm else bl) if smooth else 0.0
+            brm = (-2.0 * bl if dm * a6 < -dm * dm else br) if smooth else 0.0
+            dml = brm - blm
+            a6l = -3.0 * (blm + brm)
+            fpos = (q[0, -1, 0] + brm[0, -1, 0]) - 0.5 * cy[0, 0, 0] * (
+                dml[0, -1, 0] - a6l[0, -1, 0] * (1.0 - 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fneg = (q[0, 0, 0] + blm[0, 0, 0]) - 0.5 * cy[0, 0, 0] * (
+                dml[0, 0, 0] + a6l[0, 0, 0] * (1.0 + 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            flux = cy[0, 0, 0] * (fpos if cy[0, 0, 0] >= 0.0 else fneg)
+
+    return yflux
+
+
+def make_flux_update_x(dtype, backend="jax", factor=1.0):
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"fv_upd_x_{np.dtype(dtype).name}_{factor}",
+        externals={"FACTOR": factor},
+        literal_precision=_literal_precision(dtype),
+    )
+    def update_x(q: Field, flux: Field, qout: Field):
+        from __externals__ import FACTOR
+
+        with computation(PARALLEL), interval(...):
+            qout = q[0, 0, 0] - FACTOR * (flux[1, 0, 0] - flux[0, 0, 0])
+
+    return update_x
+
+
+def make_flux_update_y(dtype, backend="jax", factor=1.0):
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"fv_upd_y_{np.dtype(dtype).name}_{factor}",
+        externals={"FACTOR": factor},
+        literal_precision=_literal_precision(dtype),
+    )
+    def update_y(q: Field, flux: Field, qout: Field):
+        from __externals__ import FACTOR
+
+        with computation(PARALLEL), interval(...):
+            qout = q[0, 0, 0] - FACTOR * (flux[0, 1, 0] - flux[0, 0, 0])
+
+    return update_y
+
+
+class FvAdvection:
+    """2D finite-volume transport: Lin-Rood split PPM advection.
+
+    ``step(q, cx, cy) -> q_new`` on physical K-leading (K, NI+2h+p, NJ+2h+p)
+    buffers with periodic boundaries; Courant numbers are face-centered
+    (cx at face i, cy at face j).  The whole step traces into one XLA
+    program (or Pallas kernels with ``backend='pallas'``).
+    """
+
+    HALO = 3
+    PAD_I = 8
+    PAD_J = 128
+
+    def __init__(self, ni: int, nj: int, nk: int, *, dtype=np.float32, backend="jax"):
+        self.ni, self.nj, self.nk = ni, nj, nk
+        self.dtype = np.dtype(dtype)
+        self.backend = backend
+        h = self.HALO
+        dom = (ni, nj, nk)
+        origin = (h, h, 0)
+        physical = backend in ("jax", "pallas")
+        kw = dict(origin=origin, domain=dom, physical_layout=True) if physical else None
+
+        self.xflux = make_xflux(dtype, backend)
+        self.yflux = make_yflux(dtype, backend)
+        self.upd_x_half = make_flux_update_x(dtype, backend, factor=0.5)
+        self.upd_y_half = make_flux_update_y(dtype, backend, factor=0.5)
+        self.upd_x = make_flux_update_x(dtype, backend, factor=1.0)
+        self.upd_y = make_flux_update_y(dtype, backend, factor=1.0)
+        if physical:
+            self.fns = {
+                "xflux": self.xflux.functional(**kw),
+                "yflux": self.yflux.functional(**kw),
+                "upd_x_half": self.upd_x_half.functional(**kw),
+                "upd_y_half": self.upd_y_half.functional(**kw),
+                "upd_x": self.upd_x.functional(**kw),
+                "upd_y": self.upd_y.functional(**kw),
+            }
+
+    def field_shape(self) -> Tuple[int, int, int]:
+        h = self.HALO
+        return (
+            self.nk,
+            self.ni + 2 * h + self.PAD_I,
+            self.nj + 2 * h + self.PAD_J,
+        )
+
+    def init_state(self, seed: int = 0) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(seed)
+        shape = self.field_shape()
+        q = rng.random(shape).astype(self.dtype)
+        cx = (0.4 * (rng.random(shape) - 0.5)).astype(self.dtype)
+        cy = (0.4 * (rng.random(shape) - 0.5)).astype(self.dtype)
+        return {"q": q, "cx": cx, "cy": cy}
+
+    # ------------------------------------------------------------------ #
+
+    def step_fn(self):
+        """Pure jax step over physical buffers (jax/pallas backends)."""
+        h, ni, nj = self.HALO, self.ni, self.nj
+        fns = self.fns
+
+        def fill(a):
+            return periodic_fill(a, h, ni, nj)
+
+        def step(q, cx, cy):
+            import jax.numpy as jnp
+
+            q = fill(q)
+            zeros = jnp.zeros_like(q)
+            # inner (half) updates: advective preconditioning of each axis.
+            # fluxes are face-centered: the divergence needs face i+1, i.e.
+            # the periodic wrap of face 0, so fluxes get halo-filled too.
+            fx0 = fill(fns["xflux"](q=q, cx=cx, flux=zeros)["flux"])
+            qx = fns["upd_x_half"](q=q, flux=fx0, qout=zeros)["qout"]
+            fy0 = fill(fns["yflux"](q=q, cy=cy, flux=zeros)["flux"])
+            qy = fns["upd_y_half"](q=q, flux=fy0, qout=zeros)["qout"]
+            qx = fill(qx)
+            qy = fill(qy)
+            # outer fluxes evaluated on the cross-advected fields
+            fx = fill(fns["xflux"](q=qy, cx=cx, flux=zeros)["flux"])
+            fy = fill(fns["yflux"](q=qx, cy=cy, flux=zeros)["flux"])
+            q1 = fill(fns["upd_x"](q=q, flux=fx, qout=zeros)["qout"])
+            q2 = fns["upd_y"](q=q1, flux=fy, qout=zeros)["qout"]
+            return q2
+
+        return step
+
+    # ------------------------------------------------------------------ #
+
+    def run_numpy_oracle(self, q, cx, cy):
+        """Reference-semantics step on logical (I, J, K) numpy arrays.
+
+        Executes the same stencils through the numpy oracle backend with
+        the same staging/fill structure.
+        """
+        assert self.backend == "numpy"
+        h, ni, nj, nk = self.HALO, self.ni, self.nj, self.nk
+        origin = (h, h, 0)
+        dom = (ni, nj, nk)
+
+        def fill(a):
+            a[:h] = a[ni : ni + h]
+            a[h + ni : 2 * h + ni] = a[h : 2 * h]
+            a[:, :h] = a[:, nj : nj + h]
+            a[:, h + nj : 2 * h + nj] = a[:, h : 2 * h]
+            return a
+
+        q = fill(q.copy())
+        fx0 = np.zeros_like(q)
+        fy0 = np.zeros_like(q)
+        qx = np.zeros_like(q)
+        qy = np.zeros_like(q)
+        self.xflux(q, cx, fx0, origin=origin, domain=dom)
+        fill(fx0)
+        self.upd_x_half(q, fx0, qx, origin=origin, domain=dom)
+        self.yflux(q, cy, fy0, origin=origin, domain=dom)
+        fill(fy0)
+        self.upd_y_half(q, fy0, qy, origin=origin, domain=dom)
+        fill(qx)
+        fill(qy)
+        fx = np.zeros_like(q)
+        fy = np.zeros_like(q)
+        self.xflux(qy, cx, fx, origin=origin, domain=dom)
+        fill(fx)
+        self.yflux(qx, cy, fy, origin=origin, domain=dom)
+        fill(fy)
+        q1 = np.zeros_like(q)
+        q2 = np.zeros_like(q)
+        self.upd_x(q, fx, q1, origin=origin, domain=dom)
+        fill(q1)
+        self.upd_y(q1, fy, q2, origin=origin, domain=dom)
+        return q2
