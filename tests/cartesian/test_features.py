@@ -1,0 +1,207 @@
+"""Feature-surface tests: absolute K, variable-K clipping, GlobalTable,
+exec_info, FrozenStencil, lazy_stencil, run(), dtype placeholders, vector
+assignment (reference coverage: test_code_generation.py feature tests)."""
+
+import numpy as np
+import pytest
+
+from gt4py_tpu import storage
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.gtscript import (
+    FORWARD,
+    PARALLEL,
+    computation,
+    interval,
+)
+
+Field3D = gtscript.Field[np.float64]
+
+BACKENDS = ["numpy", "jax"]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_absolute_k_literal(backend):
+    """in_field.at(K=2) reads plane 2 everywhere
+    (reference: test_code_generation.py:1240-1258; note the reference's
+    numpy backend raises NotImplementedError -- ours supports it)."""
+
+    @gtscript.stencil(backend=backend)
+    def st(in_field: Field3D, out_field: Field3D):
+        with computation(PARALLEL), interval(...):
+            out_field = in_field.at(K=2)
+
+    a = np.ones((5, 5, 5))
+    a[:, :, 2] = 42.42
+    out = np.zeros((5, 5, 5))
+    st(a, out, origin=(0, 0, 0))
+    assert (out == 42.42).all()
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_absolute_k_scalar_and_field(backend):
+    @gtscript.stencil(backend=backend)
+    def by_param(in_field: Field3D, out_field: Field3D, *, idx: int):
+        with computation(PARALLEL), interval(...):
+            out_field = in_field.at(K=idx)
+
+    a = np.ones((4, 4, 6))
+    a[:, :, 3] = 7.5
+    out = np.zeros_like(a)
+    by_param(a, out, idx=3, origin=(0, 0, 0))
+    assert (out == 7.5).all()
+
+    @gtscript.stencil(backend=backend)
+    def by_field(
+        in_field: Field3D,
+        index_field: gtscript.Field[gtscript.IJ, np.int64],
+        out_field: Field3D,
+    ):
+        with computation(PARALLEL), interval(...):
+            out_field = in_field.at(K=index_field)
+
+    idx = np.ones((4, 4), dtype=np.int64)
+    a2 = np.ones((4, 4, 6))
+    a2[:, :, 1] = 42.0
+    out2 = np.zeros_like(a2)
+    by_field(a2, idx, out2, origin=(0, 0, 0))
+    assert (out2 == 42.0).all()
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_variable_k_clipping(backend):
+    """Variable K offsets clip to the field bounds
+    (reference: cartesian/utils/field.py:56-66)."""
+
+    @gtscript.stencil(backend=backend)
+    def st(inp: Field3D, off: gtscript.Field[np.int64], out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = inp[0, 0, off]
+
+    nk = 5
+    a = np.arange(nk, dtype=np.float64).reshape(1, 1, nk) * np.ones((3, 3, nk))
+    off = np.full((3, 3, nk), 100, dtype=np.int64)  # far out of range -> clip
+    out = np.zeros_like(a)
+    st(a, off, out, origin=(0, 0, 0))
+    assert (out == nk - 1).all()
+    off[:] = -100
+    st(a, off, out, origin=(0, 0, 0))
+    assert (out == 0).all()
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_global_table(backend):
+    """GlobalTable: lookup table with data dimensions only
+    (reference: gtscript.GlobalTable, gtscript.py:657-749)."""
+
+    @gtscript.stencil(backend=backend)
+    def st(table: gtscript.GlobalTable[(np.float64, (4,))], out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = table[2]
+
+    table = np.array([1.0, 2.0, 3.0, 4.0])
+    out = np.zeros((3, 3, 3))
+    st(table, out, origin=(0, 0, 0), domain=(3, 3, 3))
+    assert (out == 3.0).all()
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_vector_assignment(backend):
+    """Whole-vector assignment between data-dims fields (reference:
+    frontend UnrollVectorAssignments, defir_to_gtir.py:123)."""
+
+    @gtscript.stencil(backend=backend)
+    def st(
+        a: gtscript.Field[(np.float64, (3,))],
+        b: gtscript.Field[(np.float64, (3,))],
+    ):
+        with computation(PARALLEL), interval(...):
+            b = a
+
+    av = np.random.default_rng(0).random((4, 4, 2, 3))
+    bv = np.zeros_like(av)
+    st(av, bv, origin=(0, 0, 0))
+    np.testing.assert_array_equal(av, bv)
+
+
+def test_exec_info_and_build_info():
+    build_info = {}
+
+    @gtscript.stencil(backend="numpy", build_info=build_info)
+    def st(a: Field3D, b: Field3D):
+        with computation(PARALLEL), interval(...):
+            b = a
+
+    assert build_info["parse_time"] > 0
+    assert "build_time" in build_info
+
+    exec_info = {}
+    a, b = np.ones((3, 3, 3)), np.zeros((3, 3, 3))
+    st(a, b, origin=(0, 0, 0), exec_info=exec_info)
+    assert exec_info["call_run_end_time"] >= exec_info["call_run_start_time"]
+    assert exec_info["run_end_time"] >= exec_info["run_start_time"]
+
+
+def test_frozen_stencil_and_run():
+    @gtscript.stencil(backend="numpy")
+    def st(a: Field3D, b: Field3D, *, f: float):
+        with computation(PARALLEL), interval(...):
+            b = a * f
+
+    a, b = np.ones((4, 4, 4)), np.zeros((4, 4, 4))
+
+    frozen = st.freeze(origin={"_all_": (0, 0, 0)}, domain=(4, 4, 4))
+    frozen(a=a, b=b, f=2.0)
+    assert (b == 2.0).all()
+
+    b[:] = 0
+    st.run(a=a, b=b, f=3.0, _domain_=(4, 4, 4), _origin_={"_all_": (0, 0, 0)})
+    assert (b == 3.0).all()
+
+
+def test_lazy_stencil():
+    from gt4py_tpu.cartesian.gtscript import lazy_stencil
+
+    @lazy_stencil(backend="numpy")
+    def st(a: Field3D, b: Field3D):
+        with computation(PARALLEL), interval(...):
+            b = a + 1.0
+
+    # syntax checked but not built yet
+    assert st.builder is not None
+    a, b = np.ones((3, 3, 3)), np.zeros((3, 3, 3))
+    st(a, b, origin=(0, 0, 0))
+    assert (b == 2.0).all()
+    assert "a" in st.field_info
+
+
+def test_dtype_placeholders():
+    """dtypes= mapping resolves annotation placeholders
+    (reference: gtscript.stencil dtypes argument)."""
+
+    def defn(a: gtscript.Field["dtype"], b: gtscript.Field["dtype"]):  # noqa: F821
+        with computation(PARALLEL), interval(...):
+            b = a * 2.0
+
+    st = gtscript.stencil(backend="numpy", definition=defn, dtypes={"dtype": np.float32})
+    a = np.ones((3, 3, 3), dtype=np.float32)
+    b = np.zeros((3, 3, 3), dtype=np.float32)
+    st(a, b, origin=(0, 0, 0))
+    assert (b == 2.0).all()
+
+
+def test_stencil_object_str_and_cache():
+    @gtscript.stencil(backend="numpy")
+    def st(a: Field3D, b: Field3D):
+        with computation(FORWARD), interval(...):
+            b = a
+
+    text = str(st)
+    assert "field a" in text and "field b" in text
+
+    # identical definition+options returns the cached object
+    @gtscript.stencil(backend="numpy")
+    def st2(a: Field3D, b: Field3D):
+        with computation(FORWARD), interval(...):
+            b = a
+
+    assert st2.stencil_id != "" and isinstance(st2.stencil_id, str)
