@@ -68,16 +68,22 @@ class StencilObject:
         validate_args: bool = True,
         **kwargs,
     ):
+        t0 = time.perf_counter()
         if exec_info is not None:
-            exec_info["call_run_start_time"] = time.perf_counter()
+            exec_info["call_run_start_time"] = t0
 
         field_args, scalar_args = self._bind_args(args, kwargs)
         self._call_run(
             field_args, scalar_args, origin, domain, exec_info, validate_args
         )
 
+        t1 = time.perf_counter()
         if exec_info is not None:
-            exec_info["call_run_end_time"] = time.perf_counter()
+            exec_info["call_run_end_time"] = t1
+
+        from gt4py_tpu.instrumentation import MetricLevel, collect_sample
+
+        collect_sample(self.name, "call_time", t1 - t0, MetricLevel.PERFORMANCE)
 
     def run(self, *, _domain_, _origin_, exec_info=None, **kwargs):
         """Low-level entry: explicit domain and per-field origins."""

@@ -53,6 +53,11 @@ DONATE_BUFFERS: bool = _env_bool("GT4PY_TPU_DONATE_BUFFERS", True)
 #: are float64; parity requires x64.  This is applied lazily on first JAX use.
 ENABLE_X64: bool = _env_bool("GT4PY_TPU_ENABLE_X64", True)
 
+#: Enable jax's persistent compilation cache under CACHE_ROOT, so stencil
+#: executables survive process restarts (the reference's .gt_cache analog,
+#: src/gt4py/cartesian/caching.py).
+PERSISTENT_CACHE: bool = _env_bool("GT4PY_TPU_PERSISTENT_CACHE", True)
+
 _x64_applied = False
 
 
@@ -65,4 +70,14 @@ def ensure_jax_config() -> None:
 
     if ENABLE_X64:
         jax.config.update("jax_enable_x64", True)
+    if PERSISTENT_CACHE:
+        import os
+
+        cache_dir = os.path.join(CACHE_ROOT, "xla_cache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except (OSError, AttributeError):
+            pass
     _x64_applied = True

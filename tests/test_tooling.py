@@ -1,0 +1,111 @@
+"""Instrumentation, checkpointing, caching and CLI tooling tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_metrics_collection(monkeypatch):
+    from gt4py_tpu import config
+    from gt4py_tpu import instrumentation as instr
+
+    monkeypatch.setattr(config, "COLLECT_METRICS_LEVEL", 20)
+    instr.collect_sample("prog_a", "compute_time", 0.25)
+    instr.collect_sample("prog_a", "compute_time", 0.75)
+    coll = instr.collection("prog_a")
+    m = coll.metric("compute_time")
+    assert m.count == 2 and abs(m.mean - 0.5) < 1e-12
+
+    text = instr.dump_metrics()
+    data = json.loads(text)
+    assert data["prog_a"]["compute_time"]["count"] == 2
+
+
+def test_metrics_disabled_by_default():
+    from gt4py_tpu import instrumentation as instr
+
+    before = instr.collection("prog_off").metric("t").count
+    instr.collect_sample("prog_off", "t", 1.0)  # level disabled -> no-op
+    assert instr.collection("prog_off").metric("t").count == before
+
+
+def test_stencil_call_collects_metric(monkeypatch):
+    from gt4py_tpu import config
+    from gt4py_tpu import instrumentation as instr
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    monkeypatch.setattr(config, "COLLECT_METRICS_LEVEL", 20)
+
+    @gtscript.stencil(backend="numpy", name="metrics_probe")
+    def st(a: gtscript.Field[np.float64], b: gtscript.Field[np.float64]):
+        with computation(PARALLEL), interval(...):
+            b = a
+
+    a, b = np.ones((3, 3, 3)), np.zeros((3, 3, 3))
+    st(a, b, origin=(0, 0, 0))
+    assert instr.collection("metrics_probe").metric("call_time").count >= 1
+
+
+def test_profile_range_runs():
+    from gt4py_tpu.instrumentation import profile_range
+
+    with profile_range("unit-test-range"):
+        pass
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gt4py_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {
+        "u": np.random.default_rng(0).random((4, 5, 6)),
+        "v": np.arange(10, dtype=np.int32),
+    }
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, step=42, metadata={"note": "test"})
+    loaded, meta = load_checkpoint(path)
+    assert meta["step"] == 42 and meta["note"] == "test"
+    np.testing.assert_array_equal(loaded["u"], state["u"])
+    np.testing.assert_array_equal(loaded["v"], state["v"])
+
+
+def test_checkpoint_restore_to_device(tmp_path):
+    import jax.numpy as jnp
+
+    from gt4py_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_to_device,
+        save_checkpoint,
+    )
+
+    state = {"q": np.ones((2, 3))}
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, state)
+    loaded, _ = load_checkpoint(path)
+    dev = restore_to_device(loaded)
+    assert isinstance(dev["q"], jnp.ndarray)
+
+
+def test_cache_manager_cli(tmp_path):
+    env = dict(os.environ)
+    env["GT4PY_TPU_CACHE_ROOT"] = str(tmp_path / "cache")
+    os.makedirs(tmp_path / "cache" / "xla_cache", exist_ok=True)
+    (tmp_path / "cache" / "xla_cache" / "blob").write_bytes(b"x" * 100)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "gt4py_tpu.cache_manager", "info"],
+        capture_output=True, text=True, env=env, cwd=repo,
+    )
+    assert out.returncode == 0 and "files" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "gt4py_tpu.cache_manager", "clean"],
+        capture_output=True, text=True, env=env, cwd=repo,
+    )
+    assert out.returncode == 0
+    assert not (tmp_path / "cache").exists()
