@@ -1,0 +1,40 @@
+"""gt4py_tpu.next: declarative field-view DSL over jax arrays.
+
+A TPU-native re-design of the reference's ``gt4py.next`` frontend
+(reference: src/gt4py/next/common.py, ffront/decorator.py,
+embedded/nd_array_field.py): dimensions are first-class, fields carry
+their domain, binary operations intersect domains automatically, offsets
+shift domains or gather through connectivities (unstructured meshes), and
+``@scan_operator`` provides column scans.
+
+Execution model: *embedded on jax* -- field operations ARE jnp operations,
+``Field`` is a registered pytree, so any composition of field operators
+can be staged with ``jax.jit`` into a single fused XLA program.  This
+collapses the reference's roundtrip/gtfn/dace backend zoo into tracing
+(the same architectural move as the cartesian executors).
+"""
+
+from .common import (  # noqa: F401
+    Dimension,
+    DimensionKind,
+    Domain,
+    Field,
+    FieldOffset,
+    Connectivity,
+    UnitRange,
+)
+from .constructors import as_connectivity, as_field, empty, full, ones, zeros  # noqa: F401
+from .ffront import field_operator, program, scan_operator  # noqa: F401
+from .builtins import (  # noqa: F401
+    astype,
+    broadcast,
+    exp,
+    log,
+    maximum,
+    max_over,
+    minimum,
+    min_over,
+    neighbor_sum,
+    sqrt,
+    where,
+)
