@@ -1003,8 +1003,15 @@ class JaxBackend:
 
     def __init__(self, analysis: StencilAnalysis, options: Optional[dict] = None):
         config.ensure_jax_config()  # x64 etc. before any tracing
-        self.analysis = analysis
         self.options = options or {}
+        if not self.options.get("no_inline", False):
+            from gt4py_tpu.cartesian import analysis as analysis_mod
+            from gt4py_tpu.cartesian.passes import inline_parallel_temporaries
+
+            optimized = inline_parallel_temporaries(analysis.stencil)
+            if len(optimized.temp_decls) != len(analysis.stencil.temp_decls):
+                analysis = analysis_mod.analyze(optimized)
+        self.analysis = analysis
         self._programs: Dict[Any, Callable] = {}
         self.written = [
             name

@@ -1,0 +1,194 @@
+"""IR-to-IR optimization passes.
+
+``inline_parallel_temporaries`` is the TPU analog of the reference's
+OnTheFlyMerging / recompute-instead-of-store stage fusion
+(reference: gtc/passes/oir_optimizations/horizontal_execution_merging.py:135):
+a temporary assigned exactly once, unmasked, in a PARALLEL section and only
+read afterwards with static Cartesian offsets is replaced by its shifted
+right-hand side.  Values are bitwise identical (the same expression tree is
+evaluated at the same point); the win is that XLA can then fuse the whole
+section into one elementwise kernel instead of materializing halo-extended
+temporaries in HBM.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional, Set, Tuple
+
+from gt4py_tpu.cartesian import ir
+
+#: do not inline when the temporary is read more than this many times and
+#: its definition is large (recompute cost guard)
+_MAX_READS = 6
+_MAX_NODES = 120
+
+
+def _shift_expr(expr: ir.Expr, off: Tuple[int, int, int]) -> Optional[ir.Expr]:
+    """Deep-copy ``expr`` with every access shifted by ``off``; None if the
+    expression cannot be shifted (variable-K, absolute-K)."""
+    di, dj, dk = off
+    expr = copy.deepcopy(expr)
+    for node in ir.walk_values(expr):
+        if isinstance(node, ir.FieldAccess):
+            o = node.offset
+            if not isinstance(o, ir.CartesianOffset):
+                return None
+            node.offset = ir.CartesianOffset(o.i + di, o.j + dj, o.k + dk)
+        elif isinstance(node, ir.AxisPosition):
+            # positions shift with the evaluation point; rewrite in place
+            # via wrapping is handled by the caller check below
+            return None
+    return expr
+
+
+def _expr_size(expr: ir.Expr) -> int:
+    return len(ir.walk_values(expr))
+
+
+def inline_parallel_temporaries(stencil: ir.Stencil) -> ir.Stencil:
+    """Return a copy of ``stencil`` with eligible temporaries inlined."""
+    stencil = copy.deepcopy(stencil)
+
+    # global access statistics
+    assign_sites: Dict[str, List[Tuple[int, int, int, bool]]] = {}
+    read_counts: Dict[str, int] = {}
+    for li, loop in enumerate(stencil.vertical_loops):
+        for si, section in enumerate(loop.sections):
+            for pos, stmt in enumerate(section.body):
+                masked_writes = set()
+                for node in ir.walk_values(stmt):
+                    if isinstance(node, ir.Assign):
+                        top_level = stmt is node
+                        assign_sites.setdefault(node.target.name, []).append(
+                            (li, si, pos, top_level)
+                        )
+                for acc in ir.walk_values(stmt):
+                    if isinstance(acc, ir.FieldAccess):
+                        read_counts[acc.name] = read_counts.get(acc.name, 0) + 1
+
+    for li, loop in enumerate(stencil.vertical_loops):
+        if loop.loop_order != ir.LoopOrder.PARALLEL:
+            continue
+        for si, section in enumerate(loop.sections):
+            changed = True
+            while changed:
+                changed = False
+                for pos, stmt in enumerate(section.body):
+                    if not isinstance(stmt, ir.Assign):
+                        continue
+                    name = stmt.target.name
+                    if name not in stencil.temp_decls:
+                        continue
+                    sites = assign_sites.get(name, [])
+                    if len(sites) != 1 or sites[0] != (li, si, pos, True):
+                        continue
+                    if not isinstance(stmt.target.offset, ir.CartesianOffset):
+                        continue
+                    to = stmt.target.offset
+                    if to.i or to.j or to.k or stmt.target.data_index:
+                        continue
+                    if _expr_size(stmt.value) > _MAX_NODES:
+                        continue
+                    if any(
+                        isinstance(n, ir.AxisPosition)
+                        for n in ir.walk_values(stmt.value)
+                    ):
+                        continue
+                    # reads of fields used in the RHS must not be overwritten
+                    # later in this section (value-change hazard)
+                    rhs_fields = {
+                        a.name
+                        for a in ir.walk_values(stmt.value)
+                        if isinstance(a, ir.FieldAccess)
+                    }
+                    hazard = False
+                    for later in section.body[pos + 1 :]:
+                        for n in ir.walk_values(later):
+                            if isinstance(n, ir.Assign) and n.target.name in rhs_fields:
+                                hazard = True
+                    if hazard:
+                        continue
+                    # all reads must be in this section after the assignment,
+                    # with plain Cartesian offsets
+                    reads: List[ir.FieldAccess] = []
+                    ok = True
+                    for li2, loop2 in enumerate(stencil.vertical_loops):
+                        for si2, sec2 in enumerate(loop2.sections):
+                            for pos2, stmt2 in enumerate(sec2.body):
+                                for acc in ir.walk_values(stmt2):
+                                    if (
+                                        isinstance(acc, ir.FieldAccess)
+                                        and acc.name == name
+                                        and acc is not stmt.target
+                                    ):
+                                        if (li2, si2) != (li, si) or pos2 <= pos:
+                                            ok = False
+                                        elif not isinstance(
+                                            acc.offset, ir.CartesianOffset
+                                        ) or acc.data_index:
+                                            ok = False
+                                        else:
+                                            reads.append(acc)
+                    if not ok or not reads:
+                        continue
+                    if len(reads) > _MAX_READS and _expr_size(stmt.value) > 20:
+                        continue
+                    # substitute every read with the shifted definition
+                    replacements = {}
+                    for acc in reads:
+                        o = acc.offset
+                        shifted = _shift_expr(stmt.value, (o.i, o.j, o.k))
+                        if shifted is None:
+                            ok = False
+                            break
+                        replacements[id(acc)] = shifted
+                    if not ok:
+                        continue
+                    for stmt2 in section.body[pos + 1 :]:
+                        _replace_accesses(stmt2, replacements)
+                    # drop the definition and the temporary
+                    section.body.pop(pos)
+                    del stencil.temp_decls[name]
+                    assign_sites.pop(name, None)
+                    # re-index assignment sites after the removal
+                    for sites2 in assign_sites.values():
+                        for k2, (l2, s2, p2, t2) in enumerate(sites2):
+                            if (l2, s2) == (li, si) and p2 > pos:
+                                sites2[k2] = (l2, s2, p2 - 1, t2)
+                    changed = True
+                    break
+    return stencil
+
+
+def _replace_accesses(stmt: ir.Stmt, replacements: Dict[int, ir.Expr]) -> None:
+    """Replace FieldAccess nodes (by id) inside expression positions."""
+
+    def rewrite(expr: ir.Expr) -> ir.Expr:
+        if id(expr) in replacements:
+            return replacements[id(expr)]
+        for f in getattr(expr, "__dataclass_fields__", {}):
+            v = getattr(expr, f)
+            if isinstance(v, ir.Expr):
+                setattr(expr, f, rewrite(v))
+            elif isinstance(v, (list, tuple)):
+                new = [rewrite(x) if isinstance(x, ir.Expr) else x for x in v]
+                setattr(expr, f, type(v)(new))
+            elif isinstance(v, (ir.VariableKOffset, ir.AbsoluteKIndex)):
+                v.k = rewrite(v.k)
+        return expr
+
+    if isinstance(stmt, ir.Assign):
+        stmt.value = rewrite(stmt.value)
+        stmt.target.data_index = tuple(rewrite(d) for d in stmt.target.data_index)
+    elif isinstance(stmt, ir.If):
+        stmt.cond = rewrite(stmt.cond)
+        for s in stmt.body + stmt.orelse:
+            _replace_accesses(s, replacements)
+    elif isinstance(stmt, ir.While):
+        stmt.cond = rewrite(stmt.cond)
+        for s in stmt.body:
+            _replace_accesses(s, replacements)
+    elif isinstance(stmt, ir.HorizontalRestriction):
+        for s in stmt.body:
+            _replace_accesses(s, replacements)
