@@ -214,12 +214,15 @@ def _needs_old_plane_seed(body, name: str) -> bool:
     return state["needs"]
 
 
-def _rewrite_section_for_planes(body, written, const_fields, backward: bool):
+def _rewrite_section_for_planes(body, written, const_fields, backward: bool,
+                                stream_specs=None):
     """Clone the section body, renaming K-offset field accesses to plane
     buffers: behind-the-sweep reads -> carry planes, ahead/old reads ->
-    scan-input planes, current planes keep their name."""
+    scan-input planes (or the stream's history carries), current planes
+    keep their name."""
     import copy as _copy
 
+    stream_specs = stream_specs or {}
     out = []
     for stmt in body:
         cloned = _copy.deepcopy(stmt)
@@ -247,6 +250,13 @@ def _rewrite_section_for_planes(body, written, const_fields, backward: bool):
                     new_name = _carry_name(name, abs(dk))
                 else:
                     new_name = _xs_name(name, dk)
+            elif name in stream_specs:
+                dref, _depth = stream_specs[name]
+                if dk == dref:
+                    new_name = _xs_name(name, dref)
+                else:
+                    d = (dk - dref) if backward else (dref - dk)
+                    new_name = _carry_name(name, d)
             else:
                 new_name = _xs_name(name, dk)
             node.name = new_name
@@ -416,7 +426,7 @@ class JaxTracer:
         if const_fields & written:
             raise _ScanIneligible()
         # classify accesses; raises _ScanIneligible on unsupported patterns
-        xs_specs, carry_specs = self._classify_serial_accesses(
+        xs_specs, carry_specs, stream_specs = self._classify_serial_accesses(
             section, written, const_fields, backward
         )
 
@@ -486,13 +496,32 @@ class JaxTracer:
                 carry0[_carry_name(name, d)] = plane
                 plane_metas[_carry_name(name, d)] = plane_meta(name)
 
+        # stream history carries: carry[d] at step k holds plane k+dref-d
+        # (forward; mirrored backward), seeded from the buffer
+        for name, (dref, depth) in sorted(stream_specs.items()):
+            m = self.meta[name]
+            ok = m.origin[2]
+            SK = m.shape[2]
+            for d in range(1, depth + 1):
+                k_abs = (
+                    (ok + (k1 - 1) + dref + d) if backward else (ok + k0 + dref - d)
+                )
+                if 0 <= k_abs < SK and name in env:
+                    plane = env[name][k_abs : k_abs + 1]
+                else:
+                    plane = jnp.zeros(
+                        (1, m.shape[0], m.shape[1]) + m.shape[3:], dtype=m.dtype
+                    )
+                carry0[_carry_name(name, d)] = plane
+                plane_metas[_carry_name(name, d)] = plane_meta(name)
+
         for name in written:
             plane_metas[name] = plane_meta(name)
         for name in const_fields:
             plane_metas[name] = self.meta[name]
 
         rewritten = _rewrite_section_for_planes(
-            section.body, written, const_fields, backward
+            section.body, written, const_fields, backward, stream_specs
         )
 
         extents = self.analysis.extents
@@ -533,6 +562,12 @@ class JaxTracer:
                 for d in sorted(depths):
                     if d == 1:
                         new_carry[_carry_name(name, 1)] = e[name]
+                    else:
+                        new_carry[_carry_name(name, d)] = carry[_carry_name(name, d - 1)]
+            for name, (dref, depth) in stream_specs.items():
+                for d in range(1, depth + 1):
+                    if d == 1:
+                        new_carry[_carry_name(name, 1)] = x[_xs_name(name, dref)]
                     else:
                         new_carry[_carry_name(name, d)] = carry[_carry_name(name, d - 1)]
             ys = {name: e[name] for name in written if name not in local_written}
@@ -609,7 +644,26 @@ class JaxTracer:
         # every written field needs its old current plane
         for name in written:
             xs_specs.add((name, 0))
-        return xs_specs, carry_specs
+
+        # Stream optimization: an unwritten field read at several K offsets
+        # needs only ONE materialized plane stream (the sweep-forward-most
+        # offset); the other offsets are that stream's recent history, kept
+        # in a carry shift register instead of extra HBM stacks.
+        stream_specs: Dict[str, Tuple[int, int]] = {}  # name -> (dref, max_depth)
+        by_name: Dict[str, set] = {}
+        for (name, dk) in xs_specs:
+            if name not in written:
+                by_name.setdefault(name, set()).add(dk)
+        for name, dks in by_name.items():
+            if len(dks) < 2:
+                continue
+            dref = min(dks) if backward else max(dks)
+            depth = max((dref - dk) if not backward else (dk - dref) for dk in dks)
+            for dk in dks:
+                if dk != dref:
+                    xs_specs.discard((name, dk))
+            stream_specs[name] = (dref, depth)
+        return xs_specs, carry_specs, stream_specs
 
     # ------------------- statements ------------------- #
 
