@@ -413,3 +413,212 @@ def lower_dim_fields():
         )
 
     return definition, make_inputs
+
+
+@register(origin={"_all_": (0, 0, 0), "extm": (0, 0, 1)}, domain=(5, 5, 6))
+def set_inner_as_kord():
+    """Bool fields, elif chains, read-only K offsets in PARALLEL
+    (reference: stencil_definitions.py set_inner_as_kord)."""
+
+    def definition(
+        a4_1: Field3D, a4_2: Field3D, a4_3: Field3D,
+        extm: gtscript.Field[np.bool_],
+    ):
+        with computation(PARALLEL), interval(...):
+            diff_23 = 0.0
+            if extm and extm[0, 0, -1]:
+                a4_2 = a4_1
+            elif extm and extm[0, 0, 1]:
+                a4_3 = a4_1
+            else:
+                diff_23 = a4_2 - a4_3
+
+    def make_inputs():
+        rng = np.random.default_rng(40)
+        return dict(
+            a4_1=rand(5, 5, 6, seed=41),
+            a4_2=rand(5, 5, 6, seed=42),
+            a4_3=rand(5, 5, 6, seed=43),
+            extm=rng.random((5, 5, 8)) > 0.5,  # K-halo 1 for the +-1 reads
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def local_var_nested_conditional():
+    def definition(in_storage: Field3D, out_storage: Field3D):
+        with computation(PARALLEL), interval(0, 2):
+            mid_storage = 2.0
+            if in_storage[0, 0, 0] > 0:
+                local_var = 4.0
+                if local_var + in_storage < out_storage:
+                    mid_storage = 3.0
+                else:
+                    mid_storage = 4.0
+                out_storage[0, 0, 0] = local_var + mid_storage
+        with computation(FORWARD), interval(2, None):
+            if in_storage[0, 0, 0] < 0:
+                local_var = 6.0
+                out_storage[0, 0, 0] = local_var
+
+    def make_inputs():
+        return dict(
+            in_storage=rand(5, 5, 6, seed=44, lo=-1.0, hi=1.0),
+            out_storage=rand(5, 5, 6, seed=45, lo=0.0, hi=8.0),
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def multibranch_param_conditional():
+    def definition(in_field: Field3D, out_field: Field3D, c: float):
+        with computation(PARALLEL), interval(...):
+            if c > 0.0:
+                out_field = in_field + in_field[1, 0, 0]
+            elif c < -1.0:
+                out_field = in_field - in_field[1, 0, 0]
+            else:
+                out_field = in_field
+
+    def make_inputs():
+        return dict(
+            in_field=rand(6, 5, 4, seed=46),
+            out_field=np.zeros((6, 5, 4)),
+            c=-2.0,
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0), externals={"PHYS_TEND_A": False, "PHYS_TEND_B": True})
+def two_optional_fields():
+    def definition(
+        in_a: Field3D, in_b: Field3D, out_a: Field3D, out_b: Field3D,
+        dyn_tend_a: Field3D, dyn_tend_b: Field3D,
+        phys_tend_a: Field3D = None, phys_tend_b: Field3D = None,
+        *, dt: float,
+    ):
+        from __externals__ import PHYS_TEND_A, PHYS_TEND_B
+
+        with computation(PARALLEL), interval(...):
+            out_a = in_a + dt * dyn_tend_a
+            out_b = in_b + dt * dyn_tend_b
+            if __INLINED(PHYS_TEND_A):
+                out_a = out_a + dt * phys_tend_a
+            if __INLINED(PHYS_TEND_B):
+                out_b = out_b + dt * phys_tend_b
+
+    def make_inputs():
+        shape = (4, 4, 4)
+        return dict(
+            in_a=rand(*shape, seed=47), in_b=rand(*shape, seed=48),
+            out_a=np.zeros(shape), out_b=np.zeros(shape),
+            dyn_tend_a=rand(*shape, seed=49), dyn_tend_b=rand(*shape, seed=50),
+            phys_tend_a=None, phys_tend_b=rand(*shape, seed=51),
+            dt=0.1,
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def while_backward():
+    def definition(field_a: Field3D, field_b: Field3D):
+        with computation(BACKWARD), interval(...):
+            while field_a > 2.0:
+                field_b = -1.0
+                field_a = -field_b + field_a / 2.0
+
+    def make_inputs():
+        return dict(
+            field_a=rand(4, 4, 5, seed=52, hi=10.0),
+            field_b=np.zeros((4, 4, 5)),
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def region_with_conditional():
+    def definition(field_in: Field3D, field_out: Field3D):
+        with computation(PARALLEL), interval(...):
+            field_out = 0.0
+            with horizontal(
+                region[I[0] : I[0] + 2, J[0] : J[0] + 2],
+                region[I[-1] - 2 : I[-1], J[-1] - 2 : J[-1]],
+            ):
+                if field_in > 0.5:
+                    field_out = field_in + 1.0
+                else:
+                    field_out = 0.0
+
+    def make_inputs():
+        return dict(field_in=rand(9, 9, 3, seed=53), field_out=np.zeros((9, 9, 3)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def native_functions_full():
+    """The full 30-function math chain (reference: native_functions)."""
+
+    @gtscript.function
+    def a_gtscript_function(b):
+        return sqrt(abs(b[0, 1, 0]))
+
+    from gt4py_tpu.cartesian.gtscript import (  # noqa: F401
+        acos, acosh, asin, asinh, atan, atanh, cbrt, ceil, cos, cosh,
+        erf, erfc, floor, gamma, isfinite, isinf, isnan, log,
+        log10, mod, round_away_from_zero, sinh, tan, tanh, trunc,
+    )
+
+    def definition(field_a: Field3D, field_b: Field3D):
+        with computation(PARALLEL), interval(...):
+            abs_res = abs(field_a)
+            max_res = max(abs_res, 1.0)
+            min_res = min(max_res, 42.0)
+            mod_res = mod(min_res, 37.5)
+            sin_res = sin(mod_res)
+            asin_res = asin(sin_res)
+            cos_res = cos(asin_res)
+            acos_res = acos(cos_res)
+            tan_res = tan(acos_res)
+            atan_res = atan(tan_res)
+            sinh_res = sinh(atan_res)
+            asinh_res = asinh(sinh_res)
+            cosh_res = cosh(asinh_res)
+            acosh_res = acosh(cosh_res)
+            tanh_res = tanh(acosh_res)
+            atanh_res = atanh(tanh_res)
+            sqrt_res = a_gtscript_function(atanh_res)
+            pow10_res = 10.0 ** sqrt_res
+            log10_res = log10(pow10_res)
+            exp_res = exp(log10_res)
+            log_res = log(exp_res)
+            gamma_res = gamma(log_res)
+            cbrt_res = cbrt(gamma_res)
+            floor_res = floor(cbrt_res)
+            ceil_res = ceil(floor_res)
+            trunc_res = trunc(ceil_res)
+            round_afz_res = round_away_from_zero(trunc_res)
+            erf_res = erf(round_afz_res)
+            erfc_res = erfc(erf_res)
+            field_b = (
+                trunc_res
+                if isfinite(erfc_res)
+                else field_a
+                if isinf(erfc_res)
+                else field_b
+                if isnan(erfc_res)
+                else 0.0
+            )
+
+    def make_inputs():
+        return dict(
+            field_a=rand(4, 5, 3, seed=54, lo=0.1, hi=0.9),
+            field_b=np.zeros((4, 5, 3)),
+        )
+
+    return definition, make_inputs
