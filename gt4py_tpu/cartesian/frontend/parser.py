@@ -295,6 +295,14 @@ class IRMaker:
         return out
 
     def parse_stmt(self, node: ast.stmt) -> List[ir.Stmt]:
+        try:
+            return self._parse_stmt_inner(node)
+        except GTScriptSyntaxError as e:
+            if not hasattr(e, "stencil_lineno"):
+                e.stencil_lineno = getattr(node, "lineno", None)
+            raise
+
+    def _parse_stmt_inner(self, node: ast.stmt) -> List[ir.Stmt]:
         if isinstance(node, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
             return self._stmt_with_prelude(lambda: self._parse_assign(node))
         if isinstance(node, ast.If):
@@ -992,23 +1000,32 @@ def parse_definition(
     maker = IRMaker(ctx)
     vertical_loops: List[ir.VerticalLoop] = []
 
-    for stmt in fdef.body:
-        if isinstance(stmt, ast.ImportFrom):
-            maker._parse_import(stmt)
-            continue
-        if isinstance(stmt, ast.Expr) and isinstance(stmt.value, ast.Constant):
-            continue  # docstring
-        if isinstance(stmt, ast.With):
-            vertical_loops.extend(_parse_computation_with(stmt, maker))
-            continue
-        if isinstance(stmt, ast.Assert):
-            if not maker._compile_time_eval(stmt.test):
-                raise GTScriptDefinitionError(f"assert failed at line {stmt.lineno}")
-            continue
-        raise GTScriptSyntaxError(
-            f"Only 'with computation(...)' blocks allowed at stencil top level "
-            f"(got {type(stmt).__name__} at line {stmt.lineno})"
+    try:
+        for stmt in fdef.body:
+            if isinstance(stmt, ast.ImportFrom):
+                maker._parse_import(stmt)
+                continue
+            if isinstance(stmt, ast.Expr) and isinstance(stmt.value, ast.Constant):
+                continue  # docstring
+            if isinstance(stmt, ast.With):
+                vertical_loops.extend(_parse_computation_with(stmt, maker))
+                continue
+            if isinstance(stmt, ast.Assert):
+                if not maker._compile_time_eval(stmt.test):
+                    raise GTScriptDefinitionError(f"assert failed at line {stmt.lineno}")
+                continue
+            raise GTScriptSyntaxError(
+                f"Only 'with computation(...)' blocks allowed at stencil top level "
+                f"(got {type(stmt).__name__} at line {stmt.lineno})"
+            )
+    except GTScriptSyntaxError as e:
+        from gt4py_tpu.errors import format_with_source
+
+        lineno = getattr(e, "stencil_lineno", None)
+        enriched = GTScriptSyntaxError(
+            format_with_source(str(e.msg or e), definition, lineno)
         )
+        raise enriched from None
 
     stencil = ir.Stencil(
         name=name,
