@@ -22,7 +22,9 @@ import numpy as np
 def main():
     import jax
 
-    if len(jax.devices()) < 2:
+    # honor a CPU request before the first backend use (the ambient
+    # sitecustomize would otherwise pin the single tunneled TPU)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
