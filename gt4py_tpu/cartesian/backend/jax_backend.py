@@ -458,9 +458,6 @@ class JaxTracer:
                 data_ndim=m.data_ndim,
             )
 
-        def k_index(name: str, dk: int, k: int) -> int:
-            return self.meta[name].origin[2] + k + dk
-
         # --- scan inputs: contiguous plane slices off the K-leading axis --- #
         xs = {}
         for (name, dk) in sorted(xs_specs):

@@ -12,7 +12,6 @@ upcasting pass (gtc/passes/gtir_upcaster.py) instead of NEP-50 semantics.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -473,8 +472,6 @@ class NumpyExecutor:
 
 
 def _apply_binop(op: ir.BinaryOperator, left, right):
-    import operator
-
     table = {
         ir.BinaryOperator.ADD: np.add,
         ir.BinaryOperator.SUB: np.subtract,

@@ -9,8 +9,6 @@ functions can share code with stencil definitions.
 
 from __future__ import annotations
 
-import inspect
-import math as _math
 import numbers
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
@@ -233,12 +231,6 @@ class GlobalTable(metaclass=_GlobalTableMeta):
 
 import scipy.special as _sps  # noqa: E402
 
-
-def _np_fn(f):
-    return f
-
-
-abs = __builtins__["abs"] if isinstance(__builtins__, dict) else abs  # noqa: A001
 sin = np.sin
 cos = np.cos
 tan = np.tan

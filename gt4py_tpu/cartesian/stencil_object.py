@@ -309,6 +309,13 @@ class StencilObject:
 
         return fn
 
+    def pretty_ir(self) -> str:
+        """The lowered stencil IR as GTScript-like text (inspection parity
+        with the reference's ``Program.gtir`` property)."""
+        from gt4py_tpu.cartesian.pretty import pformat_stencil
+
+        return pformat_stencil(self.ir)
+
     def __str__(self) -> str:
         lines = [f"StencilObject '{self.name}' (backend={self.backend_name})"]
         for name, info in self.field_info.items():
