@@ -111,6 +111,12 @@ class StencilBuilder:
             stencil_id=sid,
         )
         _STENCIL_CACHE[sid] = obj
+
+        from gt4py_tpu.instrumentation import stencil_build_hook
+
+        stencil_build_hook.fire(
+            name=self.name, backend=self.backend_name, stencil_id=sid
+        )
         return obj
 
 

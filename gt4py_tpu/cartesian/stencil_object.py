@@ -72,10 +72,13 @@ class StencilObject:
         if exec_info is not None:
             exec_info["call_run_start_time"] = t0
 
+        from gt4py_tpu.instrumentation import stencil_call_context
+
         field_args, scalar_args = self._bind_args(args, kwargs)
-        self._call_run(
-            field_args, scalar_args, origin, domain, exec_info, validate_args
-        )
+        with stencil_call_context.activate(name=self.name, backend=self.backend_name):
+            self._call_run(
+                field_args, scalar_args, origin, domain, exec_info, validate_args
+            )
 
         t1 = time.perf_counter()
         if exec_info is not None:

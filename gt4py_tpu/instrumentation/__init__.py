@@ -7,3 +7,9 @@ from .metrics import (  # noqa: F401
     dump_metrics,
     profile_range,
 )
+from .hooks import (  # noqa: F401
+    ContextHook,
+    EventHook,
+    stencil_build_hook,
+    stencil_call_context,
+)

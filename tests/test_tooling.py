@@ -109,3 +109,42 @@ def test_cache_manager_cli(tmp_path):
     )
     assert out.returncode == 0
     assert not (tmp_path / "cache").exists()
+
+
+def test_hook_machinery():
+    import numpy as np
+
+    from gt4py_tpu import instrumentation as instr
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    events = []
+
+    @instr.stencil_build_hook.register
+    def on_build(**kw):
+        events.append(("build", kw["name"]))
+
+    import contextlib
+
+    @instr.stencil_call_context.register
+    @contextlib.contextmanager
+    def on_call(**kw):
+        events.append(("call-start", kw["name"]))
+        yield
+        events.append(("call-end", kw["name"]))
+
+    try:
+
+        @gtscript.stencil(backend="numpy", name="hooked", rebuild=True)
+        def st(a: gtscript.Field[np.float64], b: gtscript.Field[np.float64]):
+            with computation(PARALLEL), interval(...):
+                b = a
+
+        a, b = np.ones((2, 2, 2)), np.zeros((2, 2, 2))
+        st(a, b, origin=(0, 0, 0))
+    finally:
+        instr.stencil_build_hook.unregister(on_build)
+        instr.stencil_call_context.unregister(on_call)
+
+    assert ("build", "hooked") in events
+    assert ("call-start", "hooked") in events and ("call-end", "hooked") in events
