@@ -46,9 +46,81 @@ def _expr_size(expr: ir.Expr) -> int:
     return len(ir.walk_values(expr))
 
 
+def rename_reassigned_temporaries(stencil: ir.Stencil) -> ir.Stencil:
+    """SSA-style renaming: a temporary assigned several times at the top
+    level of PARALLEL sections gets a fresh name per assignment (each read
+    binds to the most recent definition).  This unblocks
+    ``inline_parallel_temporaries`` for patterns like the reference hdiff's
+    reused ``res`` scratch variable.  In-place on a copy; bitwise neutral.
+    """
+    stencil = copy.deepcopy(stencil)
+    for loop in stencil.vertical_loops:
+        if loop.loop_order != ir.LoopOrder.PARALLEL:
+            continue
+        for section in loop.sections:
+            # only rename temps whose every assignment is top-level in this
+            # section and which are not used in any other section
+            counts: Dict[str, int] = {}
+            top_level: Dict[str, int] = {}
+            for stmt in section.body:
+                for n in ir.walk_values(stmt):
+                    if isinstance(n, ir.Assign):
+                        counts[n.target.name] = counts.get(n.target.name, 0) + 1
+                        if n is stmt:
+                            top_level[n.target.name] = top_level.get(n.target.name, 0) + 1
+            outside: Set[str] = set()
+            for loop2 in stencil.vertical_loops:
+                for sec2 in loop2.sections:
+                    if sec2 is section:
+                        continue
+                    for n in ir.walk_values(sec2.body):
+                        if isinstance(n, ir.FieldAccess):
+                            outside.add(n.name)
+            eligible = {
+                name
+                for name in counts
+                if name in stencil.temp_decls
+                and counts[name] > 1
+                and counts[name] == top_level.get(name, 0)
+                and name not in outside
+            }
+            if not eligible:
+                continue
+            current: Dict[str, str] = {}
+            version: Dict[str, int] = {}
+            for stmt in section.body:
+                # reads (including inside nested statements) see the
+                # current version
+                for n in ir.walk_values(stmt):
+                    if (
+                        isinstance(n, ir.FieldAccess)
+                        and n.name in current
+                        and not (isinstance(stmt, ir.Assign) and n is stmt.target)
+                    ):
+                        n.name = current[n.name]
+                if isinstance(stmt, ir.Assign) and stmt.target.name in eligible:
+                    base = stmt.target.name
+                    version[base] = version.get(base, 0) + 1
+                    if version[base] == 1:
+                        new = base  # first definition keeps the name
+                    else:
+                        new = f"{base}__ssa{version[base]}"
+                        decl = stencil.temp_decls[base]
+                        stencil.temp_decls[new] = ir.FieldDecl(
+                            name=new,
+                            dtype=decl.dtype,
+                            dimensions=decl.dimensions,
+                            data_dims=decl.data_dims,
+                            is_api=False,
+                        )
+                    stmt.target.name = new
+                    current[base] = new
+    return stencil
+
+
 def inline_parallel_temporaries(stencil: ir.Stencil) -> ir.Stencil:
     """Return a copy of ``stencil`` with eligible temporaries inlined."""
-    stencil = copy.deepcopy(stencil)
+    stencil = rename_reassigned_temporaries(stencil)
 
     # global access statistics
     assign_sites: Dict[str, List[Tuple[int, int, int, bool]]] = {}
