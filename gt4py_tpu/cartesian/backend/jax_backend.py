@@ -311,23 +311,37 @@ class JaxTracer:
             )
         self._temp_section_count = self._count_temp_sections()
 
-        for loop in self.stencil.vertical_loops:
-            env = self._trace_loop(env, loop)
+        for li, loop in enumerate(self.stencil.vertical_loops):
+            env = self._trace_loop(env, loop, li)
         return env
 
     def _count_temp_sections(self) -> Dict[str, int]:
         """How many vertical sections access each temporary."""
         counts: Dict[str, int] = {}
-        for loop in self.stencil.vertical_loops:
-            for section in loop.sections:
-                names = {
-                    n.name
-                    for n in ir.walk_values(section.body)
-                    if isinstance(n, ir.FieldAccess) and n.name in self.stencil.temp_decls
-                }
+        self._temp_last_read: Dict[str, Tuple[int, int]] = {}
+        for li, loop in enumerate(self.stencil.vertical_loops):
+            for si, section in enumerate(loop.sections):
+                names = set()
+                for stmt in section.body:
+                    for n in ir.walk_values(stmt):
+                        if not isinstance(n, ir.FieldAccess):
+                            continue
+                        if n.name not in self.stencil.temp_decls:
+                            continue
+                        names.add(n.name)
+                        is_write = isinstance(stmt, ir.Assign) and n is stmt.target
+                        if not is_write:
+                            self._temp_last_read[n.name] = (li, si)
                 for n in names:
                     counts[n] = counts.get(n, 0) + 1
         return counts
+
+    def _temp_read_after(self, name: str, pos: Tuple[int, int]) -> bool:
+        """Is the temporary read in any section at or after ``pos``
+        *other than through the scan's own planes*?  (Used to elide dead
+        buffer writebacks.)"""
+        last = getattr(self, "_temp_last_read", {}).get(name)
+        return last is not None and last > pos
 
     def _ensure_buffer(self, env, name: str):
         """Materialize a lazily-allocated temporary buffer."""
@@ -345,11 +359,11 @@ class JaxTracer:
             env[name] = jnp.zeros(_phys_shape(m.shape), dtype=m.dtype)
         return env
 
-    def _trace_loop(self, env, loop: ir.VerticalLoop):
+    def _trace_loop(self, env, loop: ir.VerticalLoop, loop_index: int = 0):
         import jax
 
         dK = self.domain[2]
-        for section in loop.sections:
+        for si, section in enumerate(loop.sections):
             k0, k1 = section.interval.resolve(dK)
             k0, k1 = max(k0, 0), min(k1, dK)
             if k1 <= k0:
@@ -366,7 +380,9 @@ class JaxTracer:
 
                 if n > 1 and not self.no_scan:
                     try:
-                        env = self._trace_serial_scan(env, section, (k0, k1), backward)
+                        env = self._trace_serial_scan(
+                            env, section, (k0, k1), backward, (loop_index, si)
+                        )
                         continue
                     except _ScanIneligible:
                         pass
@@ -407,7 +423,8 @@ class JaxTracer:
     # per-level work is a fused whole-IJ-plane kernel and XLA pipelines the
     # K sweep without per-level dynamic-slice round trips to HBM.
 
-    def _trace_serial_scan(self, env, section, krange, backward: bool):
+    def _trace_serial_scan(self, env, section, krange, backward: bool,
+                           pos=(0, 0)):
         import jax
         import jax.numpy as jnp
 
@@ -585,6 +602,8 @@ class JaxTracer:
 
         env = dict(env)
         for name in written - local_written:
+            if name in self.stencil.temp_decls and not self._temp_read_after(name, pos):
+                continue  # dead store: nothing reads this temp's buffer later
             env = self._ensure_buffer(env, name)
             stack = ys[name]  # (n, 1, SI, SJ, *dd)
             if backward:
