@@ -32,6 +32,8 @@ def from_name(name: str):
 
 from . import numpy_backend  # noqa: E402,F401
 
+REGISTRY["debug"] = REGISTRY["numpy"]
+
 try:  # jax backends are optional at import time
     from . import jax_backend  # noqa: E402,F401
 except ImportError:  # pragma: no cover

@@ -300,11 +300,11 @@ class JaxTracer:
             shape = (
                 self.domain[0] - ext.i[0] + ext.i[1],
                 self.domain[1] - ext.j[0] + ext.j[1],
-                self.domain[2],
+                self.domain[2] - ext.k[0] + ext.k[1],
             ) + tuple(decl.data_dims)
             self.meta[name] = _FieldMeta(
                 shape=shape,
-                origin=(-ext.i[0], -ext.j[0], 0),
+                origin=(-ext.i[0], -ext.j[0], -ext.k[0]),
                 dtype=np.dtype(decl.dtype),
                 dimensions=(True, True, True),
                 data_ndim=len(decl.data_dims),
@@ -739,9 +739,21 @@ class JaxTracer:
         import jax
         import jax.numpy as jnp
 
+        # temporaries first assigned inside the loop must exist before the
+        # carry structure is fixed
+        for name in ir.assigned_names(stmt.body):
+            if name in self.stencil.temp_decls:
+                env = self._ensure_buffer(env, name)
+
         mask0 = jnp.broadcast_to(
             jnp.asarray(self._eval(env, stmt.cond, ctx)).astype(bool), ctx.shape()
         )
+        # points excluded by enclosing if/region masks must not keep the
+        # loop alive (their condition can never change)
+        for m in ctx.masks:
+            mask0 = jnp.logical_and(
+                mask0, jnp.broadcast_to(jnp.asarray(m, dtype=bool), ctx.shape())
+            )
 
         if self.ref_env:
             # refs mutate in place; the loop carries only the active mask

@@ -172,18 +172,19 @@ class NumpyExecutor:
                 arrays[name], decl.dimensions, origins[name], len(decl.data_dims)
             )
 
-        # allocate temporaries on the extended domain
+        # allocate temporaries on the extended domain (including K halo so
+        # reads at K offsets crossing the domain edge stay in bounds)
         for name, decl in self.stencil.temp_decls.items():
             ext = self.analysis.extents.field_extent(name)
             shape = (
                 domain[0] - ext.i[0] + ext.i[1],
                 domain[1] - ext.j[0] + ext.j[1],
-                domain[2],
+                domain[2] - ext.k[0] + ext.k[1],
             ) + tuple(decl.data_dims)
-            arr = np.empty(shape, dtype=decl.dtype)
+            arr = np.zeros(shape, dtype=decl.dtype)
             self.views[name] = _View(
                 data=arr.reshape(shape),
-                origin=(-ext.i[0], -ext.j[0], 0),
+                origin=(-ext.i[0], -ext.j[0], -ext.k[0]),
                 dtype=decl.dtype,
             )
 
@@ -232,7 +233,6 @@ class NumpyExecutor:
         idx = self._target_index(stmt.target, ctx)
         target_dtype = view.dtype
 
-        has_data_dims = view.data.ndim > 3 and not stmt.target.data_index
         rhs = np.asarray(value)
         if rhs.dtype != target_dtype:
             rhs = rhs.astype(target_dtype)
@@ -274,6 +274,10 @@ class NumpyExecutor:
         mask = np.broadcast_to(
             np.asarray(self._eval(stmt.cond, ctx)).astype(_BOOL), ctx.shape()
         ).copy()
+        # points excluded by enclosing if/region masks must not keep the
+        # loop alive (their condition can never change)
+        for m in ctx.masks:
+            mask &= np.broadcast_to(np.asarray(m, dtype=_BOOL), ctx.shape())
         while mask.any():
             ctx.masks.append(mask)
             for s in stmt.body:
@@ -451,23 +455,25 @@ class NumpyExecutor:
         kidx = np.clip(base + dk, 0, SK - 1)
         si, sj, _ = self._spatial_slices(view, ir.CartesianOffset(), ctx)
         block = view.data[si, sj, :]
-        kidx_b = np.broadcast_to(
-            kidx, np.broadcast_shapes(kidx.shape, block.shape[:3])
-        ).astype(np.intp)
+        # broadcast against the EVALUATION shape (ni, nj, nk), not the
+        # buffer's K extent: nk differs from SK in serial loops and on
+        # sub-intervals
+        eval_shape = (block.shape[0], block.shape[1], ctx.nk)
+        kidx_b = np.broadcast_to(kidx, eval_shape).astype(np.intp)
         return np.take_along_axis(block, kidx_b, axis=2)
 
     def _eval_absolute_k(self, view: _View, off: ir.AbsoluteKIndex, ctx: _Ctx):
         kval = np.asarray(self._eval(off.k, ctx)).astype(np.int64)
         ok = view.origin[2]
+        SK = view.data.shape[2]
         si, sj, _ = self._spatial_slices(view, ir.CartesianOffset(), ctx)
         if kval.ndim == 0:
-            k = int(kval) + ok
+            k = int(np.clip(int(kval) + ok, 0, SK - 1))  # same clipping as jax
             return view.data[si, sj, k : k + 1]
         block = view.data[si, sj, :]
-        kidx = np.clip(kval + ok, 0, view.data.shape[2] - 1)
-        kidx_b = np.broadcast_to(
-            kidx, np.broadcast_shapes(kidx.shape, block.shape[:3])
-        ).astype(np.intp)
+        kidx = np.clip(kval + ok, 0, SK - 1)
+        eval_shape = (block.shape[0], block.shape[1], ctx.nk)
+        kidx_b = np.broadcast_to(kidx, eval_shape).astype(np.intp)
         return np.take_along_axis(block, kidx_b, axis=2)
 
 
@@ -495,7 +501,11 @@ def _apply_binop(op: ir.BinaryOperator, left, right):
 
 @register("numpy")
 class NumpyBackend:
-    """The oracle backend: reference numpy-backend numerics."""
+    """The oracle backend: reference numpy-backend numerics.
+
+    Also registered as ``debug``: the interpreter IS the readable
+    reference-semantics executor (the reference's debug backend is plain
+    Python loops with the same role, debug_backend.py:29)."""
 
     storage_device = "cpu"
 

@@ -191,7 +191,7 @@ class PallasBackend(JaxBackend):
         for name in temp_names:
             e = ext.field_extent(name)
             temp_tile_shapes[name] = (
-                dK,
+                dK - e.k[0] + e.k[1],
                 TI - e.i[0] + e.i[1],
                 TJ - e.j[0] + e.j[1],
             )

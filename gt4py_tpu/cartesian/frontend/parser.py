@@ -449,7 +449,16 @@ class IRMaker:
         return self._stmt_with_prelude(make)
 
     def _parse_while(self, node: ast.While) -> List[ir.Stmt]:
+        prelude_before = len(self._prelude)
         cond = self.parse_expr(node.test)
+        if len(self._prelude) != prelude_before:
+            # an inlined gtscript.function in the condition would be hoisted
+            # and evaluated once, silently freezing the loop condition
+            raise GTScriptSyntaxError(
+                "gtscript.function calls are not supported in while conditions "
+                "(the condition must be re-evaluated every iteration); assign "
+                "the result inside the loop body instead"
+            )
         body = self.parse_stmts(node.body)
         return [ir.While(cond=cond, body=body)]
 
@@ -702,17 +711,25 @@ class IRMaker:
                 return axis_of(n.left)
             return None
 
+        def axis_shift(n: ast.expr) -> int:
+            """Accumulate nested shifts: I + 1 - 2 -> -1."""
+            if isinstance(n, ast.Name):
+                return 0
+            assert isinstance(n, ast.BinOp)
+            shift = _const_int(n.right)
+            if shift is None:
+                raise GTScriptSyntaxError("Axis shift must be an integer literal")
+            if isinstance(n.op, ast.Sub):
+                shift = -shift
+            return axis_shift(n.left) + shift
+
         result = {"I": 0, "J": 0, "K": 0}
         if any(axis_of(n) for n in idx_nodes):
             for n in idx_nodes:
                 ax = axis_of(n)
                 if ax is None:
                     raise GTScriptSyntaxError("Mixed axis/non-axis offset syntax")
-                if isinstance(n, ast.BinOp):
-                    shift = _const_int(n.right)
-                    if shift is None:
-                        raise GTScriptSyntaxError("Axis shift must be an integer literal")
-                    result[ax] = shift if isinstance(n.op, ast.Add) else -shift
+                result[ax] = axis_shift(n)
             return (result["I"], result["J"], result["K"])
 
         if len(idx_nodes) != len(axes_present):

@@ -348,7 +348,7 @@ def stencil(
 
     Reference-parity decorator (reference: gtscript.py:171-352).
     ``backend`` is one of ``gt4py_tpu.cartesian.backend.REGISTRY`` --
-    ``"numpy"`` (oracle), ``"debug"``, ``"jax"``, ``"jax:cpu"``, ``"pallas"``.
+    ``"numpy"`` (oracle), ``"debug"``, ``"jax"``, ``"pallas"``.
     """
     from gt4py_tpu.cartesian.stencil_builder import StencilBuilder
 

@@ -124,20 +124,15 @@ def inline_parallel_temporaries(stencil: ir.Stencil) -> ir.Stencil:
 
     # global access statistics
     assign_sites: Dict[str, List[Tuple[int, int, int, bool]]] = {}
-    read_counts: Dict[str, int] = {}
     for li, loop in enumerate(stencil.vertical_loops):
         for si, section in enumerate(loop.sections):
             for pos, stmt in enumerate(section.body):
-                masked_writes = set()
                 for node in ir.walk_values(stmt):
                     if isinstance(node, ir.Assign):
                         top_level = stmt is node
                         assign_sites.setdefault(node.target.name, []).append(
                             (li, si, pos, top_level)
                         )
-                for acc in ir.walk_values(stmt):
-                    if isinstance(acc, ir.FieldAccess):
-                        read_counts[acc.name] = read_counts.get(acc.name, 0) + 1
 
     for li, loop in enumerate(stencil.vertical_loops):
         if loop.loop_order != ir.LoopOrder.PARALLEL:

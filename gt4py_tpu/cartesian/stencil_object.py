@@ -107,6 +107,12 @@ class StencilObject:
             raise ArgumentError(
                 f"Too many positional arguments for stencil '{self.name}'"
             )
+        for p, a in zip(params, args):
+            if p.is_keyword:
+                raise ArgumentError(
+                    f"Parameter '{p.name}' of stencil '{self.name}' is "
+                    "keyword-only"
+                )
         pos = {p.name: a for p, a in zip(params, args)}
         for p in params:
             if p.name in pos and p.name in kwargs:
@@ -182,15 +188,16 @@ class StencilObject:
         info = self.field_info[name]
         ndim = info.domain_ndim
         if name in origin_map:
-            o = origin_map[name]
+            o = tuple(origin_map[name])
         elif "_all_" in origin_map:
-            o = origin_map["_all_"][:ndim]
+            o = tuple(origin_map["_all_"])
         elif attr_origin is not None:
-            o = tuple(attr_origin)[:ndim]
+            o = tuple(attr_origin)
         else:
             o = (0,) * ndim
         if len(o) != ndim:
-            # '_all_' origins are given for IJK; select the present axes
+            # a 3-component (IJK) origin for a lower-dimensional field:
+            # select the components of the axes the field actually has
             full = tuple(o) + (0,) * (3 - len(o))
             o = tuple(c for c, present in zip(full, info.dimensions) if present)
         return tuple(int(x) for x in o)

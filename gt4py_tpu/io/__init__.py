@@ -97,8 +97,9 @@ def save_grid(path: str, array) -> str:
         raise TypeError(f"Unsupported dtype {arr.dtype} for grid IO")
     lib = _native()
     if lib is None:
-        np.save(path + ".npy-fallback", arr)
-        return path + ".npy-fallback"
+        fallback = _fallback_path(path)
+        np.save(fallback, arr)
+        return fallback
     dims = (ctypes.c_uint64 * arr.ndim)(*arr.shape)
     rc = lib.gridio_write(
         path.encode(), arr.ctypes.data_as(ctypes.c_void_p),
@@ -109,10 +110,15 @@ def save_grid(path: str, array) -> str:
     return path
 
 
+def _fallback_path(path: str) -> str:
+    # np.save appends '.npy' unless the name already ends with it
+    return path + ".fallback.npy"
+
+
 def probe_grid(path: str) -> Tuple[np.dtype, Tuple[int, ...]]:
     lib = _native()
     if lib is None:
-        arr = np.load(path + ".npy-fallback", mmap_mode="r")
+        arr = np.load(_fallback_path(path), mmap_mode="r")
         return arr.dtype, arr.shape
     dtype = ctypes.c_uint32()
     ndim = ctypes.c_uint32()
@@ -128,7 +134,7 @@ def load_grid(path: str) -> np.ndarray:
     """Read a native grid record (mmap + multithreaded copy)."""
     lib = _native()
     if lib is None:
-        return np.load(path + ".npy-fallback")
+        return np.load(_fallback_path(path))
     dtype, shape = probe_grid(path)
     out = np.empty(shape, dtype=dtype)
     rc = lib.gridio_read(path.encode(), out.ctypes.data_as(ctypes.c_void_p),

@@ -16,7 +16,7 @@ import numpy as np
 from gt4py_tpu.storage import FieldStorage
 
 
-def distribute(cmesh, array, *, spatial_ndim: Optional[int] = None):
+def distribute(cmesh, array):
     """Shard a global (I, J, ...) array over the mesh; returns a jax array."""
     import jax
 

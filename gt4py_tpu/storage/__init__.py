@@ -26,7 +26,7 @@ __all__ = [
     "from_array",
 ]
 
-_JAX_BACKENDS = ("jax", "jax:cpu", "pallas")
+_JAX_BACKENDS = ("jax", "pallas")
 
 
 class FieldStorage:
