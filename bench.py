@@ -65,7 +65,7 @@ def bench_tpu_dycore():
     step = model.step_fn()
     state = _build_state(model)
 
-    i1, i2 = 4, 20
+    i1, i2 = 3, 15
     t1 = _timed_loop(step, state, i1)
     t2 = _timed_loop(step, state, i2)
     per_iter = max((t2 - t1) / (i2 - i1), 1e-9)
@@ -91,7 +91,7 @@ def bench_tpu_fv():
         return new
 
     st["u"] = st["q"]
-    i1, i2 = 4, 20
+    i1, i2 = 3, 15
     t1 = _timed_loop(step, st, i1)
     t2 = _timed_loop(step, st, i2)
     return max((t2 - t1) / (i2 - i1), 1e-9)
@@ -110,7 +110,7 @@ def bench_oracle_fv(n_iters=1):
     return (time.perf_counter() - t0) / n_iters
 
 
-def bench_oracle_dycore(n_iters=2):
+def bench_oracle_dycore(n_iters=1):
     """Numpy-oracle timestep (hdiff + vadv + update) on this host."""
     from gt4py_tpu.models.dycore import make_hdiff, make_vadv
 
