@@ -107,7 +107,7 @@ class PallasBackend(JaxBackend):
                         raise _PallasIneligible()
             halos[name] = (hi0, hi1, hj0, hj1)
 
-        n_temps = len(self.analysis.stencil.temp_decls)
+        temp_decls = self.analysis.stencil.temp_decls
 
         def vmem_bytes(ti, tj):
             total = 0
@@ -116,7 +116,14 @@ class PallasBackend(JaxBackend):
                 sk = m.shape[2]
                 total += sk * (ti + hi0 + hi1) * (tj + hj0 + hj1) * m.dtype.itemsize
                 total += sk * ti * tj * m.dtype.itemsize  # staging scratch
-            total += n_temps * dK * ti * tj * 4
+            for name, decl in temp_decls.items():
+                e = ext.field_extent(name)
+                total += (
+                    (dK - e.k[0] + e.k[1])
+                    * (ti - e.i[0] + e.i[1])
+                    * (tj - e.j[0] + e.j[1])
+                    * np.dtype(decl.dtype).itemsize
+                )
             return total
 
         if aligned:
@@ -152,6 +159,14 @@ class PallasBackend(JaxBackend):
         dI, dJ, dK = domain
 
         interpret = jax.devices()[0].platform != "tpu"
+        if not interpret:
+            # Mosaic has no 64-bit types; fall back to the XLA executor
+            for m in metas.values():
+                if m.dtype.itemsize > 4:
+                    raise _PallasIneligible()
+            for decl in self.analysis.stencil.temp_decls.values():
+                if np.dtype(decl.dtype).itemsize > 4:
+                    raise _PallasIneligible()
         TI, TJ, halos = self._tile_plan(metas, domain, aligned=not interpret)
         grid = (dI // TI, dJ // TJ)
 

@@ -248,6 +248,8 @@ def _replace_accesses(stmt: ir.Stmt, replacements: Dict[int, ir.Expr]) -> None:
     if isinstance(stmt, ir.Assign):
         stmt.value = rewrite(stmt.value)
         stmt.target.data_index = tuple(rewrite(d) for d in stmt.target.data_index)
+        if isinstance(stmt.target.offset, (ir.VariableKOffset, ir.AbsoluteKIndex)):
+            stmt.target.offset.k = rewrite(stmt.target.offset.k)
     elif isinstance(stmt, ir.If):
         stmt.cond = rewrite(stmt.cond)
         for s in stmt.body + stmt.orelse:

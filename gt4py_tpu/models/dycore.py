@@ -135,13 +135,13 @@ def make_vadv(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
     return vertical_advection_dycore
 
 
-def periodic_fill(arr, h: int, ni=None, nj=None):
+def periodic_fill(arr, h: int, ni: int, nj: int):
     """Fill I/J halos (width h) of a physical (K, >=NI+2h, >=NJ+2h) array
-    periodically (axes 1=I, 2=J); trailing alignment padding is ignored."""
+    periodically (axes 1=I, 2=J).  ``ni``/``nj`` are the DOMAIN sizes and
+    must be passed explicitly: buffers carry trailing alignment padding, so
+    they cannot be inferred from the shape."""
     if h == 0:
         return arr
-    ni = arr.shape[1] - 2 * h if ni is None else ni
-    nj = arr.shape[2] - 2 * h if nj is None else nj
     arr = arr.at[:, 0:h].set(arr[:, ni : ni + h])
     arr = arr.at[:, h + ni : 2 * h + ni].set(arr[:, h : 2 * h])
     arr = arr.at[:, :, 0:h].set(arr[:, :, nj : nj + h])
@@ -207,9 +207,15 @@ class MiniDycore:
         def step(state: Dict) -> Dict:
             import jax.numpy as jnp
 
-            u = state["u"]
             if fill_halos:
-                u = periodic_fill(u, h, self.ni, self.nj)
+                # fill EVERY field read with an offset (wcon is read at
+                # [1,0,*]), keeping this path consistent with the shard_map
+                # halo exchange, which refreshes all fields
+                state = {
+                    k: periodic_fill(v, h, self.ni, self.nj)
+                    for k, v in state.items()
+                }
+            u = state["u"]
             diffused = self.hdiff_fn(
                 in_field=u, out_field=u, coeff=state["coeff"]
             )["out_field"]

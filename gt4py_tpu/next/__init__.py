@@ -28,6 +28,7 @@ from .ffront import field_operator, program, scan_operator  # noqa: F401
 from .builtins import (  # noqa: F401
     astype,
     broadcast,
+    cos,
     exp,
     log,
     maximum,
@@ -35,6 +36,8 @@ from .builtins import (  # noqa: F401
     minimum,
     min_over,
     neighbor_sum,
+    sin,
     sqrt,
+    tanh,
     where,
 )

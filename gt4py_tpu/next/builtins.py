@@ -81,11 +81,14 @@ def _reduce(field: Field, conn_or_dim, op, init):
     ax = field.dims.index(dim)
     data = field.data
     if skip_table is not None and conn_or_dim.skip_value is not None:
-        mask_shape = [1] * data.ndim
         src_ax = field.dims.index(conn_or_dim.source)
         mask = jnp.asarray(skip_table) != conn_or_dim.skip_value
-        # mask has shape (n_source, max_neighbors) -> align to (src_ax, ax)
-        full_mask_shape = list(mask_shape)
+        # restrict the (n_source, max_neighbors) mask to the field's actual
+        # (possibly domain-intersected) source/local ranges
+        src_r = field.domain[conn_or_dim.source]
+        loc_r = field.domain[dim]
+        mask = mask[src_r.start : src_r.stop, loc_r.start : loc_r.stop]
+        full_mask_shape = [1] * data.ndim
         full_mask_shape[src_ax] = mask.shape[0]
         full_mask_shape[ax] = mask.shape[1]
         mask = mask.reshape(full_mask_shape)

@@ -166,15 +166,6 @@ class Field:
 
     # ---- domain algebra ---- #
 
-    def _restrict(self, domain: Domain) -> Any:
-        """Slice self.data down to `domain` (must be a sub-domain)."""
-        idx = []
-        for d, r in domain:
-            own = self.domain[d]
-            lo = r.start - own.start
-            idx.append(slice(lo, lo + len(r)))
-        return self.data[tuple(idx)]
-
     def remap(self, conn: Connectivity) -> "Field":
         """Gather through a neighbor table: result dims replace the
         codomain dim with (source, local)."""

@@ -34,6 +34,19 @@ def _write_out(result: Field, out: Field, domain: Optional[Domain]) -> None:
             result.domain[d].intersect(out.domain[d]) for d in result.dims
         ),
     )
+    for d, r in target:
+        rr = result.domain[d]
+        orr = out.domain[d]
+        if r.start < rr.start or r.stop > rr.stop:
+            raise ValueError(
+                f"out= domain {d.value}[{r.start}:{r.stop}] exceeds the "
+                f"result's domain [{rr.start}:{rr.stop}]"
+            )
+        if r.start < orr.start or r.stop > orr.stop:
+            raise ValueError(
+                f"out= domain {d.value}[{r.start}:{r.stop}] exceeds the "
+                f"output field's domain [{orr.start}:{orr.stop}]"
+            )
     val = _expand(result, target)
     idx = []
     for d, r in target:

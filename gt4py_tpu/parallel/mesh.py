@@ -89,10 +89,19 @@ class CartesianMesh:
     def initialize_multihost(cls, **kwargs) -> "CartesianMesh":
         """Initialize jax.distributed (multi-host) then build the mesh over
         all global devices.  On a single host this is a no-op."""
+        import os
+
         import jax
 
         try:
             jax.distributed.initialize()
         except Exception:
-            pass  # single-process or already initialized
+            # Only a configured multi-process job should fail loudly; a
+            # plain single-process run (no coordinator configured) falls
+            # back to the local devices.
+            if any(
+                os.environ.get(v)
+                for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+            ):
+                raise
         return cls(**kwargs)
