@@ -307,6 +307,8 @@ def compute_k_boundary(stencil: ir.Stencil) -> Dict[str, Tuple[int, int]]:
     }
     for loop in stencil.vertical_loops:
         for section in loop.sections:
+            if section.interval.is_runtime:
+                continue  # conservative: no static K-halo contribution
             start, end = section.interval.start, section.interval.end
             for stmt in section.body:
                 for r in _stmt_reads(stmt):
@@ -330,6 +332,8 @@ def compute_min_k_size(stencil: ir.Stencil) -> int:
     min_k = 0
     for loop in stencil.vertical_loops:
         for section in loop.sections:
+            if section.interval.is_runtime:
+                continue
             s, e = section.interval.start, section.interval.end
             if s.level == ir.LevelMarker.START and e.level == ir.LevelMarker.END:
                 min_k = max(min_k, s.offset - e.offset + 1, s.offset + 1)

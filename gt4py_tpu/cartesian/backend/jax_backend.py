@@ -364,7 +364,7 @@ class JaxTracer:
 
         dK = self.domain[2]
         for si, section in enumerate(loop.sections):
-            k0, k1 = section.interval.resolve(dK)
+            k0, k1 = section.interval.resolve(dK, self.scalars)
             k0, k1 = max(k0, 0), min(k1, dK)
             if k1 <= k0:
                 continue
@@ -1100,6 +1100,13 @@ class JaxBackend:
             for name, info in analysis.field_info.items()
             if info.access.value & 2  # WRITE
         ]
+        self.runtime_bound_names = {
+            b.name
+            for loop in self.analysis.stencil.vertical_loops
+            for section in loop.sections
+            for b in (section.interval.start, section.interval.end)
+            if isinstance(b, ir.RuntimeAxisBound)
+        }
 
     # ------------------------------------------------------------------ #
 
@@ -1116,14 +1123,15 @@ class JaxBackend:
         tracer = JaxTracer(self.analysis, dict(metas), tuple(domain))
         return tracer.trace(dict(env), dict(scalars))
 
-    def _build_program(self, metas: Dict[str, _FieldMeta], domain):
+    def _build_program(self, metas: Dict[str, _FieldMeta], domain, static_bounds=None):
         jax = _jax()
 
         written = [n for n in self.written if n in metas]
+        static_bounds = dict(static_bounds or {})
 
         def program(written_arrays, read_arrays, scalars):
             env = {**read_arrays, **written_arrays}
-            env = self._trace_env(metas, env, scalars, domain)
+            env = self._trace_env(metas, env, {**scalars, **static_bounds}, domain)
             return {n: env[n] for n in written}
 
         donate = (0,) if config.DONATE_BUFFERS else ()
@@ -1217,11 +1225,18 @@ class JaxBackend:
             for name in self.analysis.parameter_info
             if scalars.get(name) is not None
         }
+        # runtime interval bounds are baked into the trace (one compiled
+        # variant per bound value, like domain/origin specialization)
+        static_bounds = {
+            n: int(scalar_vals.pop(n))
+            for n in sorted(self.runtime_bound_names)
+            if n in scalar_vals
+        }
         key = self._program_key(
             metas, domain, {n: np.asarray(v).dtype for n, v in scalar_vals.items()}
-        )
+        ) + (tuple(sorted(static_bounds.items())),)
         if key not in self._programs:
-            self._programs[key] = self._build_program(metas, domain)
+            self._programs[key] = self._build_program(metas, domain, static_bounds)
         program = self._programs[key]
 
         if exec_info is not None:

@@ -196,7 +196,7 @@ class NumpyExecutor:
     def _run_loop(self, loop: ir.VerticalLoop) -> None:
         dK = self.domain[2]
         for section in loop.sections:
-            k0, k1 = section.interval.resolve(dK)
+            k0, k1 = section.interval.resolve(dK, self.scalars)
             k0, k1 = max(k0, 0), min(k1, dK)
             if k1 <= k0:
                 continue

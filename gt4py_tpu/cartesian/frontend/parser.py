@@ -922,9 +922,11 @@ _ORDER_MAP = {"PARALLEL": ir.LoopOrder.PARALLEL, "FORWARD": ir.LoopOrder.FORWARD
               "BACKWARD": ir.LoopOrder.BACKWARD}
 
 
-def _parse_interval_call(call: ast.Call) -> ir.Interval:
+def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None) -> ir.Interval:
     """Parse ``interval(a, b)`` / ``interval(...)``
-    (reference: VerticalIntervalParser, gtscript_frontend.py:300-409)."""
+    (reference: VerticalIntervalParser, gtscript_frontend.py:300-409;
+    scalar-parameter bounds become RuntimeAxisBounds resolved at call time).
+    """
     args = call.args
     if len(args) == 1 and isinstance(args[0], ast.Constant) and args[0].value is Ellipsis:
         return ir.Interval.full()
@@ -937,15 +939,33 @@ def _parse_interval_call(call: ast.Call) -> ir.Interval:
     if len(args) != 2:
         raise GTScriptSyntaxError("interval() takes 1 or 2 arguments")
 
-    def bound(nd: ast.expr, is_end: bool) -> ir.AxisBound:
+    def bound(nd: ast.expr, is_end: bool):
         if isinstance(nd, ast.Constant) and nd.value is None:
             return ir.AxisBound.end() if is_end else ir.AxisBound.start()
         v = _const_int(nd)
-        if v is None:
-            raise GTScriptSyntaxError("Interval bounds must be integer literals or None")
-        return ir.AxisBound.from_value(v, is_end=is_end)
+        if v is not None:
+            return ir.AxisBound.from_value(v, is_end=is_end)
+        # runtime bound: a scalar parameter (or scalar +/- literal)
+        name, off = _runtime_bound_parts(nd)
+        if name is not None and maker is not None and name in maker.ctx.scalar_decls:
+            return ir.RuntimeAxisBound(name=name, offset=off)
+        raise GTScriptSyntaxError(
+            "Interval bounds must be integer literals, None, or scalar "
+            "parameters"
+        )
 
     return ir.Interval(bound(args[0], False), bound(args[1], True))
+
+
+def _runtime_bound_parts(nd: ast.expr):
+    """Decompose `name` / `name + c` / `name - c` interval bounds."""
+    if isinstance(nd, ast.Name):
+        return nd.id, 0
+    if isinstance(nd, ast.BinOp) and isinstance(nd.op, (ast.Add, ast.Sub)):
+        c = _const_int(nd.right)
+        if c is not None and isinstance(nd.left, ast.Name):
+            return nd.left.id, c if isinstance(nd.op, ast.Add) else -c
+    return None, 0
 
 
 def _parse_computation_order(call: ast.Call, maker: IRMaker) -> ir.LoopOrder:
@@ -1100,7 +1120,7 @@ def _parse_computation_with(node: ast.With, maker: IRMaker) -> List[ir.VerticalL
         return stmts
 
     if "interval" in items:
-        interval = _parse_interval_call(items["interval"])
+        interval = _parse_interval_call(items["interval"], maker)
         sections.append(ir.VerticalSection(interval=interval, body=parse_body(node.body)))
     else:
         for inner in node.body:
@@ -1112,7 +1132,7 @@ def _parse_computation_with(node: ast.With, maker: IRMaker) -> List[ir.VerticalL
             inner_items = [_with_item_call(i) for i in inner.items]
             if len(inner_items) != 1 or inner_items[0][0] != "interval":
                 raise GTScriptSyntaxError("Expected 'with interval(...)'")
-            interval = _parse_interval_call(inner_items[0][1])
+            interval = _parse_interval_call(inner_items[0][1], maker)
             sections.append(
                 ir.VerticalSection(interval=interval, body=parse_body(inner.body))
             )

@@ -86,20 +86,52 @@ class AxisBound:
 
 
 @dataclass(frozen=True)
+class RuntimeAxisBound:
+    """A K bound given by a run-time scalar parameter, START-relative
+    (reference: frontend/nodes.py RuntimeAxisBound; resolved at call time,
+    so compiled variants are cached per bound value)."""
+
+    name: str
+    offset: int = 0
+
+    def resolve(self, size: int, scalars: Optional[Dict[str, Any]] = None) -> int:
+        if scalars is None or self.name not in scalars:
+            raise ValueError(
+                f"Runtime interval bound '{self.name}' needs a scalar value"
+            )
+        return int(scalars[self.name]) + self.offset
+
+
+@dataclass(frozen=True)
 class Interval:
     """Half-open K interval [start, end)."""
 
-    start: AxisBound
-    end: AxisBound
+    start: Union[AxisBound, "RuntimeAxisBound"]
+    end: Union[AxisBound, "RuntimeAxisBound"]
 
     @classmethod
     def full(cls) -> "Interval":
         return cls(AxisBound.start(), AxisBound.end())
 
-    def resolve(self, size: int) -> Tuple[int, int]:
-        return (self.start.resolve(size), self.end.resolve(size))
+    @property
+    def is_runtime(self) -> bool:
+        return isinstance(self.start, RuntimeAxisBound) or isinstance(
+            self.end, RuntimeAxisBound
+        )
+
+    def resolve(
+        self, size: int, scalars: Optional[Dict[str, Any]] = None
+    ) -> Tuple[int, int]:
+        def res(b):
+            if isinstance(b, RuntimeAxisBound):
+                return b.resolve(size, scalars)
+            return b.resolve(size)
+
+        return (res(self.start), res(self.end))
 
     def is_single_level_static(self) -> bool:
+        if self.is_runtime:
+            return False
         return (
             self.start.level == self.end.level
             and self.end.offset - self.start.offset == 1

@@ -205,3 +205,33 @@ def test_stencil_object_str_and_cache():
             b = a
 
     assert st2.stencil_id != "" and isinstance(st2.stencil_id, str)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_runtime_interval_bounds(backend):
+    """interval(kstart, kend) with scalar parameters
+    (reference: RuntimeAxisBound, frontend/nodes.py)."""
+
+    @gtscript.stencil(backend=backend)
+    def st(inp: Field3D, out: Field3D, *, kstart: int, kend: int):
+        with computation(PARALLEL), interval(kstart, kend):
+            out = inp + 1.0
+        with computation(FORWARD), interval(kstart + 1, None):
+            out = out + 0.5
+
+    nk = 8
+    a = np.zeros((3, 3, nk))
+    out = np.zeros_like(a)
+    st(a, out, kstart=2, kend=5, origin=(0, 0, 0))
+    expected = np.zeros(nk)
+    expected[2:5] += 1.0
+    expected[3:] += 0.5
+    np.testing.assert_array_equal(out[0, 0], expected)
+
+    # different bound values re-specialize correctly
+    out[:] = 0.0
+    st(a, out, kstart=0, kend=2, origin=(0, 0, 0))
+    expected = np.zeros(nk)
+    expected[0:2] += 1.0
+    expected[1:] += 0.5
+    np.testing.assert_array_equal(out[0, 0], expected)
