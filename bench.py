@@ -100,10 +100,16 @@ def bench_tpu_fv():
 def bench_oracle_fv(n_iters=1):
     from gt4py_tpu.models import FvAdvection
 
+    # warm the stencil builds on a tiny domain, then time ONE full-scale
+    # step directly (cache effects make scale extrapolation unreliable)
+    warm = FvAdvection(16, 16, 4, dtype=np.float64, backend="numpy")
+    wst = warm.init_state(seed=4)
+    WL = {k: np.transpose(v, (1, 2, 0)).copy() for k, v in wst.items()}
+    warm.run_numpy_oracle(WL["q"], WL["cx"], WL["cy"])
+
     model = FvAdvection(NI, NJ, NK, dtype=np.float64, backend="numpy")
     st = model.init_state(seed=4)
     L = {k: np.transpose(v, (1, 2, 0)).copy() for k, v in st.items()}
-    model.run_numpy_oracle(L["q"], L["cx"], L["cy"])  # warm caches
     t0 = time.perf_counter()
     for _ in range(n_iters):
         model.run_numpy_oracle(L["q"], L["cx"], L["cy"])
@@ -137,7 +143,21 @@ def bench_oracle_dycore(n_iters=1):
         )
         u[h:-h, h:-h] = diffused[h:-h, h:-h] + (1.0 / 3.0) * utens_stage[h:-h, h:-h]
 
-    one_step()  # warm (build caches)
+    # warm the stencil builds on a tiny call, then time full scale once
+    hdiff(
+        u[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        diffused[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        coeff[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        origin=origin, domain=(8, 8, 4),
+    )
+    vadv(
+        utens_stage[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        diffused[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        wcon[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        diffused[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        utens[: 8 + 2 * h, : 8 + 2 * h, :4].copy(),
+        dtr_stage=3.0, origin=origin, domain=(8, 8, 4),
+    )
     t0 = time.perf_counter()
     for _ in range(n_iters):
         one_step()
