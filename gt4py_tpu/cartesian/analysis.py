@@ -248,6 +248,10 @@ class ExtentAnalysis:
     field_extents: Dict[str, Extent]
     #: horizontal compute extent of each top-level statement unit (by id)
     stmt_extents: Dict[int, Extent]
+    #: per-field union of the extents of units WRITING it: a statement
+    #: grouped with larger-extent siblings (inside an if) writes its
+    #: targets over the whole unit extent
+    write_extents: Dict[str, Extent]
 
     def stmt_extent(self, stmt: ir.Stmt) -> Extent:
         return self.stmt_extents.get(id(stmt), Extent.zeros())
@@ -255,8 +259,15 @@ class ExtentAnalysis:
     def field_extent(self, name: str) -> Extent:
         return self.field_extents.get(name, Extent.zeros()).union_zero()
 
+    def write_extent(self, name: str) -> Extent:
+        return self.write_extents.get(name, Extent.zeros()).union_zero()
+
+    def alloc_extent(self, name: str) -> Extent:
+        """Extent a buffer must cover: reads plus extended unit writes."""
+        return self.field_extent(name) | self.write_extent(name)
+
     def boundary(self, name: str) -> Boundary:
-        return self.field_extent(name).to_boundary()
+        return self.alloc_extent(name).to_boundary()
 
 
 def compute_extents(stencil: ir.Stencil) -> ExtentAnalysis:
@@ -270,6 +281,7 @@ def compute_extents(stencil: ir.Stencil) -> ExtentAnalysis:
     """
     field_extents: Dict[str, Extent] = {}
     stmt_extents: Dict[int, Extent] = {}
+    write_extents: Dict[str, Extent] = {}
 
     for loop in reversed(stencil.vertical_loops):
         for section in reversed(loop.sections):
@@ -280,6 +292,10 @@ def compute_extents(stencil: ir.Stencil) -> ExtentAnalysis:
                     ext = ext | field_extents.get(w.name, Extent.zeros()).horizontal
                 ext = ext.union_zero()
                 stmt_extents[id(stmt)] = Extent(i=ext.i, j=ext.j)
+                for w in writes:
+                    write_extents[w.name] = write_extents.get(
+                        w.name, Extent.zeros()
+                    ) | Extent(i=ext.i, j=ext.j)
                 for r in _stmt_reads(stmt):
                     if isinstance(r.offset, ir.CartesianOffset):
                         off = Extent.from_offset(r.offset.i, r.offset.j, r.offset.k)
@@ -295,7 +311,11 @@ def compute_extents(stencil: ir.Stencil) -> ExtentAnalysis:
                             field_extents.get(w.name, Extent.zeros()) | off
                         )
 
-    return ExtentAnalysis(field_extents=field_extents, stmt_extents=stmt_extents)
+    return ExtentAnalysis(
+        field_extents=field_extents,
+        stmt_extents=stmt_extents,
+        write_extents=write_extents,
+    )
 
 
 def compute_k_boundary(stencil: ir.Stencil) -> Dict[str, Tuple[int, int]]:
@@ -417,7 +437,7 @@ def analyze(stencil: ir.Stencil) -> StencilAnalysis:
             access |= AccessKind.READ
         if name in written_fields:
             access |= AccessKind.WRITE
-        ext = extents.field_extent(name)
+        ext = extents.alloc_extent(name)
         kb = k_bounds.get(name, (0, 0))
         boundary = Boundary(
             i=(-min(ext.i[0], 0), max(ext.i[1], 0)),

@@ -296,7 +296,7 @@ class JaxTracer:
         # the reference's LocalTemporariesToScalars / K-cache passes,
         # gtc/passes/oir_optimizations/{temporaries,caches}.py)
         for name, decl in self.stencil.temp_decls.items():
-            ext = self.analysis.extents.field_extent(name)
+            ext = self.analysis.extents.alloc_extent(name)
             shape = (
                 self.domain[0] - ext.i[0] + ext.i[1],
                 self.domain[1] - ext.j[0] + ext.j[1],
@@ -459,8 +459,39 @@ class JaxTracer:
             and name not in env
             and not any(n == name for (n, dk) in xs_specs if dk != 0)
         }
+
+        # per-field union of writing-statement extents: the writeback region
+        per_field_write_ext: Dict[str, Extent] = {}
+        for stmt in section.body:
+            sext = self.analysis.extents.stmt_extent(stmt)
+            for w in ir.walk_values(stmt):
+                if isinstance(w, ir.Assign):
+                    cur = per_field_write_ext.get(w.target.name)
+                    per_field_write_ext[w.target.name] = (
+                        sext if cur is None else (cur | sext)
+                    )
+
+        def _definite_write_covers(name: str) -> bool:
+            """Does the first unconditional write's extent cover the whole
+            writeback region?  If not, the uncovered ring would read the
+            unseeded plane (zeros) and clobber old halo values."""
+            wext = per_field_write_ext.get(name, Extent.zeros())
+            for stmt in section.body:
+                if isinstance(stmt, ir.Assign) and stmt.target.name == name:
+                    dext = self.analysis.extents.stmt_extent(stmt)
+                    return (
+                        dext.i[0] <= wext.i[0]
+                        and dext.i[1] >= wext.i[1]
+                        and dext.j[0] <= wext.j[0]
+                        and dext.j[1] >= wext.j[1]
+                    )
+            return False
+
         for name in written:
-            if name in local_written or not _needs_old_plane_seed(section.body, name):
+            if name in local_written or (
+                not _needs_old_plane_seed(section.body, name)
+                and _definite_write_covers(name)
+            ):
                 xs_specs.discard((name, 0))
 
         plane_metas: Dict[str, _FieldMeta] = {}
@@ -589,16 +620,9 @@ class JaxTracer:
 
         _, ys = jax.lax.scan(step, carry0, xs)
 
-        # per-field write region: union of the extents of the statements
-        # that write it -- unseeded planes are zero outside this region, so
-        # the writeback must not clobber halo points beyond it
-        write_ext: Dict[str, Extent] = {}
-        for stmt in section.body:
-            ext = extents.stmt_extent(stmt)
-            for w in ir.walk_values(stmt):
-                if isinstance(w, ir.Assign):
-                    cur = write_ext.get(w.target.name)
-                    write_ext[w.target.name] = ext if cur is None else (cur | ext)
+        # per-field write region (computed above): unseeded planes are zero
+        # outside it, so the writeback must not clobber halo points beyond it
+        write_ext = per_field_write_ext
 
         env = dict(env)
         for name in written - local_written:

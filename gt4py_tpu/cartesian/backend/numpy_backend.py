@@ -175,7 +175,7 @@ class NumpyExecutor:
         # allocate temporaries on the extended domain (including K halo so
         # reads at K offsets crossing the domain edge stay in bounds)
         for name, decl in self.stencil.temp_decls.items():
-            ext = self.analysis.extents.field_extent(name)
+            ext = self.analysis.extents.alloc_extent(name)
             shape = (
                 domain[0] - ext.i[0] + ext.i[1],
                 domain[1] - ext.j[0] + ext.j[1],

@@ -117,7 +117,7 @@ class PallasBackend(JaxBackend):
                 total += sk * (ti + hi0 + hi1) * (tj + hj0 + hj1) * m.dtype.itemsize
                 total += sk * ti * tj * m.dtype.itemsize  # staging scratch
             for name, decl in temp_decls.items():
-                e = ext.field_extent(name)
+                e = ext.alloc_extent(name)
                 total += (
                     (dK - e.k[0] + e.k[1])
                     * (ti - e.i[0] + e.i[1])
@@ -204,7 +204,7 @@ class PallasBackend(JaxBackend):
         ext = analysis.extents
         temp_tile_shapes = {}
         for name in temp_names:
-            e = ext.field_extent(name)
+            e = ext.alloc_extent(name)
             temp_tile_shapes[name] = (
                 dK - e.k[0] + e.k[1],
                 TI - e.i[0] + e.i[1],

@@ -1,0 +1,261 @@
+"""Random stencil-program generator for differential backend testing.
+
+Generates random *valid* GTScript-like programs directly as IR (bypassing
+the frontend), runs them on the numpy oracle and the jax executor, and
+compares.  This hunts semantic divergence the hand-written suites miss:
+random offset patterns, section layouts, mask nesting, temp reuse.
+
+The generator respects the parallel-model race rules by construction:
+- API output fields are only written at zero offset and never read with
+  horizontal offsets;
+- in PARALLEL loops, written fields are not read at k offsets;
+- temporaries are written before they are read (definitive assignment).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from gt4py_tpu.cartesian import ir
+
+MAX_OFFSET = 2
+
+
+class ProgramGenerator:
+    def __init__(self, rng: random.Random, n_inputs: int = 3, n_outputs: int = 2):
+        self.rng = rng
+        self.inputs = [f"in{i}" for i in range(n_inputs)]
+        self.outputs = [f"out{i}" for i in range(n_outputs)]
+        self.n_temps = 0
+
+    # ------------------------------------------------------------------ #
+
+    def generate(self) -> ir.Stencil:
+        n_loops = self.rng.randint(1, 3)
+        loops = []
+        self.temps_assigned: List[str] = []
+        for _ in range(n_loops):
+            loops.append(self._gen_loop())
+
+        field_decls = {
+            name: ir.FieldDecl(name=name, dtype=np.dtype(np.float64))
+            for name in self.inputs + self.outputs
+        }
+        temp_decls = {
+            name: ir.FieldDecl(
+                name=name, dtype=np.dtype(np.float64), is_api=False
+            )
+            for name in self.temps_assigned
+        }
+        params = [
+            ir.ApiParam(name=n, is_field=True) for n in self.inputs + self.outputs
+        ]
+        return ir.Stencil(
+            name=f"fuzz_{self.rng.randint(0, 1 << 30)}",
+            api_params=params,
+            field_decls=field_decls,
+            scalar_decls={},
+            temp_decls=temp_decls,
+            vertical_loops=loops,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _gen_loop(self) -> ir.VerticalLoop:
+        order = self.rng.choice(
+            [ir.LoopOrder.PARALLEL, ir.LoopOrder.FORWARD, ir.LoopOrder.BACKWARD]
+        )
+        n_sections = self.rng.randint(1, 2)
+        if n_sections == 1:
+            intervals = [ir.Interval.full()]
+        else:
+            split = self.rng.randint(1, 3)
+            intervals = [
+                ir.Interval(ir.AxisBound.start(), ir.AxisBound.start(split)),
+                ir.Interval(ir.AxisBound.start(split), ir.AxisBound.end()),
+            ]
+            if order == ir.LoopOrder.BACKWARD:
+                intervals.reverse()
+        sections = []
+        for iv in intervals:
+            body = self._gen_section_body(order)
+            sections.append(ir.VerticalSection(interval=iv, body=body))
+        return ir.VerticalLoop(loop_order=order, sections=sections)
+
+    def _gen_section_body(self, order) -> List[ir.Stmt]:
+        serial = order != ir.LoopOrder.PARALLEL
+        stmts: List[ir.Stmt] = []
+        #: names written in this section (serial loops may read them back
+        #: at "behind" offsets; PARALLEL only at zero offset)
+        written_here: List[str] = []
+        for _ in range(self.rng.randint(1, 4)):
+            kind = self.rng.random()
+            if kind < 0.7 or not written_here:
+                stmt = self._gen_assign(order, written_here)
+            else:
+                cond = self._gen_expr(order, written_here, depth=1)
+                cond = ir.BinaryOp(
+                    op=ir.BinaryOperator.GT, left=cond, right=ir.Literal(value=0.5)
+                )
+                # conditional writes are NOT definitive: only outputs and
+                # already-definitely-assigned temps may be targets, and
+                # written_here must not gain new names
+                body = [self._gen_assign(order, written_here, conditional=True)]
+                orelse = (
+                    [self._gen_assign(order, written_here, conditional=True)]
+                    if self.rng.random() < 0.5
+                    else []
+                )
+                stmt = ir.If(cond=cond, body=body, orelse=orelse)
+            stmts.append(stmt)
+        # ensure at least one output is written somewhere
+        if not any(
+            isinstance(n, ir.Assign) and n.target.name in self.outputs
+            for s in stmts
+            for n in ir.walk_values(s)
+        ):
+            out = self.rng.choice(self.outputs)
+            stmts.append(
+                ir.Assign(
+                    target=ir.FieldAccess(name=out),
+                    value=self._gen_expr(order, written_here, depth=0),
+                )
+            )
+        return stmts
+
+    def _gen_assign(
+        self, order, written_here: List[str], conditional: bool = False
+    ) -> ir.Assign:
+        r = self.rng.random()
+        if conditional:
+            # must stay definitively-assigned: outputs or existing temps
+            pool = self.outputs + self.temps_assigned
+            target = self.rng.choice(pool)
+        elif r < 0.4:
+            target = self.rng.choice(self.outputs)
+        elif r < 0.7 and self.temps_assigned:
+            target = self.rng.choice(self.temps_assigned)
+        else:
+            target = f"tmp{self.n_temps}"
+            self.n_temps += 1
+        value = self._gen_expr(order, written_here, depth=0)
+        if target not in self.temps_assigned and target not in self.outputs:
+            # definitively assigned only from this statement on
+            self.temps_assigned.append(target)
+        # self-reads must be offset-free horizontally (race rule,
+        # gtir.py:96-110): neutralize any generated offsets on the target
+        for acc in ir.field_accesses(value):
+            if acc.name == target and isinstance(acc.offset, ir.CartesianOffset):
+                if acc.offset.i or acc.offset.j:
+                    acc.offset = ir.CartesianOffset(0, 0, acc.offset.k)
+        if not conditional and target not in written_here:
+            written_here.append(target)
+        return ir.Assign(target=ir.FieldAccess(name=target), value=value)
+
+    def _gen_expr(self, order, written_here: List[str], depth: int) -> ir.Expr:
+        serial = order != ir.LoopOrder.PARALLEL
+        r = self.rng.random()
+        if depth >= 3 or r < 0.35:
+            return self._gen_leaf(order, written_here)
+        if r < 0.8:
+            op = self.rng.choice(
+                [
+                    ir.BinaryOperator.ADD,
+                    ir.BinaryOperator.SUB,
+                    ir.BinaryOperator.MUL,
+                ]
+            )
+            return ir.BinaryOp(
+                op=op,
+                left=self._gen_expr(order, written_here, depth + 1),
+                right=self._gen_expr(order, written_here, depth + 1),
+            )
+        if r < 0.9:
+            fn = self.rng.choice(
+                [ir.NativeFunction.ABS, ir.NativeFunction.SIN, ir.NativeFunction.TANH]
+            )
+            return ir.NativeFuncCall(
+                func=fn, args=[self._gen_expr(order, written_here, depth + 1)]
+            )
+        return ir.TernaryOp(
+            cond=ir.BinaryOp(
+                op=ir.BinaryOperator.LT,
+                left=self._gen_leaf(order, written_here),
+                right=ir.Literal(value=0.5),
+            ),
+            true_expr=self._gen_expr(order, written_here, depth + 1),
+            false_expr=self._gen_expr(order, written_here, depth + 1),
+        )
+
+    def _gen_leaf(self, order, written_here: List[str]) -> ir.Expr:
+        serial = order != ir.LoopOrder.PARALLEL
+        r = self.rng.random()
+        if r < 0.15:
+            return ir.Literal(value=round(self.rng.uniform(-2, 2), 3))
+        candidates = list(self.inputs)
+        # any definitively-assigned temp is readable: same-section at zero
+        # offset (plus behind-the-sweep K in serial loops), earlier-section
+        # ones also at horizontal offsets (extent analysis extends them)
+        name = self.rng.choice(candidates + self.temps_assigned)
+        if name in self.inputs:
+            di = self.rng.randint(-MAX_OFFSET, MAX_OFFSET)
+            dj = self.rng.randint(-MAX_OFFSET, MAX_OFFSET)
+            dk = self.rng.randint(-1, 1)
+            return ir.FieldAccess(name=name, offset=ir.CartesianOffset(di, dj, dk))
+        if name in written_here and serial and self.rng.random() < 0.4:
+            behind = -1 if order == ir.LoopOrder.FORWARD else 1
+            return ir.FieldAccess(
+                name=name, offset=ir.CartesianOffset(0, 0, behind)
+            )
+        if name not in written_here and self.rng.random() < 0.5:
+            # temp from an earlier section: horizontal offsets are legal
+            di = self.rng.randint(-1, 1)
+            dj = self.rng.randint(-1, 1)
+            return ir.FieldAccess(name=name, offset=ir.CartesianOffset(di, dj, 0))
+        return ir.FieldAccess(name=name)
+
+
+def run_differential_case(seed: int, domain=(7, 6, 5), halo=6) -> None:
+    """Generate one program, run numpy vs jax, assert allclose."""
+    from gt4py_tpu.cartesian import analysis as analysis_mod
+    from gt4py_tpu.cartesian.backend import from_name
+
+    rng = random.Random(seed)
+    gen = ProgramGenerator(rng)
+    stencil = gen.generate()
+    an = analysis_mod.analyze(stencil)
+
+    nprng = np.random.default_rng(seed)
+    shape = (domain[0] + 2 * halo, domain[1] + 2 * halo, domain[2] + 2)
+    arrays = {}
+    origins = {}
+    for name in gen.inputs + gen.outputs:
+        arrays[name] = nprng.random(shape)
+        origins[name] = (halo, halo, 1)
+
+    ref = {k: v.copy() for k, v in arrays.items()}
+    from_name("numpy")(an).run(ref, {}, domain, origins)
+
+    jx = {k: v.copy() for k, v in arrays.items()}
+    result = from_name("jax")(an, {}).run(jx, {}, domain, origins)
+    for name, new in result.items():
+        jx[name][...] = np.asarray(new)
+
+    for name in gen.outputs + gen.inputs:
+        np.testing.assert_allclose(
+            jx[name],
+            ref[name],
+            rtol=1e-12,
+            atol=1e-12,
+            err_msg=f"seed {seed}: field '{name}' diverges\n"
+            + _dump(stencil),
+        )
+
+
+def _dump(stencil) -> str:
+    from gt4py_tpu.cartesian.pretty import pformat_stencil
+
+    return pformat_stencil(stencil)

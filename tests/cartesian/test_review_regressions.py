@@ -208,3 +208,61 @@ def test_gridio_numpy_fallback(tmp_path, monkeypatch):
     dt, shape = gio.probe_grid(p)
     assert shape == (3, 4)
     np.testing.assert_array_equal(gio.load_grid(p), arr)
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_masked_write_in_extended_unit(backend):
+    """A field masked-written inside an `if` grouped with larger-extent
+    sibling writes is computed over the whole unit extent; its buffer must
+    be allocated to that extent (fuzzer seeds 93/282/333: numpy oracle
+    broadcast ValueError when `small`'s buffer only covered its own reads).
+    Reference analog: per-assignment HorizontalExecutions keep extents
+    separate (gtc/passes/oir_optimizations/horizontal_execution_merging.py);
+    our coarser if-units must instead extend the allocation."""
+
+    @gtscript.stencil(backend=backend)
+    def st(inp: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            tmp = inp + 1.0
+            small = inp * 2.0
+            if inp > 0.5:
+                small = tmp
+                big = inp
+            else:
+                big = -inp
+            out = big[1, 0, 0] + big[-1, 0, 0] + small
+
+    rng = np.random.default_rng(7)
+    inp = rng.random((10, 9, 4))
+    out = np.zeros((10, 9, 4))
+    st(inp, out, origin=(1, 1, 0), domain=(8, 7, 4))
+
+    tmp = inp + 1.0
+    small = np.where(inp > 0.5, tmp, inp * 2.0)
+    big = np.where(inp > 0.5, inp, -inp)
+    expect = big[2:, 1:-1] + big[:-2, 1:-1] + small[1:-1, 1:-1]
+    np.testing.assert_allclose(out[1:-1, 1:-1], expect, rtol=1e-13)
+
+
+def test_api_write_halo_requirement():
+    """An API output masked-written in an extended unit gains a write-halo
+    boundary requirement, enforced at call validation."""
+
+    @gtscript.stencil(backend="numpy")
+    def st(inp: Field3D, out: Field3D, out2: Field3D):
+        with computation(PARALLEL), interval(...):
+            if inp > 0.5:
+                out2 = inp
+                big = inp
+            else:
+                out2 = -inp
+                big = inp * 3.0
+            out = big[1, 0, 0] + big[-1, 0, 0]
+
+    from gt4py_tpu.cartesian.stencil_object import ArgumentError
+
+    inp = np.random.default_rng(0).random((10, 9, 4))
+    o, o2 = np.zeros((10, 9, 4)), np.zeros((8, 7, 4))
+    with pytest.raises(ArgumentError, match="halo requirement"):
+        st(inp, o, o2, domain=(8, 7, 4),
+           origin={"inp": (1, 1, 0), "out": (1, 1, 0), "out2": (0, 0, 0)})
