@@ -29,6 +29,7 @@ class ProgramGenerator:
         self.rng = rng
         self.inputs = [f"in{i}" for i in range(n_inputs)]
         self.outputs = [f"out{i}" for i in range(n_outputs)]
+        self.scalars = ["s0", "s1"]
         self.n_temps = 0
 
     # ------------------------------------------------------------------ #
@@ -52,12 +53,18 @@ class ProgramGenerator:
         }
         params = [
             ir.ApiParam(name=n, is_field=True) for n in self.inputs + self.outputs
+        ] + [
+            ir.ApiParam(name=n, is_field=False, is_keyword=True)
+            for n in self.scalars
         ]
         return ir.Stencil(
             name=f"fuzz_{self.rng.randint(0, 1 << 30)}",
             api_params=params,
             field_decls=field_decls,
-            scalar_decls={},
+            scalar_decls={
+                n: ir.ScalarDecl(name=n, dtype=np.dtype(np.float64))
+                for n in self.scalars
+            },
             temp_decls=temp_decls,
             vertical_loops=loops,
         )
@@ -93,9 +100,9 @@ class ProgramGenerator:
         written_here: List[str] = []
         for _ in range(self.rng.randint(1, 4)):
             kind = self.rng.random()
-            if kind < 0.7 or not written_here:
+            if kind < 0.6 or not written_here:
                 stmt = self._gen_assign(order, written_here)
-            else:
+            elif kind < 0.8:
                 cond = self._gen_expr(order, written_here, depth=1)
                 cond = ir.BinaryOp(
                     op=ir.BinaryOperator.GT, left=cond, right=ir.Literal(value=0.5)
@@ -110,6 +117,39 @@ class ProgramGenerator:
                     else []
                 )
                 stmt = ir.If(cond=cond, body=body, orelse=orelse)
+            elif kind < 0.9 and self.temps_assigned:
+                # bounded pointwise while: increment a definitely-assigned
+                # temp until it clears a nearby bound (terminates in <= ~4
+                # iterations since fields start in [0, 1) plus a few ops)
+                t = self.rng.choice(self.temps_assigned)
+                cond = ir.BinaryOp(
+                    op=ir.BinaryOperator.LT,
+                    left=ir.FieldAccess(name=t),
+                    right=ir.Literal(value=round(self.rng.uniform(0.5, 2.0), 3)),
+                )
+                body: List[ir.Stmt] = [
+                    ir.Assign(
+                        target=ir.FieldAccess(name=t),
+                        value=ir.BinaryOp(
+                            op=ir.BinaryOperator.ADD,
+                            left=ir.FieldAccess(name=t),
+                            right=ir.Literal(value=1.0),
+                        ),
+                    )
+                ]
+                if self.rng.random() < 0.5:
+                    extra = self._gen_assign(order, written_here, conditional=True)
+                    # the extra assign must not reset the loop counter below
+                    # the bound (non-termination)
+                    if extra.target.name != t:
+                        body.append(extra)
+                stmt = ir.While(cond=cond, body=body)
+            else:
+                # horizontal region: partial write, same rules as masked
+                stmt = ir.HorizontalRestriction(
+                    masks=[self._gen_hmask() for _ in range(self.rng.randint(1, 2))],
+                    body=[self._gen_assign(order, written_here, conditional=True)],
+                )
             stmts.append(stmt)
         # ensure at least one output is written somewhere
         if not any(
@@ -125,6 +165,28 @@ class ProgramGenerator:
                 )
             )
         return stmts
+
+    def _gen_hmask(self) -> ir.HorizontalMask:
+        def hiv():
+            r = self.rng.random()
+            if r < 0.3:
+                return ir.HorizontalInterval()  # unbounded
+            mk = self.rng.choice([ir.AxisBound.start, ir.AxisBound.end])
+            o = self.rng.randint(-1, 2)
+            lo = mk(o) if mk is ir.AxisBound.start else mk(o - 3)
+            hi_mk = self.rng.choice([ir.AxisBound.start, ir.AxisBound.end])
+            hi = (
+                hi_mk(self.rng.randint(2, 5))
+                if hi_mk is ir.AxisBound.start
+                else hi_mk(self.rng.randint(-1, 1))
+            )
+            if r < 0.55:
+                return ir.HorizontalInterval(start=lo)
+            if r < 0.8:
+                return ir.HorizontalInterval(end=hi)
+            return ir.HorizontalInterval(start=lo, end=hi)
+
+        return ir.HorizontalMask(i=hiv(), j=hiv())
 
     def _gen_assign(
         self, order, written_here: List[str], conditional: bool = False
@@ -193,14 +255,39 @@ class ProgramGenerator:
     def _gen_leaf(self, order, written_here: List[str]) -> ir.Expr:
         serial = order != ir.LoopOrder.PARALLEL
         r = self.rng.random()
-        if r < 0.15:
+        if r < 0.12:
             return ir.Literal(value=round(self.rng.uniform(-2, 2), 3))
+        if r < 0.2:
+            return ir.ScalarAccess(name=self.rng.choice(self.scalars))
         candidates = list(self.inputs)
         # any definitively-assigned temp is readable: same-section at zero
         # offset (plus behind-the-sweep K in serial loops), earlier-section
         # ones also at horizontal offsets (extent analysis extends them)
         name = self.rng.choice(candidates + self.temps_assigned)
         if name in self.inputs:
+            rr = self.rng.random()
+            if rr < 0.08:
+                # data-dependent K offset (clipped to field bounds)
+                return ir.FieldAccess(
+                    name=name,
+                    offset=ir.VariableKOffset(
+                        k=ir.Literal(
+                            value=self.rng.randint(-3, 3),
+                            dtype=np.dtype(np.int64),
+                        )
+                    ),
+                )
+            if rr < 0.16:
+                # absolute K read
+                return ir.FieldAccess(
+                    name=name,
+                    offset=ir.AbsoluteKIndex(
+                        k=ir.Literal(
+                            value=self.rng.randint(0, 4),
+                            dtype=np.dtype(np.int64),
+                        )
+                    ),
+                )
             di = self.rng.randint(-MAX_OFFSET, MAX_OFFSET)
             dj = self.rng.randint(-MAX_OFFSET, MAX_OFFSET)
             dk = self.rng.randint(-1, 1)
@@ -236,11 +323,13 @@ def run_differential_case(seed: int, domain=(7, 6, 5), halo=6) -> None:
         arrays[name] = nprng.random(shape)
         origins[name] = (halo, halo, 1)
 
+    scalars = {"s0": nprng.uniform(-1, 1), "s1": nprng.uniform(-1, 1)}
+
     ref = {k: v.copy() for k, v in arrays.items()}
-    from_name("numpy")(an).run(ref, {}, domain, origins)
+    from_name("numpy")(an).run(ref, scalars, domain, origins)
 
     jx = {k: v.copy() for k, v in arrays.items()}
-    result = from_name("jax")(an, {}).run(jx, {}, domain, origins)
+    result = from_name("jax")(an, {}).run(jx, scalars, domain, origins)
     for name, new in result.items():
         jx[name][...] = np.asarray(new)
 
