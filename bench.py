@@ -102,12 +102,12 @@ def bench_oracle_fv(n_iters=1):
 
     # warm the stencil builds on a tiny domain, then time ONE full-scale
     # step directly (cache effects make scale extrapolation unreliable)
-    warm = FvAdvection(16, 16, 4, dtype=np.float64, backend="numpy")
+    warm = FvAdvection(16, 16, 4, dtype=np.float64, backend="numpy", aligned=False)
     wst = warm.init_state(seed=4)
     WL = {k: np.transpose(v, (1, 2, 0)).copy() for k, v in wst.items()}
     warm.run_numpy_oracle(WL["q"], WL["cx"], WL["cy"])
 
-    model = FvAdvection(NI, NJ, NK, dtype=np.float64, backend="numpy")
+    model = FvAdvection(NI, NJ, NK, dtype=np.float64, backend="numpy", aligned=False)
     st = model.init_state(seed=4)
     L = {k: np.transpose(v, (1, 2, 0)).copy() for k, v in st.items()}
     t0 = time.perf_counter()

@@ -404,9 +404,17 @@ class JaxTracer:
                 if n == 1:
                     env = body(0, env)
                 elif self.ref_env:
-                    # refs are mutated in place; carry only a dummy token
+                    import jax.numpy as jnp
+
+                    # refs are mutated in place; carry only a dummy token.
+                    # int32 induction: an i64 loop index reaching a Mosaic
+                    # ref-view dynamic slice sends the lowering into a
+                    # convert_element_type recursion
                     jax.lax.fori_loop(
-                        0, n, lambda i, c, _e=env: (body(i, _e), c)[1], 0
+                        jnp.int32(0),
+                        jnp.int32(n),
+                        lambda i, c, _e=env: (body(i, _e), c)[1],
+                        jnp.int32(0),
                     )
                 else:
                     env = jax.lax.fori_loop(0, n, body, env)

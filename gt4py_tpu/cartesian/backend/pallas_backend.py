@@ -1,31 +1,40 @@
-"""Pallas (Mosaic TPU) backend: whole-stencil fused tile kernels.
+"""Pallas (Mosaic TPU) backend: pipelined whole-stencil fused tile kernels.
 
 The entire stencil -- every vertical loop, including serial-K tridiagonal
-sweeps -- fuses into ONE Pallas kernel executed over a grid of (I, J) tiles:
+sweeps -- fuses into ONE Pallas kernel executed over a sequential grid of
+tiles with software-pipelined DMA:
 
-- each tile DMAs the halo-extended K-column block of every field from HBM
-  into VMEM (per-field halo width from extent analysis, expanded so the
-  DMA start indices land on the (8, 128) tiling -- Mosaic requires aligned
-  memref slices),
+- **double-buffered input DMA**: while tile ``t`` computes, tile ``t+1``'s
+  halo-extended blocks stream HBM -> VMEM into the other buffer slot, and
+  tile ``t-1``'s results stream back VMEM -> HBM (guide: "Patterns: Double
+  Buffering"), hiding memory latency behind the VPU work;
+- **two tiling modes**:
+  - *K-tiled rows* (all-PARALLEL stencils): tiles span the full physical J
+    row, so lane-dim (128) DMA alignment never forces halo expansion, and
+    K is tiled to fit VMEM.  J halos cost zero extra traffic.
+  - *IJ tiles* (stencils with serial-K loops): the full K column per tile
+    (sweep dependencies live in VMEM); I/J halos are expanded so DMA
+    starts land on the (8, 128) tiling Mosaic requires.
 - the shared IR tracer runs *inside the kernel* in mutable-ref mode on the
   VMEM tiles (fori_loop for serial K), so temporaries never touch HBM --
   the TPU equivalent of the reference's stage fusion + IJ/K software
   caches (gtc/passes/oir_optimizations/{horizontal_execution_merging,
   caches}.py),
-- written fields write their interior through an aligned staging scratch
-  into fresh (K, dI, dJ) output buffers; the wrapper then splices those
-  interiors back into the halo-carrying buffers (XLA fuses this with
-  consumers).
+- written fields that are never read alias their input buffer
+  (``input_output_aliases``): no fresh-output splice traffic and halos are
+  preserved in place.  Read+written fields write through fresh outputs
+  spliced back by XLA (tile prefetch must never race a neighbor's store).
 
 Inputs/outputs use the executor's physical K-leading (K, I, J) layout;
 J rides the TPU lane dimension.  Stencils the kernel path cannot express
-(variable-K offsets, data dimensions, non-tileable domains) fall back to
-the XLA executor transparently.
+(variable-K offsets, data dimensions, non-tileable domains, API fields
+written over extended unit extents) fall back to the XLA executor
+transparently.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -42,18 +51,38 @@ class _PallasIneligible(Exception):
     pass
 
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom below ~16MB/core
+_VMEM_BUDGET = 14 * 1024 * 1024  # scratch + value-stack, below the 16MB core
 _SUBLANE = 8
 _LANE = 128
+_LIVE_VALUES = 8  # conservative count of concurrently-live whole-tile values
 
 
 def _divisors(n: int):
     return [d for d in range(1, n + 1) if n % d == 0]
 
 
+def _pad_tile(ni: int, nj: int) -> Tuple[int, int]:
+    """Mosaic pads the two minor dims of every VMEM buffer/value to the
+    (8, 128) register tiling; account at the padded sizes."""
+    pi = ni if ni == 1 else -(-ni // _SUBLANE) * _SUBLANE
+    pj = nj if nj == 1 else -(-nj // _LANE) * _LANE
+    return pi, pj
+
+
+def _full_interval(iv: ir.Interval) -> bool:
+    if iv.is_runtime:
+        return False
+    return (
+        iv.start.level == ir.LevelMarker.START
+        and iv.start.offset == 0
+        and iv.end.level == ir.LevelMarker.END
+        and iv.end.offset == 0
+    )
+
+
 @register("pallas")
 class PallasBackend(JaxBackend):
-    """Fused-tile Mosaic kernels with XLA fallback."""
+    """Pipelined fused-tile Mosaic kernels with XLA fallback."""
 
     storage_device = "tpu"
 
@@ -61,6 +90,16 @@ class PallasBackend(JaxBackend):
         try:
             return self._pallas_trace(metas, env, scalars, tuple(domain))
         except _PallasIneligible:
+            import os as _os
+
+            if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
+                import traceback
+
+                print(
+                    f"[pallas] {self.analysis.stencil.name}: XLA fallback at\n"
+                    + "".join(traceback.format_exc().splitlines(True)[-6:]),
+                    flush=True,
+                )
             return super()._trace_env(metas, env, scalars, domain)
 
     # ------------------------------------------------------------------ #
@@ -75,55 +114,172 @@ class PallasBackend(JaxBackend):
         for m in metas.values():
             if m.data_ndim:
                 raise _PallasIneligible()
-
-    def _tile_plan(self, metas, domain, aligned: bool):
-        """Pick (TI, TJ): tile sizes dividing the domain, fitting VMEM.
-
-        On real TPUs (aligned mode) TI must be a multiple of the sublane
-        tiling (8) and TJ of the lane tiling (128) so DMA starts align.
-        """
-        dI, dJ, dK = domain
+        # API fields masked-written over extended unit extents mutate their
+        # halos (oracle semantics); the tile kernel writes interiors only
         ext = self.analysis.extents
+        for name in self.written:
+            if name in self.analysis.stencil.field_decls:
+                we = ext.write_extent(name)
+                if we.i != (0, 0) or we.j != (0, 0):
+                    raise _PallasIneligible()
 
+    def _read_names(self) -> set:
+        reads = set()
+        for node in ir.walk_values(self.analysis.stencil.vertical_loops):
+            if isinstance(node, ir.Assign):
+                for acc in ir.field_accesses(node.value):
+                    reads.add(acc.name)
+                for d in node.target.data_index:
+                    for acc in ir.field_accesses(d):
+                        reads.add(acc.name)
+            elif isinstance(node, (ir.If, ir.While)):
+                for acc in ir.field_accesses(node.cond):
+                    reads.add(acc.name)
+        return reads
+
+    def _all_parallel_full(self) -> bool:
+        for vl in self.analysis.stencil.vertical_loops:
+            if vl.loop_order != ir.LoopOrder.PARALLEL:
+                return False
+            if len(vl.sections) != 1 or not _full_interval(vl.sections[0].interval):
+                return False
+        return True
+
+    # ------------------------------------------------------------------ #
+    # tile planning
+    # ------------------------------------------------------------------ #
+
+    def _halos_ij(self, metas, aligned: bool, domain, expand_j: bool):
+        """Per-field (hi0, hi1, hj0, hj1) VMEM-tile halos; in aligned mode
+        the I (and optionally J) halos are expanded so DMA slice starts and
+        sizes land on the (8, 128) tiling."""
+        dI, dJ, _ = domain
+        ext = self.analysis.extents
         halos: Dict[str, Tuple[int, int, int, int]] = {}
         for name, m in metas.items():
-            e = ext.field_extent(name)
+            e = ext.alloc_extent(name)
             hi0, hi1 = -e.i[0], e.i[1]
             hj0, hj1 = -e.j[0], e.j[1]
             if aligned:
                 oi, oj, _ = m.origin
-                # expand the lower halo so (origin - halo) is tile-aligned,
-                # and the upper halo so the slice SIZE is a tiling multiple
                 hi0 += (oi - hi0) % _SUBLANE
-                hj0 += (oj - hj0) % _LANE
                 if m.shape[0] != 1:
                     hi1 += (-(hi0 + hi1)) % _SUBLANE
-                    # last tile must stay inside the (padded) buffer
                     if oi + dI + hi1 > m.shape[0]:
                         raise _PallasIneligible()
-                if m.shape[1] != 1 and (hj0 or hj1):
-                    hj1 += (-(hj0 + hj1)) % _LANE
-                    if oj + dJ + hj1 > m.shape[1]:
-                        raise _PallasIneligible()
+                if expand_j:
+                    hj0 += (oj - hj0) % _LANE
+                    if m.shape[1] != 1 and (hj0 or hj1):
+                        hj1 += (-(hj0 + hj1)) % _LANE
+                        if oj + dJ + hj1 > m.shape[1]:
+                            raise _PallasIneligible()
             halos[name] = (hi0, hi1, hj0, hj1)
+        return halos
 
-        temp_decls = self.analysis.stencil.temp_decls
+    def _plan_rows(self, metas, domain, aligned: bool):
+        """Mode A (all-PARALLEL): K-tiled full-J-row tiles.
+
+        Tile = (TK + k-halo, TI + i-halo, full physical J row).  Returns
+        (TK, TI, halos) or raises _PallasIneligible.
+        """
+        dI, dJ, dK = domain
+        ext = self.analysis.extents
+
+        if aligned:
+            # full-row tiles DMA the whole physical J axis: Mosaic needs
+            # lane-dim slice sizes tiling-aligned even for full axes
+            for m in metas.values():
+                if m.shape[1] != 1 and m.shape[1] % _LANE:
+                    raise _PallasIneligible()
+
+        halos = self._halos_ij(metas, aligned, domain, expand_j=False)
+
+        def vmem_bytes(tk, ti):
+            total = 0
+            max_val = 0
+            for name, m in metas.items():
+                hi0, hi1, _, _ = halos[name]
+                e = ext.alloc_extent(name)
+                sk = 1 if m.shape[2] == 1 else min(tk - e.k[0] + e.k[1], m.shape[2])
+                ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
+                nj = m.shape[1]
+                pi, pj = _pad_tile(ni, nj)
+                total += 2 * sk * pi * pj * m.dtype.itemsize  # double-buffered
+                if name in self.written:
+                    si, sj = _pad_tile(1 if ni == 1 else ti, min(nj, dJ))
+                    total += 2 * sk * si * sj * m.dtype.itemsize  # staging
+                max_val = max(max_val, sk * pi * pj * m.dtype.itemsize)
+            for name, decl in self.analysis.stencil.temp_decls.items():
+                e = ext.alloc_extent(name)
+                pi, pj = _pad_tile(ti - e.i[0] + e.i[1], dJ - e.j[0] + e.j[1])
+                total += (
+                    (tk - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
+                )
+            # whole-tile intermediate values live on the Mosaic value stack
+            total += _LIVE_VALUES * max_val
+            return total
+
+        tk_options = sorted(
+            (d for d in _divisors(dK) if d >= min(8, dK)), reverse=True
+        )
+        if aligned:
+            ti_options = [
+                t for t in sorted(_divisors(dI), reverse=True) if t % _SUBLANE == 0
+            ]
+        else:
+            ti_options = sorted(
+                (d for d in _divisors(dI) if d >= min(8, dI)), reverse=True
+            )
+        if not ti_options:
+            raise _PallasIneligible()
+        best = None
+        for tk in tk_options:
+            for ti in ti_options:
+                if vmem_bytes(tk, ti) <= _VMEM_BUDGET:
+                    # prefer fewer, larger tiles (less halo amplification)
+                    score = (dK // tk) * (dI // ti)
+                    if best is None or score < best[0]:
+                        best = (score, tk, ti)
+        if best is None:
+            raise _PallasIneligible()
+        return best[1], best[2], halos
+
+    def _plan_columns(self, metas, domain, aligned: bool):
+        """Mode B (serial-K stencils): (TI, TJ) tiles with the full K
+        column resident in VMEM."""
+        dI, dJ, dK = domain
+        ext = self.analysis.extents
+        halos = self._halos_ij(metas, aligned, domain, expand_j=True)
+
+        # serial sections evaluate K planes; PARALLEL sections evaluate
+        # whole columns on the value stack
+        has_parallel = any(
+            vl.loop_order == ir.LoopOrder.PARALLEL
+            for vl in self.analysis.stencil.vertical_loops
+        )
 
         def vmem_bytes(ti, tj):
             total = 0
+            max_val = 0
             for name, m in metas.items():
                 hi0, hi1, hj0, hj1 = halos[name]
                 sk = m.shape[2]
-                total += sk * (ti + hi0 + hi1) * (tj + hj0 + hj1) * m.dtype.itemsize
-                total += sk * ti * tj * m.dtype.itemsize  # staging scratch
-            for name, decl in temp_decls.items():
+                ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
+                nj = 1 if m.shape[1] == 1 else tj + hj0 + hj1
+                pi, pj = _pad_tile(ni, nj)
+                total += 2 * sk * pi * pj * m.dtype.itemsize
+                if name in self.written:
+                    si, sj = _pad_tile(1 if ni == 1 else ti, 1 if nj == 1 else tj)
+                    total += 2 * sk * si * sj * m.dtype.itemsize
+                skv = sk if has_parallel else min(sk, _SUBLANE)
+                max_val = max(max_val, skv * pi * pj * m.dtype.itemsize)
+            for name, decl in self.analysis.stencil.temp_decls.items():
                 e = ext.alloc_extent(name)
+                pi, pj = _pad_tile(ti - e.i[0] + e.i[1], tj - e.j[0] + e.j[1])
                 total += (
-                    (dK - e.k[0] + e.k[1])
-                    * (ti - e.i[0] + e.i[1])
-                    * (tj - e.j[0] + e.j[1])
-                    * np.dtype(decl.dtype).itemsize
+                    (dK - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
+            total += _LIVE_VALUES * max_val
             return total
 
         if aligned:
@@ -159,7 +315,8 @@ class PallasBackend(JaxBackend):
         dI, dJ, dK = domain
 
         interpret = jax.devices()[0].platform != "tpu"
-        if not interpret:
+        aligned = not interpret
+        if aligned:
             # Mosaic has no 64-bit types; fall back to the XLA executor
             for m in metas.values():
                 if m.dtype.itemsize > 4:
@@ -167,28 +324,80 @@ class PallasBackend(JaxBackend):
             for decl in self.analysis.stencil.temp_decls.values():
                 if np.dtype(decl.dtype).itemsize > 4:
                     raise _PallasIneligible()
-        TI, TJ, halos = self._tile_plan(metas, domain, aligned=not interpret)
-        grid = (dI // TI, dJ // TJ)
 
         analysis = self.analysis
+        ext = analysis.extents
         field_names = sorted(env.keys())
         written = [n for n in self.written if n in env]
+        reads = self._read_names()
         scalar_names = sorted(
             n for n in analysis.parameter_info if scalars.get(n) is not None
         )
 
-        # tile-sized logical metas; tile origin = (expanded) halo width
+        mode_a = self._all_parallel_full()
+        if mode_a:
+            try:
+                TK, TI, halos = self._plan_rows(metas, domain, aligned)
+                TJ = dJ
+            except _PallasIneligible:
+                mode_a = False
+        if not mode_a:
+            TI, TJ, halos = self._plan_columns(metas, domain, aligned)
+            TK = dK
+        import os as _os
+        if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
+            print(
+                f"[pallas] {self.analysis.stencil.name}: mode_a={mode_a} "
+                f"TI={TI} TJ={TJ} TK={TK} halos={halos} "
+                f"origins={ {n: m.origin for n, m in metas.items()} }",
+                flush=True,
+            )
+
+        # K-halos (only when K is actually tiled; mode A with a single K
+        # tile keeps the whole buffer column so k-offset halo planes stay
+        # addressable, exactly like mode B)
+        k_tiled = mode_a and TK != dK
+        khalos: Dict[str, Tuple[int, int]] = {}
+        for name, m in metas.items():
+            if k_tiled and m.shape[2] != 1:
+                e = ext.alloc_extent(name)
+                # safe: mode A requires full intervals, so the validated
+                # k boundary equals the k extent hull
+                khalos[name] = (-e.k[0], e.k[1])
+            else:
+                khalos[name] = (0, 0)
+
+        grid = (
+            (dK // TK, dI // TI) if mode_a else (dI // TI, dJ // TJ)
+        )
+        G1 = grid[1]
+        T = grid[0] * grid[1]
+
+        # ---- tile-local logical metas (origin = halo width) ---- #
         tile_metas: Dict[str, _FieldMeta] = {}
-        tile_shapes: Dict[str, Tuple[int, ...]] = {}
+        tile_shapes: Dict[str, Tuple[int, int, int]] = {}
         for name in field_names:
             m = metas[name]
             hi0, hi1, hj0, hj1 = halos[name]
+            hk0, hk1 = khalos[name]
             ni = 1 if m.shape[0] == 1 else TI + hi0 + hi1
-            nj = 1 if m.shape[1] == 1 else TJ + hj0 + hj1
-            sk = m.shape[2]
+            if m.shape[1] == 1:
+                nj, ojt = 1, 0
+            elif mode_a:
+                nj, ojt = m.shape[1], m.origin[1]
+            else:
+                nj, ojt = TJ + hj0 + hj1, hj0
+            if m.shape[2] == 1:
+                sk, okt = 1, 0
+            elif k_tiled:
+                # tile covers [ok + gk - hk0, ok + gk + TK + hk1): in-bounds
+                # because the k boundary validation guarantees the halo room
+                sk, okt = TK + hk0 + hk1, hk0
+            else:
+                sk, okt = m.shape[2], m.origin[2]
             tile_metas[name] = _FieldMeta(
                 shape=(ni, nj, sk),
-                origin=(hi0 if ni > 1 else 0, hj0 if nj > 1 else 0, m.origin[2]),
+                origin=(hi0 if ni > 1 else 0, ojt, okt),
                 dtype=m.dtype,
                 dimensions=m.dimensions,
                 data_ndim=0,
@@ -199,18 +408,50 @@ class PallasBackend(JaxBackend):
         n_fields = len(field_names)
         n_written = len(written)
 
+        # written fields never read anywhere alias their input buffer in
+        # place (no splice); requires naturally aligned interior starts
+        def _can_alias(name):
+            if name in reads:
+                return False
+            m = metas[name]
+            if aligned:
+                oi, oj, _ = m.origin
+                if m.shape[0] != 1 and (oi % _SUBLANE or TI % _SUBLANE):
+                    return False
+                if m.shape[1] != 1 and (oj % _LANE or (TJ % _LANE if not mode_a else dJ % _LANE)):
+                    return False
+            return True
+
+        import os as _os
+
+        if _os.environ.get("GT4PY_TPU_PALLAS_NO_ALIAS"):
+            aliased = {name: False for name in written}
+        else:
+            aliased = {name: _can_alias(name) for name in written}
+
         # temporaries live in their own VMEM scratch refs, tile-extended
         temp_names = sorted(analysis.stencil.temp_decls)
-        ext = analysis.extents
         temp_tile_shapes = {}
         for name in temp_names:
             e = ext.alloc_extent(name)
             temp_tile_shapes[name] = (
-                dK - e.k[0] + e.k[1],
+                TK - e.k[0] + e.k[1],
                 TI - e.i[0] + e.i[1],
                 TJ - e.j[0] + e.j[1],
             )
 
+        def stage_shape(name):
+            # mode A stages the interior K tile; mode B stages the full
+            # K column (including origin pads, written back unchanged)
+            m = metas[name]
+            sk = 1 if m.shape[2] == 1 else (TK if k_tiled else m.shape[2])
+            return (
+                sk,
+                1 if m.shape[0] == 1 else TI,
+                1 if m.shape[1] == 1 else TJ,
+            )
+
+        # ---- the pipelined kernel ---- #
         def kernel(*refs):
             scalar_refs = refs[:n_scalars]
             pos = n_scalars
@@ -223,47 +464,128 @@ class PallasBackend(JaxBackend):
             stage_refs = refs[pos : pos + n_written]
             pos += n_written
             temp_scratch = refs[pos : pos + len(temp_names)]
-            sem = refs[-1]
+            pos += len(temp_names)
+            insem, outsem = refs[pos], refs[pos + 1]
 
-            gi = pl.program_id(0) * TI
-            gj = pl.program_id(1) * TJ
+            t = jax.lax.add(
+                jax.lax.mul(
+                    jnp.asarray(pl.program_id(0), jnp.int32), jnp.int32(G1)
+                ),
+                jnp.asarray(pl.program_id(1), jnp.int32),
+            )
 
             def ds32(start, size):
-                # Mosaic memref slices require 32-bit indices (x64 would
-                # otherwise promote the index arithmetic to i64)
+                # Mosaic memref slices require 32-bit indices
                 return pl.ds(jnp.asarray(start, dtype=jnp.int32), size)
 
-            # ---- load halo-extended tiles (HBM -> VMEM, aligned starts) --- #
-            copies = []
-            for idx, name in enumerate(field_names):
+            def off32(g, const):
+                # g (traced int32) + const (python int), no weak promotion
+                return jax.lax.add(g, jnp.int32(const))
+
+            def coords(tt):
+                a = jax.lax.div(tt, jnp.int32(G1))
+                b = jax.lax.sub(tt, jax.lax.mul(a, jnp.int32(G1)))
+                if mode_a:
+                    return (
+                        jax.lax.mul(a, jnp.int32(TK)),
+                        jax.lax.mul(b, jnp.int32(TI)),
+                        jnp.int32(0),
+                    )  # (gk, gi, gj=0)
+                return (
+                    jnp.int32(0),
+                    jax.lax.mul(a, jnp.int32(TI)),
+                    jax.lax.mul(b, jnp.int32(TJ)),
+                )  # (gk=0, gi, gj)
+
+            def in_copy(f_idx, tt, slot):
+                name = field_names[f_idx]
                 m = metas[name]
-                hi0, hi1, hj0, hj1 = halos[name]
-                oi, oj, _ = m.origin
+                hi0, _, hj0, _ = halos[name]
+                hk0, _ = khalos[name]
+                oi, oj, ok = m.origin
                 sk, ni, nj = tile_shapes[name]
-                src = in_refs[idx]
-                if m.shape[0] == 1 and m.shape[1] == 1:
-                    sl = src
-                elif m.shape[0] == 1:
-                    sl = src.at[:, :, ds32(oj + gj - hj0, nj)]
-                elif m.shape[1] == 1:
-                    sl = src.at[:, ds32(oi + gi - hi0, ni), :]
+                gk, gi, gj = coords(tt)
+                src = in_refs[f_idx]
+                if m.shape[2] == 1 or not k_tiled:
+                    ksl = slice(None)
                 else:
-                    sl = src.at[:, ds32(oi + gi - hi0, ni), ds32(oj + gj - hj0, nj)]
-                cp = pltpu.make_async_copy(sl, scratch_refs[idx], sem.at[jnp.int32(idx)])
-                cp.start()
-                copies.append(cp)
-            for cp in copies:
-                cp.wait()
+                    ksl = pl.ds(off32(gk, ok - hk0), sk)
+                isl = (
+                    slice(None)
+                    if m.shape[0] == 1
+                    else pl.ds(off32(gi, oi - hi0), ni)
+                )
+                if m.shape[1] == 1 or nj == m.shape[1]:
+                    jsl = slice(None)
+                else:
+                    jsl = pl.ds(off32(gj, oj - hj0), nj)
+                return pltpu.make_async_copy(
+                    src.at[ksl, isl, jsl],
+                    scratch_refs[f_idx].at[slot],
+                    insem.at[slot, jnp.int32(f_idx)],
+                )
+
+            def out_copy(w_idx, tt, slot):
+                name = written[w_idx]
+                m = metas[name]
+                oi, oj, ok = m.origin
+                gk, gi, gj = coords(tt)
+                if aliased[name]:
+                    bk, bi, bj = ok, oi, oj  # write into the full buffer
+                else:
+                    bk, bi, bj = 0, 0, 0  # fresh interior-only output
+                dst = out_refs[w_idx]
+                if m.shape[2] == 1 or not k_tiled:
+                    ksl = slice(None)  # full K column: dst k == stage k
+                else:
+                    ksl = pl.ds(off32(gk, bk), TK)
+                isl = (
+                    slice(None)
+                    if m.shape[0] == 1
+                    else pl.ds(off32(gi, bi), TI)
+                )
+                jsl = (
+                    slice(None)
+                    if m.shape[1] == 1
+                    else pl.ds(off32(gj, bj), TJ)
+                )
+                return pltpu.make_async_copy(
+                    stage_refs[w_idx].at[slot],
+                    dst.at[ksl, isl, jsl],
+                    outsem.at[slot, jnp.int32(w_idx)],
+                )
+
+            slot = jax.lax.rem(t, jnp.int32(2))
+            nslot = jax.lax.rem(jax.lax.add(t, jnp.int32(1)), jnp.int32(2))
+
+            # warm-up: the very first tile loads its own inputs
+            @pl.when(t == jnp.int32(0))
+            def _():
+                for f in range(n_fields):
+                    in_copy(f, t, slot).start()
+
+            # prefetch tile t+1 into the other slot
+            if T > 1:
+                @pl.when(t < jnp.int32(T - 1))
+                def _():
+                    for f in range(n_fields):
+                        in_copy(f, jax.lax.add(t, jnp.int32(1)), nslot).start()
+
+            # wait for our own inputs
+            for f in range(n_fields):
+                in_copy(f, t, slot).wait()
 
             # ---- run the stencil IR on the VMEM tiles (mutable refs) ---- #
             tile_env = {
-                name: scratch_refs[idx] for idx, name in enumerate(field_names)
+                name: scratch_refs[idx].at[slot]
+                for idx, name in enumerate(field_names)
             }
             tile_scalars = {
                 name: scalar_refs[i][0, 0] for i, name in enumerate(scalar_names)
             }
 
-            tracer = JaxTracer(analysis, dict(tile_metas), (TI, TJ, dK))
+            gk, gi, gj = coords(t)
+            tracer = JaxTracer(analysis, dict(tile_metas), (TI, TJ, TK))
             tracer.no_scan = True  # serial K is an in-VMEM fori_loop here
             tracer.ref_env = True
             tracer.temp_refs = {
@@ -273,35 +595,42 @@ class PallasBackend(JaxBackend):
             tracer.global_domain = (dI, dJ, dK)
             tracer.trace(tile_env, tile_scalars)
 
-            # ---- stage interiors (value slice) and DMA to fresh outputs --- #
-            stores = []
+            # drain the store of tile t-2 before reusing its stage slot
+            if T > 2:
+                @pl.when(t >= jnp.int32(2))
+                def _():
+                    for w in range(n_written):
+                        out_copy(w, jax.lax.sub(t, jnp.int32(2)), slot).wait()
+
+            # stage interiors and stream them out
             for w_idx, name in enumerate(written):
                 idx = field_names.index(name)
-                hi0, hi1, hj0, hj1 = halos[name]
+                hi0, _, hj0, _ = halos[name]
+                hk0, _ = khalos[name]
                 sk, ni, nj = tile_shapes[name]
-                full = scratch_refs[idx][...]
-                interior = full[
-                    :,
-                    slice(hi0, hi0 + TI) if ni > 1 else slice(None),
-                    slice(hj0, hj0 + TJ) if nj > 1 else slice(None),
-                ]
-                stage_refs[w_idx][...] = interior
                 m = metas[name]
-                if m.shape[0] == 1 and m.shape[1] == 1:
-                    dst = out_refs[w_idx]
-                elif m.shape[0] == 1:
-                    dst = out_refs[w_idx].at[:, :, ds32(gj, TJ)]
-                elif m.shape[1] == 1:
-                    dst = out_refs[w_idx].at[:, ds32(gi, TI), :]
+                if mode_a and m.shape[1] != 1:
+                    j_int = slice(m.origin[1], m.origin[1] + TJ)
                 else:
-                    dst = out_refs[w_idx].at[:, ds32(gi, TI), ds32(gj, TJ)]
-                cp = pltpu.make_async_copy(
-                    stage_refs[w_idx], dst, sem.at[jnp.int32(idx)]
-                )
-                cp.start()
-                stores.append(cp)
-            for cp in stores:
-                cp.wait()
+                    j_int = slice(hj0, hj0 + TJ) if nj > 1 else slice(None)
+                if k_tiled and m.shape[2] != 1:
+                    k_int = slice(hk0, hk0 + TK)
+                else:
+                    k_int = slice(None)
+                i_int = slice(hi0, hi0 + TI) if ni > 1 else slice(None)
+                # slice the ref directly: loading the whole tile as a value
+                # would materialize it on the scoped-vmem stack
+                stage_refs[w_idx][slot] = scratch_refs[idx][slot, k_int, i_int, j_int]
+                out_copy(w_idx, t, slot).start()
+
+            # final tile drains every outstanding store
+            @pl.when(t == jnp.int32(T - 1))
+            def _():
+                if T > 1:
+                    for w in range(n_written):
+                        out_copy(w, jax.lax.sub(t, jnp.int32(1)), nslot).wait()
+                for w in range(n_written):
+                    out_copy(w, t, slot).wait()
 
         # ---- pallas_call plumbing ---- #
         scalar_ops = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
@@ -309,59 +638,97 @@ class PallasBackend(JaxBackend):
 
         def out_struct(name):
             m = metas[name]
-            sk = m.shape[2]
+            if aliased[name]:
+                # phys (K, I, J) full-buffer shape of the donated input
+                return jax.ShapeDtypeStruct(
+                    (m.shape[2], m.shape[0], m.shape[1]), m.dtype
+                )
+            sk = 1 if m.shape[2] == 1 else (dK if k_tiled else m.shape[2])
             oi_dim = 1 if m.shape[0] == 1 else dI
             oj_dim = 1 if m.shape[1] == 1 else dJ
             return jax.ShapeDtypeStruct((sk, oi_dim, oj_dim), m.dtype)
 
-        def stage_shape(name):
-            m = metas[name]
-            sk = m.shape[2]
-            return (
-                sk,
-                1 if m.shape[0] == 1 else TI,
-                1 if m.shape[1] == 1 else TJ,
+        n_grid = 2
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM
             )
-
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in scalar_names] + [
-            pl.BlockSpec(memory_space=pl.ANY) for _ in field_names
-        ]
+            for _ in scalar_names
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in field_names]
         out_specs = tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in written)
         out_shape = tuple(out_struct(n) for n in written)
         scratch_shapes = (
-            [pltpu.VMEM(tile_shapes[n], metas[n].dtype) for n in field_names]
-            + [pltpu.VMEM(stage_shape(n), metas[n].dtype) for n in written]
+            [
+                pltpu.VMEM((2,) + tile_shapes[n], metas[n].dtype)
+                for n in field_names
+            ]
+            + [
+                pltpu.VMEM((2,) + stage_shape(n), metas[n].dtype)
+                for n in written
+            ]
             + [
                 pltpu.VMEM(temp_tile_shapes[n], analysis.stencil.temp_decls[n].dtype)
                 for n in temp_names
             ]
-            + [pltpu.SemaphoreType.DMA((n_fields,))]
+            + [
+                pltpu.SemaphoreType.DMA((2, n_fields)),
+                pltpu.SemaphoreType.DMA((2, max(n_written, 1))),
+            ]
         )
 
-        result = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=scratch_shapes,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            interpret=interpret,
-        )(*scalar_ops, *field_ops)
+        io_aliases = {
+            n_scalars + field_names.index(name): w_idx
+            for w_idx, name in enumerate(written)
+            if aliased[name]
+        }
+
+        # trace the kernel with x64 disabled: the session enables jax x64
+        # for f64 oracle parity, but Mosaic has no 64-bit types and the
+        # implicit BlockSpec index maps would otherwise emit i64 indices
+        # ("failed to legalize func.return (i64, i64)")
+        import contextlib
+
+        if interpret:
+            # interpret mode runs f64 oracles on CPU: keep x64 semantics
+            _x64_scope = contextlib.nullcontext()
+        else:
+            # Mosaic has no 64-bit types; the implicit BlockSpec index
+            # maps would otherwise emit i64 under the session's global
+            # x64 ("failed to legalize func.return (i64, i64)")
+            from jax._src.config import enable_x64 as _x64_ctx
+
+            _x64_scope = _x64_ctx(False)
+        with _x64_scope:
+            result = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=scratch_shapes,
+                input_output_aliases=io_aliases,
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                interpret=interpret,
+            )(*scalar_ops, *field_ops)
 
         if not isinstance(result, (tuple, list)):
             result = (result,)
 
-        # splice interiors back into the halo-carrying buffers
+        # splice non-aliased interiors back into the halo-carrying buffers
+        # (aliased outputs already carry their halos in place)
         new_env = dict(env)
         for w, r in zip(written, result):
             m = metas[w]
             buf = env[w]
             if r.shape == buf.shape:
                 new_env[w] = r
+                continue
+            oi, oj, ok = m.origin
+            if m.shape[2] == 1 or not k_tiled:
+                kk = slice(None)  # results carry the full K column
             else:
-                oi, oj, _ = m.origin
-                ii = slice(oi, oi + dI) if m.shape[0] != 1 else slice(None)
-                jj = slice(oj, oj + dJ) if m.shape[1] != 1 else slice(None)
-                new_env[w] = buf.at[:, ii, jj].set(r)
+                kk = slice(ok, ok + dK)
+            ii = slice(oi, oi + dI) if m.shape[0] != 1 else slice(None)
+            jj = slice(oj, oj + dJ) if m.shape[1] != 1 else slice(None)
+            new_env[w] = buf.at[kk, ii, jj].set(r)
         return new_env

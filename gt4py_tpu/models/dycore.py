@@ -75,7 +75,9 @@ def make_vadv(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
         u_pos: Field,
         utens: Field,
         *,
-        dtr_stage: float,
+        dtr_stage: dtype,  # stencil-precision scalar: a bare ``float``
+        # annotation would make it f64 and C-promote the whole
+        # tridiagonal temp chain to emulated f64 on TPU
     ):
         from __externals__ import BET_M, BET_P
 
@@ -135,18 +137,37 @@ def make_vadv(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
     return vertical_advection_dycore
 
 
-def periodic_fill(arr, h: int, ni: int, nj: int):
-    """Fill I/J halos (width h) of a physical (K, >=NI+2h, >=NJ+2h) array
-    periodically (axes 1=I, 2=J).  ``ni``/``nj`` are the DOMAIN sizes and
-    must be passed explicitly: buffers carry trailing alignment padding, so
-    they cannot be inferred from the shape."""
+def periodic_fill(arr, h: int, ni: int, nj: int, oi: int = None, oj: int = None):
+    """Fill I/J halos (width h) of a physical (K, I, J) array periodically
+    (axes 1=I, 2=J).  ``ni``/``nj`` are the DOMAIN sizes and must be passed
+    explicitly: buffers carry alignment padding, so they cannot be inferred
+    from the shape.  ``oi``/``oj`` are the interior origins (default: the
+    halo width ``h``, the legacy tight-packed layout)."""
     if h == 0:
         return arr
-    arr = arr.at[:, 0:h].set(arr[:, ni : ni + h])
-    arr = arr.at[:, h + ni : 2 * h + ni].set(arr[:, h : 2 * h])
-    arr = arr.at[:, :, 0:h].set(arr[:, :, nj : nj + h])
-    arr = arr.at[:, :, h + nj : 2 * h + nj].set(arr[:, :, h : 2 * h])
+    oi = h if oi is None else oi
+    oj = h if oj is None else oj
+    arr = arr.at[:, oi - h : oi].set(arr[:, oi + ni - h : oi + ni])
+    arr = arr.at[:, oi + ni : oi + ni + h].set(arr[:, oi : oi + h])
+    arr = arr.at[:, :, oj - h : oj].set(arr[:, :, oj + nj - h : oj + nj])
+    arr = arr.at[:, :, oj + nj : oj + nj + h].set(arr[:, :, oj : oj + h])
     return arr
+
+
+#: DMA-aligned interior origins: I on the (8) sublane grid, J on the (128)
+#: lane grid, so pallas tile windows of zero-extent fields need no halo
+#: expansion and writes can alias in place
+ORIGIN_I = 8
+ORIGIN_J = 128
+
+
+def aligned_field_shape(nk: int, ni: int, nj: int) -> Tuple[int, int, int]:
+    """Physical (K, I, J) buffer shape with interior at (ORIGIN_I, ORIGIN_J)
+    and the J extent a multiple of 128 (Mosaic lane-dim slice sizes must be
+    tiling-aligned, including full-row windows)."""
+    si = ORIGIN_I + ni + ORIGIN_I + 8
+    sj = ORIGIN_J + (-(-(nj + ORIGIN_J) // 128) * 128)
+    return (nk, si, sj)
 
 
 class MiniDycore:
@@ -161,33 +182,45 @@ class MiniDycore:
 
     HALO = 3
 
-    def __init__(self, ni: int, nj: int, nk: int, *, dtype=np.float32, backend="jax"):
+    def __init__(
+        self,
+        ni: int,
+        nj: int,
+        nk: int,
+        *,
+        dtype=np.float32,
+        backend="jax",
+        aligned: bool = True,
+    ):
         self.ni, self.nj, self.nk = ni, nj, nk
         self.dtype = np.dtype(dtype)
         h = self.HALO
+        #: aligned=True places interiors at the DMA-aligned (8, 128) origin
+        #: (single-chip pallas); aligned=False packs tight at origin (h, h)
+        #: (the shard_map halo-exchange layout)
+        self.aligned = aligned
+        self.oi = ORIGIN_I if aligned else h
+        self.oj = ORIGIN_J if aligned else h
         self.hdiff = make_hdiff(dtype, backend)
         self.vadv = make_vadv(dtype, backend)
         # physical K-leading layout end-to-end: zero transposes per step
         self.hdiff_fn = self.hdiff.functional(
-            origin=(h, h, 0), domain=(ni, nj, nk), physical_layout=True
+            origin=(self.oi, self.oj, 0),
+            domain=(ni, nj, nk),
+            physical_layout=True,
         )
         self.vadv_fn = self.vadv.functional(
-            origin=(h, h, 0), domain=(ni, nj, nk), physical_layout=True
+            origin=(self.oi, self.oj, 0),
+            domain=(ni, nj, nk),
+            physical_layout=True,
         )
-
-    #: upper-edge allocation padding so pallas halo windows can align to
-    #: the TPU (8, 128) tiling without leaving the buffer
-    PAD_I = 8
-    PAD_J = 128
 
     def field_shape(self) -> Tuple[int, int, int]:
-        """Physical (K, NI+2h+pad, NJ+2h+pad) buffer shape."""
+        """Physical (K, I, J) buffer shape (see aligned_field_shape)."""
+        if self.aligned:
+            return aligned_field_shape(self.nk, self.ni, self.nj)
         h = self.HALO
-        return (
-            self.nk,
-            self.ni + 2 * h + self.PAD_I,
-            self.nj + 2 * h + self.PAD_J,
-        )
+        return (self.nk, self.ni + 2 * h, self.nj + 2 * h)
 
     def init_state(self, seed: int = 0) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(seed)
@@ -212,7 +245,7 @@ class MiniDycore:
                 # [1,0,*]), keeping this path consistent with the shard_map
                 # halo exchange, which refreshes all fields
                 state = {
-                    k: periodic_fill(v, h, self.ni, self.nj)
+                    k: periodic_fill(v, h, self.ni, self.nj, self.oi, self.oj)
                     for k, v in state.items()
                 }
             u = state["u"]

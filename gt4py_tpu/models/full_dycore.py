@@ -19,11 +19,21 @@ class FullDycore:
 
     HALO = 3
 
-    def __init__(self, ni: int, nj: int, nk: int, *, dtype=np.float32, backend="jax"):
+    def __init__(
+        self,
+        ni: int,
+        nj: int,
+        nk: int,
+        *,
+        dtype=np.float32,
+        backend="jax",
+        aligned: bool = True,
+    ):
         self.ni, self.nj, self.nk = ni, nj, nk
         self.dtype = np.dtype(dtype)
-        self.dyn = MiniDycore(ni, nj, nk, dtype=dtype, backend=backend)
-        self.fv = FvAdvection(ni, nj, nk, dtype=dtype, backend=backend)
+        self.dyn = MiniDycore(ni, nj, nk, dtype=dtype, backend=backend, aligned=aligned)
+        self.fv = FvAdvection(ni, nj, nk, dtype=dtype, backend=backend, aligned=aligned)
+        self.oi, self.oj = self.dyn.oi, self.dyn.oj
         assert self.dyn.field_shape() == self.fv.field_shape()
 
     def field_shape(self) -> Tuple[int, int, int]:
@@ -42,13 +52,14 @@ class FullDycore:
     def step_fn(self, *, dt: float = 0.5):
         dyn_step = self.dyn.step_fn()
         fv_step = self.fv.step_fn()
-        h, ni, nj = self.HALO, self.ni, self.nj
+        ni, nj = self.ni, self.nj
+        oi, oj = self.oi, self.oj
 
         def step(state: Dict) -> Dict:
             state = dyn_step(state)
             q = fv_step(state["q"], state["cx"], state["cy"])
             # semi-Lagrangian transport of qsl on the interior (no halo):
-            interior = (slice(None), slice(h, h + ni), slice(h, h + nj))
+            interior = (slice(None), slice(oi, oi + ni), slice(oj, oj + nj))
             u = state["cx"][interior] / dt  # reuse Courant winds
             v = state["cy"][interior] / dt
             qsl_int = semi_lagrangian_step(state["qsl"][interior], u, v, dt)

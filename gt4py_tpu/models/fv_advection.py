@@ -21,7 +21,13 @@ import numpy as np
 from gt4py_tpu.cartesian import gtscript
 from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
 
-from .dycore import _literal_precision, periodic_fill
+from .dycore import (
+    ORIGIN_I,
+    ORIGIN_J,
+    _literal_precision,
+    aligned_field_shape,
+    periodic_fill,
+)
 
 
 def make_xflux(dtype, backend="jax"):
@@ -142,16 +148,26 @@ class FvAdvection:
     """
 
     HALO = 3
-    PAD_I = 8
-    PAD_J = 128
 
-    def __init__(self, ni: int, nj: int, nk: int, *, dtype=np.float32, backend="jax"):
+    def __init__(
+        self,
+        ni: int,
+        nj: int,
+        nk: int,
+        *,
+        dtype=np.float32,
+        backend="jax",
+        aligned: bool = True,
+    ):
         self.ni, self.nj, self.nk = ni, nj, nk
         self.dtype = np.dtype(dtype)
         self.backend = backend
         h = self.HALO
+        self.aligned = aligned
+        self.oi = ORIGIN_I if aligned else h
+        self.oj = ORIGIN_J if aligned else h
         dom = (ni, nj, nk)
-        origin = (h, h, 0)
+        origin = (self.oi, self.oj, 0)
         physical = backend in ("jax", "pallas")
         kw = dict(origin=origin, domain=dom, physical_layout=True) if physical else None
 
@@ -172,12 +188,10 @@ class FvAdvection:
             }
 
     def field_shape(self) -> Tuple[int, int, int]:
+        if self.aligned:
+            return aligned_field_shape(self.nk, self.ni, self.nj)
         h = self.HALO
-        return (
-            self.nk,
-            self.ni + 2 * h + self.PAD_I,
-            self.nj + 2 * h + self.PAD_J,
-        )
+        return (self.nk, self.ni + 2 * h, self.nj + 2 * h)
 
     def init_state(self, seed: int = 0) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(seed)
@@ -195,7 +209,7 @@ class FvAdvection:
         fns = self.fns
 
         def fill(a):
-            return periodic_fill(a, h, ni, nj)
+            return periodic_fill(a, h, ni, nj, self.oi, self.oj)
 
         def step(q, cx, cy):
             import jax.numpy as jnp

@@ -42,11 +42,15 @@ def test_fv_advection_jax_matches_oracle():
     step = jax_model.step_fn()
     q_jax = np.asarray(jax.jit(step)(*(jnp.asarray(st[k]) for k in ("q", "cx", "cy"))))
 
-    L = {k: np.transpose(v, (1, 2, 0)).copy() for k, v in st.items()}
+    # oracle works on tight logical (I, J, K) arrays at origin (h, h):
+    # slice the halo window out of the aligned physical buffers
+    oi, oj = jax_model.oi, jax_model.oj
+    win = (slice(None), slice(oi - H, oi + NI + H), slice(oj - H, oj + NJ + H))
+    L = {k: np.transpose(v[win], (1, 2, 0)).copy() for k, v in st.items()}
     q_np = np_model.run_numpy_oracle(L["q"], L["cx"], L["cy"])
 
     np.testing.assert_allclose(
-        np.transpose(q_jax, (1, 2, 0))[H : H + NI, H : H + NJ],
+        np.transpose(q_jax, (1, 2, 0))[oi : oi + NI, oj : oj + NJ],
         q_np[H : H + NI, H : H + NJ],
         rtol=1e-12,
         atol=1e-12,
@@ -61,10 +65,11 @@ def test_fv_advection_conserves_mass():
     st = model.init_state(seed=2)
     step = jax.jit(model.step_fn())
     q = jnp.asarray(st["q"])
-    total0 = float(jnp.sum(q[:, H : H + NI, H : H + NJ]))
+    oi, oj = model.oi, model.oj
+    total0 = float(jnp.sum(q[:, oi : oi + NI, oj : oj + NJ]))
     for _ in range(5):
         q = step(q, jnp.asarray(st["cx"]), jnp.asarray(st["cy"]))
-    total = float(jnp.sum(q[:, H : H + NI, H : H + NJ]))
+    total = float(jnp.sum(q[:, oi : oi + NI, oj : oj + NJ]))
     assert abs(total - total0) < 1e-9 * abs(total0)
 
 
@@ -81,7 +86,9 @@ def test_fv_advection_preserves_constant():
     step = jax.jit(model.step_fn())
     out = step(q, cx, cy)
     np.testing.assert_allclose(
-        np.asarray(out)[:, H : H + NI, H : H + NJ], 2.5, rtol=1e-13
+        np.asarray(out)[:, model.oi : model.oi + NI, model.oj : model.oj + NJ],
+        2.5,
+        rtol=1e-13,
     )
 
 
@@ -100,7 +107,7 @@ def test_fv_advection_monotone_no_overshoot():
     qj = jnp.asarray(q)
     for _ in range(10):
         qj = step(qj, jnp.asarray(cx), jnp.asarray(cy))
-    interior = np.asarray(qj)[:, H : H + NI, H : H + NJ]
+    interior = np.asarray(qj)[:, model.oi : model.oi + NI, model.oj : model.oj + NJ]
     # 1D PPM is monotone; the 2D split introduces small cross-term
     # oscillations (Lin & Rood 1996) -- bound them tightly
     assert interior.min() >= -0.05
