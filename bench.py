@@ -61,7 +61,7 @@ def bench_tpu_dycore():
     """Per-iteration time of the fused hdiff+vadv+update step on device."""
     from gt4py_tpu.models import MiniDycore
 
-    model = MiniDycore(NI, NJ, NK, dtype=DTYPE, backend="jax")
+    model = MiniDycore(NI, NJ, NK, dtype=DTYPE, backend="pallas")
     step = model.step_fn()
     state = _build_state(model)
 
@@ -79,7 +79,7 @@ def bench_tpu_fv():
 
     from gt4py_tpu.models import FvAdvection
 
-    model = FvAdvection(NI, NJ, NK, dtype=DTYPE, backend="jax")
+    model = FvAdvection(NI, NJ, NK, dtype=DTYPE, backend="pallas")
     st = {k: jnp.asarray(v) for k, v in model.init_state(seed=4).items()}
     fv_step = model.step_fn()
 
