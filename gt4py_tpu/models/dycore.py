@@ -137,6 +137,87 @@ def make_vadv(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
     return vertical_advection_dycore
 
 
+def make_vadv_update(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
+    """vadv fused with the prognostic update ``u_out = u_pos + ts/dtr``:
+    one extra in-kernel write replaces a whole-buffer XLA pass."""
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"vadv_upd_{np.dtype(dtype).name}",
+        externals={"BET_M": bet_m, "BET_P": bet_p},
+        literal_precision=_literal_precision(dtype),
+    )
+    def vertical_advection_update(
+        utens_stage: Field,
+        u_stage: Field,
+        wcon: Field,
+        u_pos: Field,
+        utens: Field,
+        u_out: Field,
+        *,
+        dtr_stage: dtype,
+    ):
+        from __externals__ import BET_M, BET_P
+
+        with computation(FORWARD):
+            with interval(0, 1):
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+                cs = gcv * BET_M
+                ccol = gcv * BET_P
+                bcol = dtr_stage - ccol[0, 0, 0]
+                correction_term = -cs * (u_stage[0, 0, 1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / bcol[0, 0, 0]
+                ccol = ccol[0, 0, 0] * divided
+                dcol = dcol[0, 0, 0] * divided
+            with interval(1, -1):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+                as_ = gav * BET_M
+                cs = gcv * BET_M
+                acol = gav * BET_P
+                ccol = gcv * BET_P
+                bcol = dtr_stage - acol[0, 0, 0] - ccol[0, 0, 0]
+                correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0]) - cs * (
+                    u_stage[0, 0, 1] - u_stage[0, 0, 0]
+                )
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                ccol = ccol[0, 0, 0] * divided
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+            with interval(-1, None):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                as_ = gav * BET_M
+                acol = gav * BET_P
+                bcol = dtr_stage - acol[0, 0, 0]
+                correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_pos[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+
+        with computation(BACKWARD):
+            with interval(-1, None):
+                datacol = dcol[0, 0, 0]
+                utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+                u_out = u_pos[0, 0, 0] + utens_stage[0, 0, 0] * (1.0 / dtr_stage)
+            with interval(0, -1):
+                datacol = dcol[0, 0, 0] - ccol[0, 0, 0] * datacol[0, 0, 1]
+                utens_stage = dtr_stage * (datacol - u_pos[0, 0, 0])
+                u_out = u_pos[0, 0, 0] + utens_stage[0, 0, 0] * (1.0 / dtr_stage)
+
+    return vertical_advection_update
+
+
 def periodic_fill(arr, h: int, ni: int, nj: int, oi: int = None, oj: int = None):
     """Fill I/J halos (width h) of a physical (K, I, J) array periodically
     (axes 1=I, 2=J).  ``ni``/``nj`` are the DOMAIN sizes and must be passed
@@ -203,6 +284,7 @@ class MiniDycore:
         self.oj = ORIGIN_J if aligned else h
         self.hdiff = make_hdiff(dtype, backend)
         self.vadv = make_vadv(dtype, backend)
+        self.vadv_upd = make_vadv_update(dtype, backend)
         # physical K-leading layout end-to-end: zero transposes per step
         self.hdiff_fn = self.hdiff.functional(
             origin=(self.oi, self.oj, 0),
@@ -210,6 +292,11 @@ class MiniDycore:
             physical_layout=True,
         )
         self.vadv_fn = self.vadv.functional(
+            origin=(self.oi, self.oj, 0),
+            domain=(ni, nj, nk),
+            physical_layout=True,
+        )
+        self.vadv_upd_fn = self.vadv_upd.functional(
             origin=(self.oi, self.oj, 0),
             domain=(ni, nj, nk),
             physical_layout=True,
@@ -234,6 +321,10 @@ class MiniDycore:
             "utens_stage": rng.random(shape).astype(dt),
         }
 
+    #: fields actually read at horizontal offsets (hdiff in_field at
+    #: +-2, vadv wcon at i+1) -- the only ones whose halos a step needs
+    FILL_FIELDS = ("u", "wcon")
+
     def step_fn(self, *, fill_halos: bool = True, dtr_stage: float = 3.0):
         h = self.HALO
 
@@ -241,29 +332,30 @@ class MiniDycore:
             import jax.numpy as jnp
 
             if fill_halos:
-                # fill EVERY field read with an offset (wcon is read at
-                # [1,0,*]), keeping this path consistent with the shard_map
-                # halo exchange, which refreshes all fields
-                state = {
-                    k: periodic_fill(v, h, self.ni, self.nj, self.oi, self.oj)
-                    for k, v in state.items()
-                }
+                state = dict(state)
+                for k in self.FILL_FIELDS:
+                    state[k] = periodic_fill(
+                        state[k], h, self.ni, self.nj, self.oi, self.oj
+                    )
             u = state["u"]
             diffused = self.hdiff_fn(
                 in_field=u, out_field=u, coeff=state["coeff"]
             )["out_field"]
-            utens_stage = self.vadv_fn(
+            # vadv fused with the prognostic update: utens_stage and
+            # u_out = diffused + (1/dtr)*utens_stage in one kernel (the
+            # separate XLA update pass cost a full-state HBM round trip)
+            outs = self.vadv_upd_fn(
                 utens_stage=state["utens_stage"],
                 u_stage=diffused,
                 wcon=state["wcon"],
                 u_pos=diffused,
                 utens=state["utens"],
+                u_out=u,
                 dtr_stage=jnp.asarray(dtr_stage, dtype=self.dtype),
-            )["utens_stage"]
-            u_new = diffused + (1.0 / dtr_stage) * utens_stage
+            )
             new_state = dict(state)
-            new_state["u"] = u_new.astype(self.dtype)
-            new_state["utens_stage"] = utens_stage
+            new_state["u"] = outs["u_out"]
+            new_state["utens_stage"] = outs["utens_stage"]
             return new_state
 
         return step
