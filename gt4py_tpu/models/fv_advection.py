@@ -102,6 +102,146 @@ def make_yflux(dtype, backend="jax"):
     return yflux
 
 
+def make_x_advect(dtype, backend="jax", factor=1.0):
+    """Fused PPM x-flux + divergence update: the flux is an in-stencil
+    temporary (recomputed per tile in the pallas backend; inlined/fused by
+    XLA), removing the intermediate flux field's HBM round trip and its
+    halo fill.  Bitwise-equal to xflux -> fill -> update_x because q's
+    periodic halo (width 3) covers the fused extent exactly."""
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"fv_xadv_{np.dtype(dtype).name}_{factor}",
+        externals={"FACTOR": factor},
+        literal_precision=_literal_precision(dtype),
+    )
+    def x_advect(q: Field, cx: Field, qout: Field):
+        from __externals__ import FACTOR
+
+        with computation(PARALLEL), interval(...):
+            al = 7.0 / 12.0 * (q[-1, 0, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[-2, 0, 0] + q[1, 0, 0]
+            )
+            bl = al[0, 0, 0] - q[0, 0, 0]
+            br = al[1, 0, 0] - q[0, 0, 0]
+            dm = br - bl
+            a6 = -3.0 * (bl + br)
+            smooth = bl * br < 0.0
+            blm = (-2.0 * br if dm * a6 > dm * dm else bl) if smooth else 0.0
+            brm = (-2.0 * bl if dm * a6 < -dm * dm else br) if smooth else 0.0
+            dml = brm - blm
+            a6l = -3.0 * (blm + brm)
+            fpos = (q[-1, 0, 0] + brm[-1, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dml[-1, 0, 0] - a6l[-1, 0, 0] * (1.0 - 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fneg = (q[0, 0, 0] + blm[0, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dml[0, 0, 0] + a6l[0, 0, 0] * (1.0 + 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            flux = cx[0, 0, 0] * (fpos if cx[0, 0, 0] >= 0.0 else fneg)
+            qout = q[0, 0, 0] - FACTOR * (flux[1, 0, 0] - flux[0, 0, 0])
+
+    return x_advect
+
+
+def make_y_advect(dtype, backend="jax", factor=1.0):
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"fv_yadv_{np.dtype(dtype).name}_{factor}",
+        externals={"FACTOR": factor},
+        literal_precision=_literal_precision(dtype),
+    )
+    def y_advect(q: Field, cy: Field, qout: Field):
+        from __externals__ import FACTOR
+
+        with computation(PARALLEL), interval(...):
+            al = 7.0 / 12.0 * (q[0, -1, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[0, -2, 0] + q[0, 1, 0]
+            )
+            bl = al[0, 0, 0] - q[0, 0, 0]
+            br = al[0, 1, 0] - q[0, 0, 0]
+            dm = br - bl
+            a6 = -3.0 * (bl + br)
+            smooth = bl * br < 0.0
+            blm = (-2.0 * br if dm * a6 > dm * dm else bl) if smooth else 0.0
+            brm = (-2.0 * bl if dm * a6 < -dm * dm else br) if smooth else 0.0
+            dml = brm - blm
+            a6l = -3.0 * (blm + brm)
+            fpos = (q[0, -1, 0] + brm[0, -1, 0]) - 0.5 * cy[0, 0, 0] * (
+                dml[0, -1, 0] - a6l[0, -1, 0] * (1.0 - 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fneg = (q[0, 0, 0] + blm[0, 0, 0]) - 0.5 * cy[0, 0, 0] * (
+                dml[0, 0, 0] + a6l[0, 0, 0] * (1.0 + 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            flux = cy[0, 0, 0] * (fpos if cy[0, 0, 0] >= 0.0 else fneg)
+            qout = q[0, 0, 0] - FACTOR * (flux[0, 1, 0] - flux[0, 0, 0])
+
+    return y_advect
+
+
+def make_fv_final(dtype, backend="jax"):
+    """Fused outer stage: both outer PPM fluxes (on the cross-advected
+    fields) plus the two divergence updates in one stencil."""
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"fv_final_{np.dtype(dtype).name}",
+        literal_precision=_literal_precision(dtype),
+    )
+    def fv_final(q: Field, qx: Field, qy: Field, cx: Field, cy: Field, qout: Field):
+        with computation(PARALLEL), interval(...):
+            # x flux on qy
+            alx = 7.0 / 12.0 * (qy[-1, 0, 0] + qy[0, 0, 0]) - 1.0 / 12.0 * (
+                qy[-2, 0, 0] + qy[1, 0, 0]
+            )
+            blx = alx[0, 0, 0] - qy[0, 0, 0]
+            brx = alx[1, 0, 0] - qy[0, 0, 0]
+            dmx = brx - blx
+            a6x = -3.0 * (blx + brx)
+            smx = blx * brx < 0.0
+            blmx = (-2.0 * brx if dmx * a6x > dmx * dmx else blx) if smx else 0.0
+            brmx = (-2.0 * blx if dmx * a6x < -dmx * dmx else brx) if smx else 0.0
+            dmlx = brmx - blmx
+            a6lx = -3.0 * (blmx + brmx)
+            fposx = (qy[-1, 0, 0] + brmx[-1, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlx[-1, 0, 0] - a6lx[-1, 0, 0] * (1.0 - 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fnegx = (qy[0, 0, 0] + blmx[0, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlx[0, 0, 0] + a6lx[0, 0, 0] * (1.0 + 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fx = cx[0, 0, 0] * (fposx if cx[0, 0, 0] >= 0.0 else fnegx)
+            # y flux on qx
+            aly = 7.0 / 12.0 * (qx[0, -1, 0] + qx[0, 0, 0]) - 1.0 / 12.0 * (
+                qx[0, -2, 0] + qx[0, 1, 0]
+            )
+            bly = aly[0, 0, 0] - qx[0, 0, 0]
+            bry = aly[0, 1, 0] - qx[0, 0, 0]
+            dmy = bry - bly
+            a6y = -3.0 * (bly + bry)
+            smy = bly * bry < 0.0
+            blmy = (-2.0 * bry if dmy * a6y > dmy * dmy else bly) if smy else 0.0
+            brmy = (-2.0 * bly if dmy * a6y < -dmy * dmy else bry) if smy else 0.0
+            dmly = brmy - blmy
+            a6ly = -3.0 * (blmy + brmy)
+            fposy = (qx[0, -1, 0] + brmy[0, -1, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmly[0, -1, 0] - a6ly[0, -1, 0] * (1.0 - 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fnegy = (qx[0, 0, 0] + blmy[0, 0, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmly[0, 0, 0] + a6ly[0, 0, 0] * (1.0 + 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fy = cy[0, 0, 0] * (fposy if cy[0, 0, 0] >= 0.0 else fnegy)
+            qout = (
+                q[0, 0, 0]
+                - (fx[1, 0, 0] - fx[0, 0, 0])
+                - (fy[0, 1, 0] - fy[0, 0, 0])
+            )
+
+    return fv_final
+
+
 def make_flux_update_x(dtype, backend="jax", factor=1.0):
     Field = gtscript.Field[dtype]
 
@@ -185,6 +325,10 @@ class FvAdvection:
                 "upd_y_half": self.upd_y_half.functional(**kw),
                 "upd_x": self.upd_x.functional(**kw),
                 "upd_y": self.upd_y.functional(**kw),
+                # fused stages (3 kernels/step instead of 6 + fewer fills)
+                "xadv_half": make_x_advect(dtype, backend, 0.5).functional(**kw),
+                "yadv_half": make_y_advect(dtype, backend, 0.5).functional(**kw),
+                "final": make_fv_final(dtype, backend).functional(**kw),
             }
 
     def field_shape(self) -> Tuple[int, int, int]:
@@ -214,23 +358,21 @@ class FvAdvection:
         def step(q, cx, cy):
             import jax.numpy as jnp
 
+            # fused staging: inner half-advections and the combined outer
+            # stage carry their PPM fluxes as in-stencil temporaries --
+            # bitwise-equal to the 6-stencil pipeline (q's periodic halo
+            # of width 3 covers the fused extents exactly), but 3 kernels
+            # and 3 fills instead of 6 and 6
             q = fill(q)
+            # the fused stages evaluate boundary-face fluxes in the halo
+            # (instead of wrapping interior flux values), so the Courant
+            # fields' halos must be periodic too
+            cx = fill(cx)
+            cy = fill(cy)
             zeros = jnp.zeros_like(q)
-            # inner (half) updates: advective preconditioning of each axis.
-            # fluxes are face-centered: the divergence needs face i+1, i.e.
-            # the periodic wrap of face 0, so fluxes get halo-filled too.
-            fx0 = fill(fns["xflux"](q=q, cx=cx, flux=zeros)["flux"])
-            qx = fns["upd_x_half"](q=q, flux=fx0, qout=zeros)["qout"]
-            fy0 = fill(fns["yflux"](q=q, cy=cy, flux=zeros)["flux"])
-            qy = fns["upd_y_half"](q=q, flux=fy0, qout=zeros)["qout"]
-            qx = fill(qx)
-            qy = fill(qy)
-            # outer fluxes evaluated on the cross-advected fields
-            fx = fill(fns["xflux"](q=qy, cx=cx, flux=zeros)["flux"])
-            fy = fill(fns["yflux"](q=qx, cy=cy, flux=zeros)["flux"])
-            q1 = fill(fns["upd_x"](q=q, flux=fx, qout=zeros)["qout"])
-            q2 = fns["upd_y"](q=q1, flux=fy, qout=zeros)["qout"]
-            return q2
+            qx = fill(fns["xadv_half"](q=q, cx=cx, qout=zeros)["qout"])
+            qy = fill(fns["yadv_half"](q=q, cy=cy, qout=zeros)["qout"])
+            return fns["final"](q=q, qx=qx, qy=qy, cx=cx, cy=cy, qout=zeros)["qout"]
 
         return step
 
