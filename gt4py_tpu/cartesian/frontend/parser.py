@@ -933,6 +933,8 @@ def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None) -> ir.Interval
     if len(args) == 1:
         v = _const_int(args[0])
         if v is None:
+            v = _axis_index_bound(args[0], maker)
+        if v is None:
             raise GTScriptSyntaxError("Invalid interval bound")
         start = ir.AxisBound.from_value(v, is_end=False)
         return ir.Interval(start, ir.AxisBound(start.level, start.offset + 1))
@@ -943,6 +945,12 @@ def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None) -> ir.Interval
         if isinstance(nd, ast.Constant) and nd.value is None:
             return ir.AxisBound.end() if is_end else ir.AxisBound.start()
         v = _const_int(nd)
+        if v is None:
+            # K[n] axis-index bounds (reference: gtscript.AxisIndex used
+            # as an interval bound, test_gtscript_frontend.py:730-847) --
+            # K[n] means START+n for n >= 0, END+n for n < 0, i.e. the
+            # same resolution as a plain integer
+            v = _axis_index_bound(nd, maker)
         if v is not None:
             return ir.AxisBound.from_value(v, is_end=is_end)
         # runtime bound: a scalar parameter (or scalar +/- literal)
@@ -955,6 +963,28 @@ def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None) -> ir.Interval
         )
 
     return ir.Interval(bound(args[0], False), bound(args[1], True))
+
+
+def _axis_index_bound(nd: ast.expr, maker: "IRMaker" = None):
+    """Recognize ``K[n]`` (or ``gtscript.K[n]``) interval bounds; also a
+    bare name bound to a ``gtscript.AxisIndex`` value (via externals or the
+    definition's namespace)."""
+    from gt4py_tpu.cartesian import gtscript as _gts
+
+    if isinstance(nd, ast.Subscript):
+        base = nd.value
+        is_k = (isinstance(base, ast.Name) and base.id == "K") or (
+            isinstance(base, ast.Attribute) and base.attr == "K"
+        )
+        if is_k:
+            return _const_int(nd.slice)
+    if isinstance(nd, ast.Name) and maker is not None:
+        val = maker.ctx.externals.get(nd.id)
+        if val is None:
+            val = maker.ctx.definition_globals.get(nd.id)
+        if isinstance(val, _gts.AxisIndex) and val.axis == "K":
+            return val.index + val.offset
+    return None
 
 
 def _runtime_bound_parts(nd: ast.expr):

@@ -235,3 +235,45 @@ def test_runtime_interval_bounds(backend):
     expected[0:2] += 1.0
     expected[1:] += 0.5
     np.testing.assert_array_equal(out[0, 0], expected)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_axis_index_interval_bounds(backend):
+    """interval(K[2], -1) axis-index bounds
+    (reference: test_gtscript_frontend.py:730-847)."""
+    from gt4py_tpu.cartesian.gtscript import K
+
+    @gtscript.stencil(backend=backend)
+    def st(inp: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(K[2], -1):
+            out = inp + 1.0
+        with computation(PARALLEL), interval(K[-1], None):
+            out = inp + 5.0
+
+    nk = 6
+    a = np.zeros((3, 3, nk))
+    out = np.zeros_like(a)
+    st(a, out, origin=(0, 0, 0))
+    expected = np.zeros(nk)
+    expected[2 : nk - 1] = 1.0
+    expected[nk - 1] = 5.0
+    np.testing.assert_array_equal(out[0, 0], expected)
+
+
+def test_axis_index_external_bound():
+    """An external bound to gtscript.K[n] works as an interval bound."""
+    from gt4py_tpu.cartesian.gtscript import K
+
+    KSTART = K[3]
+
+    @gtscript.stencil(backend="numpy")
+    def st(inp: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(KSTART, None):
+            out = inp + 2.0
+
+    nk = 5
+    a = np.zeros((2, 2, nk))
+    out = np.zeros_like(a)
+    st(a, out, origin=(0, 0, 0))
+    np.testing.assert_array_equal(out[0, 0, 3:], 2.0)
+    np.testing.assert_array_equal(out[0, 0, :3], 0.0)
