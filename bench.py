@@ -81,7 +81,8 @@ def bench_tpu_fv():
 
     model = FvAdvection(NI, NJ, NK, dtype=DTYPE, backend="pallas")
     st = {k: jnp.asarray(v) for k, v in model.init_state(seed=4).items()}
-    fv_step = model.step_fn()
+    st["cx"], st["cy"] = model.fill_winds(st["cx"], st["cy"])
+    fv_step = model.step_fn(winds_filled=True)
 
     def step(state):
         q = fv_step(state["q"], state["cx"], state["cy"])

@@ -347,8 +347,23 @@ class FvAdvection:
 
     # ------------------------------------------------------------------ #
 
-    def step_fn(self):
-        """Pure jax step over physical buffers (jax/pallas backends)."""
+    def fill_winds(self, cx, cy):
+        """Periodically fill the Courant fields' halos once, for use with
+        ``step_fn(winds_filled=True)``."""
+        h = self.HALO
+        return (
+            periodic_fill(cx, h, self.ni, self.nj, self.oi, self.oj),
+            periodic_fill(cy, h, self.ni, self.nj, self.oi, self.oj),
+        )
+
+    def step_fn(self, *, winds_filled: bool = False):
+        """Pure jax step over physical buffers (jax/pallas backends).
+
+        ``winds_filled=True`` skips the per-step periodic fill of the
+        Courant fields: callers iterating many steps with constant winds
+        can fill them once (``fill_winds``) and save two whole-buffer
+        passes per step.
+        """
         h, ni, nj = self.HALO, self.ni, self.nj
         fns = self.fns
 
@@ -367,8 +382,9 @@ class FvAdvection:
             # the fused stages evaluate boundary-face fluxes in the halo
             # (instead of wrapping interior flux values), so the Courant
             # fields' halos must be periodic too
-            cx = fill(cx)
-            cy = fill(cy)
+            if not winds_filled:
+                cx = fill(cx)
+                cy = fill(cy)
             zeros = jnp.zeros_like(q)
             qx = fill(fns["xadv_half"](q=q, cx=cx, qout=zeros)["qout"])
             qy = fill(fns["yadv_half"](q=q, cy=cy, qout=zeros)["qout"])
