@@ -305,8 +305,14 @@ class ProgramGenerator:
         return ir.FieldAccess(name=name)
 
 
-def run_differential_case(seed: int, domain=(7, 6, 5), halo=6) -> None:
-    """Generate one program, run numpy vs jax, assert allclose."""
+def run_differential_case(
+    seed: int, domain=(7, 6, 5), halo=6, backends=("jax",)
+) -> None:
+    """Generate one program, run the numpy oracle vs each backend in
+    ``backends`` ("jax", "pallas"), assert allclose.  The pallas leg runs
+    the interpret-mode kernel path on CPU (random programs with extended
+    API write extents transparently fall back to the XLA executor, which
+    still exercises the eligibility logic)."""
     from gt4py_tpu.cartesian import analysis as analysis_mod
     from gt4py_tpu.cartesian.backend import from_name
 
@@ -328,20 +334,21 @@ def run_differential_case(seed: int, domain=(7, 6, 5), halo=6) -> None:
     ref = {k: v.copy() for k, v in arrays.items()}
     from_name("numpy")(an).run(ref, scalars, domain, origins)
 
-    jx = {k: v.copy() for k, v in arrays.items()}
-    result = from_name("jax")(an, {}).run(jx, scalars, domain, origins)
-    for name, new in result.items():
-        jx[name][...] = np.asarray(new)
+    for backend in backends:
+        jx = {k: v.copy() for k, v in arrays.items()}
+        result = from_name(backend)(an, {}).run(jx, scalars, domain, origins)
+        for name, new in result.items():
+            jx[name][...] = np.asarray(new)
 
-    for name in gen.outputs + gen.inputs:
-        np.testing.assert_allclose(
-            jx[name],
-            ref[name],
-            rtol=1e-12,
-            atol=1e-12,
-            err_msg=f"seed {seed}: field '{name}' diverges\n"
-            + _dump(stencil),
-        )
+        for name in gen.outputs + gen.inputs:
+            np.testing.assert_allclose(
+                jx[name],
+                ref[name],
+                rtol=1e-12,
+                atol=1e-12,
+                err_msg=f"seed {seed}: field '{name}' diverges ({backend})\n"
+                + _dump(stencil),
+            )
 
 
 def _dump(stencil) -> str:
