@@ -306,7 +306,7 @@ class ProgramGenerator:
 
 
 def run_differential_case(
-    seed: int, domain=(7, 6, 5), halo=6, backends=("jax",)
+    seed: int, domain=None, halo=6, backends=("jax",)
 ) -> None:
     """Generate one program, run the numpy oracle vs each backend in
     ``backends`` ("jax", "pallas"), assert allclose.  The pallas leg runs
@@ -317,6 +317,10 @@ def run_differential_case(
     from gt4py_tpu.cartesian.backend import from_name
 
     rng = random.Random(seed)
+    if domain is None:
+        # vary the domain shape per seed: exercises extent clipping,
+        # single-plane K, and non-square IJ paths
+        domain = (rng.randint(3, 9), rng.randint(3, 9), rng.randint(1, 7))
     gen = ProgramGenerator(rng)
     stencil = gen.generate()
     an = analysis_mod.analyze(stencil)
