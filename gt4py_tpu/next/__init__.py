@@ -26,18 +26,56 @@ from .common import (  # noqa: F401
 from .constructors import as_connectivity, as_field, empty, full, ones, zeros  # noqa: F401
 from .ffront import field_operator, program, scan_operator  # noqa: F401
 from .builtins import (  # noqa: F401
+    abs,  # noqa: A004
+    arccos,
+    arccosh,
+    arcsin,
+    arcsinh,
+    arctan,
+    arctanh,
+    as_offset,
     astype,
     broadcast,
+    ceil,
+    concat_where,
     cos,
+    cosh,
     exp,
+    floor,
+    fmod,
+    isfinite,
+    isinf,
+    isnan,
     log,
+    log2,
+    log10,
     maximum,
     max_over,
     minimum,
     min_over,
     neighbor_sum,
+    power,
+    premap,
     sin,
+    sinh,
     sqrt,
+    tan,
     tanh,
+    trunc,
     where,
 )
+from .type_system import (  # noqa: F401
+    Dims,
+    bool_,
+    float32,
+    float64,
+    int8,
+    int16,
+    int32,
+    int64,
+    uint8,
+    uint16,
+    uint32,
+    uint64,
+)
+from . import type_system  # noqa: F401

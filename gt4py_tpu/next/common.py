@@ -1,8 +1,16 @@
 """Core field-view vocabulary: dimensions, ranges, domains, fields.
 
-Reference: src/gt4py/next/common.py (Dimension :66-112, UnitRange :197,
-Domain :433, Field protocol :749, Connectivity :964-1122) and the jax
-namespace registration in embedded/nd_array_field.py:1055-1091.
+Reference: src/gt4py/next/common.py (Dimension :66-112 incl. the
+comparison operators producing Domains, UnitRange :197 incl. Infinity,
+Domain :433, Field protocol :749, Connectivity :964-1122, promote_dims
+:1349) and the jax namespace registration in
+embedded/nd_array_field.py:1055-1091.
+
+TPU-first redesign note: there is exactly one ``Field`` implementation,
+generic over the array namespace.  jax-backed fields are the product path
+(pytree-registered, jit-traceable); numpy-backed fields are the embedded
+oracle (reference runners/roundtrip.py analog) -- both run the same
+domain/broadcast/offset logic, so backend semantics cannot fork.
 """
 
 from __future__ import annotations
@@ -20,13 +28,33 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+#: Sentinel magnitude for unbounded ranges (reference: common.Infinity).
+#: Large enough that no real grid index reaches it, small enough that
+#: shifting it by any offset cannot overflow an int64.
+INFINITY: int = 1 << 60
+
+
+def _xp(data):
+    """Array namespace of ``data``: numpy for numpy arrays (the embedded
+    oracle), jnp for everything else (jax arrays and tracers)."""
+    return np if isinstance(data, np.ndarray) else jnp
+
+
 class DimensionKind(enum.Enum):
     HORIZONTAL = "horizontal"
     VERTICAL = "vertical"
     LOCAL = "local"
 
 
-@dataclasses.dataclass(frozen=True)
+#: promote_dims sorts by kind first (reference: common.order_dimensions)
+_KIND_ORDER = {
+    DimensionKind.HORIZONTAL: 0,
+    DimensionKind.LOCAL: 1,
+    DimensionKind.VERTICAL: 2,
+}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class Dimension:
     value: str
     kind: DimensionKind = DimensionKind.HORIZONTAL
@@ -34,13 +62,74 @@ class Dimension:
     def __str__(self):
         return self.value
 
+    def __hash__(self):
+        return hash((self.value, self.kind))
+
+    # -- comparisons with integers build 1D Domains (reference:
+    # common.py:95-118; used as the concat_where condition, e.g. ``K < 5``)
+
+    def __eq__(self, other):
+        if isinstance(other, Dimension):
+            return self.value == other.value and self.kind == other.kind
+        if isinstance(other, (int, np.integer)):
+            return Domain((self,), (UnitRange(int(other), int(other) + 1),))
+        return NotImplemented
+
+    def __ne__(self, other):
+        if isinstance(other, Dimension):
+            return not self.__eq__(other)
+        raise TypeError(
+            "'dim != value' produces two disjoint domains; use "
+            "concat_where(dim < value, ...) / concat_where(dim > value, ...)"
+        )
+
+    def __lt__(self, value: int) -> "Domain":
+        return Domain((self,), (UnitRange(-INFINITY, int(value)),))
+
+    def __le__(self, value: int) -> "Domain":
+        return Domain((self,), (UnitRange(-INFINITY, int(value) + 1),))
+
+    def __gt__(self, value: int) -> "Domain":
+        return Domain((self,), (UnitRange(int(value) + 1, INFINITY),))
+
+    def __ge__(self, value: int) -> "Domain":
+        return Domain((self,), (UnitRange(int(value), INFINITY),))
+
+
+def promote_dims(*dims_list: Sequence[Dimension]) -> Tuple[Dimension, ...]:
+    """Canonical ordering of the union of dimensions: by kind
+    (HORIZONTAL < LOCAL < VERTICAL), then lexicographically by name
+    (reference: common.promote_dims :1349-1384)."""
+    seen: Dict[Dimension, None] = {}
+    for dims in dims_list:
+        for d in dims:
+            seen.setdefault(d, None)
+    out = sorted(seen, key=lambda d: (_KIND_ORDER[d.kind], d.value))
+    n_local = sum(1 for d in out if d.kind == DimensionKind.LOCAL)
+    if n_local > 1:
+        raise ValueError(
+            "There are more than one dimension with DimensionKind 'LOCAL'."
+        )
+    return tuple(out)
+
 
 @dataclasses.dataclass(frozen=True)
 class UnitRange:
-    """Half-open integer range [start, stop)."""
+    """Half-open integer range [start, stop); +-INFINITY marks unbounded."""
 
     start: int
     stop: int
+
+    @classmethod
+    def infinite(cls) -> "UnitRange":
+        return cls(-INFINITY, INFINITY)
+
+    @property
+    def is_finite(self) -> bool:
+        return self.start > -INFINITY and self.stop < INFINITY
+
+    def is_empty(self) -> bool:
+        return self.stop <= self.start
 
     def __len__(self):
         return max(self.stop - self.start, 0)
@@ -49,7 +138,17 @@ class UnitRange:
         return UnitRange(max(self.start, other.start), min(self.stop, other.stop))
 
     def shift(self, offset: int) -> "UnitRange":
-        return UnitRange(self.start + offset, self.stop + offset)
+        lo = self.start if self.start <= -INFINITY else self.start + offset
+        hi = self.stop if self.stop >= INFINITY else self.stop + offset
+        return UnitRange(lo, hi)
+
+    def __contains__(self, v: int) -> bool:
+        return self.start <= v < self.stop
+
+    def __str__(self):
+        lo = "-inf" if self.start <= -INFINITY else str(self.start)
+        hi = "inf" if self.stop >= INFINITY else str(self.stop)
+        return f"[{lo}:{hi})"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,11 +167,65 @@ class Domain:
         return self.ranges[self.dims.index(dim)]
 
     @property
+    def ndim(self) -> int:
+        return len(self.dims)
+
+    @property
     def shape(self) -> Tuple[int, ...]:
         return tuple(len(r) for r in self.ranges)
 
+    def is_empty(self) -> bool:
+        return any(r.is_empty() for r in self.ranges)
+
+    def dim_index(self, dim: Dimension) -> int:
+        return self.dims.index(dim)
+
+    def replace(self, dim: Dimension, rng: UnitRange) -> "Domain":
+        i = self.dims.index(dim)
+        return Domain(self.dims, self.ranges[:i] + (rng,) + self.ranges[i + 1 :])
+
+    def intersect(self, other: "Domain") -> "Domain":
+        """Intersection over shared dims; dims of ``self`` not in ``other``
+        keep their range (and vice versa, appended in other's order)."""
+        dims = list(self.dims) + [d for d in other.dims if d not in self.dims]
+        ranges = []
+        for d in dims:
+            if d in self.dims and d in other.dims:
+                ranges.append(self[d].intersect(other[d]))
+            elif d in self.dims:
+                ranges.append(self[d])
+            else:
+                ranges.append(other[d])
+        return Domain(tuple(dims), tuple(ranges))
+
     def __iter__(self):
         return iter(zip(self.dims, self.ranges))
+
+    def __contains__(self, dim: Dimension) -> bool:
+        return dim in self.dims
+
+    def __str__(self):
+        return "Domain(" + ", ".join(
+            f"{d.value}{r}" for d, r in zip(self.dims, self.ranges)
+        ) + ")"
+
+
+def domain_like(value) -> Domain:
+    """Coerce a Domain / dict / (dim, size) sequence into a Domain."""
+    if isinstance(value, Domain):
+        return value
+    if isinstance(value, dict):
+        dims = tuple(value.keys())
+        ranges = tuple(
+            r if isinstance(r, UnitRange) else UnitRange(0, int(r))
+            for r in value.values()
+        )
+        return Domain(dims, ranges)
+    dims, sizes = zip(*value)
+    return Domain(
+        tuple(dims),
+        tuple(s if isinstance(s, UnitRange) else UnitRange(0, int(s)) for s in sizes),
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,30 +256,48 @@ class Connectivity:
     """Neighbor table: maps ``source`` elements to ``codomain`` element ids.
 
     ``table`` has shape (n_source, max_neighbors); ``skip_value`` marks
-    missing neighbors (reference: common.py:964-1122).
+    missing neighbors (reference: common.py:964-1122).  1D tables
+    (shape (n_source,)) represent plain index mappings as produced by
+    ``as_offset`` (reference: embedded/nd_array_field.py:944-961).
     """
 
-    table: Any  # (n_source, max_neighbors) int array
+    table: Any  # (n_source[, max_neighbors]) int array
     source: Dimension
     codomain: Dimension
-    local_dim: Dimension
+    local_dim: Optional[Dimension] = None
     skip_value: Optional[int] = -1
 
     @property
     def max_neighbors(self) -> int:
         return self.table.shape[1]
 
+    @property
+    def has_local_dim(self) -> bool:
+        return self.table.ndim == 2 and self.local_dim is not None
+
+
+#: types accepted anywhere a "field or scalar" is expected
+Scalar = (int, float, bool, np.generic)
+
 
 class Field:
     """A dimensioned array with a domain; operations intersect domains.
 
-    Registered as a jax pytree: compositions of field operations can be
-    ``jax.jit``-ed directly.
+    jax-backed fields are registered as a pytree (jit-traceable); numpy
+    arrays flow through identical code with the numpy namespace -- the
+    embedded oracle.
     """
 
     def __init__(self, domain: Domain, data):
         self.domain = domain
         self.data = data
+
+    # ---- annotation syntax: Field[Dims[I, J], float64] ---- #
+
+    def __class_getitem__(cls, item):
+        from . import type_system as ts
+
+        return ts.field_annotation(item)
 
     # ---- construction helpers ---- #
 
@@ -146,13 +317,15 @@ class Field:
     def ndarray(self):
         return self.data
 
+    @property
+    def xp(self):
+        return _xp(self.data)
+
     def asnumpy(self) -> np.ndarray:
         return np.asarray(self.data)
 
     def __repr__(self):
-        dims = ", ".join(
-            f"{d.value}[{r.start}:{r.stop}]" for d, r in self.domain
-        )
+        dims = ", ".join(f"{d.value}{r}" for d, r in self.domain)
         return f"Field<{dims}, {self.dtype}>"
 
     # ---- pytree protocol ---- #
@@ -164,31 +337,84 @@ class Field:
     def tree_unflatten(cls, aux, children):
         return cls(aux, children[0])
 
-    # ---- domain algebra ---- #
+    # ---- domain restriction ---- #
+
+    def restrict(self, domain: Domain) -> "Field":
+        """Slice out ``domain`` (must be contained in own domain; dims of
+        ``domain`` not in the field are ignored)."""
+        idx = []
+        ranges = []
+        for ax, d in enumerate(self.dims):
+            own = self.domain[d]
+            if d in domain:
+                r = own.intersect(domain[d])
+                if self.data.shape[ax] == 1 and len(own) > 1:
+                    # unbounded broadcast axis: keep size-1 data, narrow range
+                    idx.append(slice(None))
+                else:
+                    lo = r.start - own.start
+                    idx.append(slice(lo, lo + len(r)))
+                ranges.append(r)
+            else:
+                idx.append(slice(None))
+                ranges.append(own)
+        return Field(Domain(self.dims, tuple(ranges)), self.data[tuple(idx)])
+
+    def __getitem__(self, domain: Domain) -> "Field":
+        if not isinstance(domain, Domain):
+            raise TypeError("Field[...] takes a Domain; use f(offset) for shifts")
+        return self.restrict(domain)
+
+    # ---- remap / premap (gather through connectivities) ---- #
 
     def remap(self, conn: Connectivity) -> "Field":
         """Gather through a neighbor table: result dims replace the
-        codomain dim with (source, local)."""
+        codomain dim with (source[, local])."""
+        xp = self.xp
         ax = self.dims.index(conn.codomain)
         own = self.domain[conn.codomain]
-        table = jnp.asarray(conn.table)
+        table = conn.table if isinstance(conn.table, np.ndarray) and xp is np else (
+            np.asarray(conn.table) if xp is np else jnp.asarray(conn.table)
+        )
         idx = table - own.start
-        safe = jnp.clip(idx, 0, self.data.shape[ax] - 1)
-        gathered = jnp.take(self.data, safe.reshape(-1), axis=ax)
-        new_shape = (
-            self.data.shape[:ax] + table.shape + self.data.shape[ax + 1 :]
-        )
+        safe = xp.clip(idx, 0, self.data.shape[ax] - 1)
+        gathered = xp.take(self.data, safe.reshape(-1), axis=ax)
+        new_shape = self.data.shape[:ax] + table.shape + self.data.shape[ax + 1 :]
         gathered = gathered.reshape(new_shape)
-        # move the new (source, local) axes to the front position of ax
-        dims = (
-            self.dims[:ax] + (conn.source, conn.local_dim) + self.dims[ax + 1 :]
-        )
-        ranges = (
-            self.domain.ranges[:ax]
-            + (UnitRange(0, table.shape[0]), UnitRange(0, table.shape[1]))
-            + self.domain.ranges[ax + 1 :]
-        )
+        if table.ndim == 2:
+            new_dims = (conn.source, conn.local_dim)
+            new_ranges = (
+                UnitRange(0, table.shape[0]),
+                UnitRange(0, table.shape[1]),
+            )
+        else:  # 1D mapping (as_offset): codomain dim replaced by source dim
+            new_dims = (conn.source,)
+            new_ranges = (UnitRange(0, table.shape[0]),)
+        dims = self.dims[:ax] + new_dims + self.dims[ax + 1 :]
+        ranges = self.domain.ranges[:ax] + new_ranges + self.domain.ranges[ax + 1 :]
         return Field(Domain(dims, ranges), gathered)
+
+    def premap(self, *conns: Connectivity) -> "Field":
+        """Compose the field with index mappings, ``(f∘c)(x) = f(c(x))``
+        (reference: embedded/nd_array_field.py:240-…).  Each connectivity's
+        codomain must be a dim of the field; gathers are applied one at a
+        time (codomains pairwise distinct)."""
+        seen = set()
+        out = self
+        for c in conns:
+            if isinstance(c, OffsetIndex):  # cartesian shift: domain translation
+                out = out(c)
+                continue
+            if c.codomain in seen:
+                raise ValueError(f"duplicate codomain {c.codomain} in premap")
+            seen.add(c.codomain)
+            if c.codomain not in out.dims:
+                raise ValueError(
+                    f"premap codomain {c.codomain.value} not in field dims "
+                    f"{[d.value for d in out.dims]}"
+                )
+            out = out.remap(c)
+        return out
 
     def __call__(self, off: Union[OffsetIndex, Connectivity, FieldOffset]) -> "Field":
         if isinstance(off, Connectivity):
@@ -206,9 +432,9 @@ class Field:
 
     # ---- arithmetic with broadcasting + domain intersection ---- #
 
-    def _binary(self, other, op):
+    def _binary(self, other, opname):
         if not isinstance(other, Field):
-            return Field(self.domain, op(self.data, other))
+            return Field(self.domain, getattr(self.xp, opname)(self.data, other))
         dims = list(self.dims)
         for d in other.dims:
             if d not in dims:
@@ -224,33 +450,37 @@ class Field:
         dom = Domain(tuple(dims), tuple(ranges))
         a = _expand(self, dom)
         b = _expand(other, dom)
-        return Field(dom, op(a, b))
+        xp = jnp if (self.xp is jnp or other.xp is jnp) else np
+        return Field(dom, getattr(xp, opname)(a, b))
 
-    def _rbinary(self, other, op):
-        return Field(self.domain, op(other, self.data))
+    def _rbinary(self, other, opname):
+        return Field(self.domain, getattr(self.xp, opname)(other, self.data))
 
-    def __add__(self, o): return self._binary(o, jnp.add)
-    def __radd__(self, o): return self._rbinary(o, jnp.add)
-    def __sub__(self, o): return self._binary(o, jnp.subtract)
-    def __rsub__(self, o): return self._rbinary(o, jnp.subtract)
-    def __mul__(self, o): return self._binary(o, jnp.multiply)
-    def __rmul__(self, o): return self._rbinary(o, jnp.multiply)
-    def __truediv__(self, o): return self._binary(o, jnp.true_divide)
-    def __rtruediv__(self, o): return self._rbinary(o, jnp.true_divide)
-    def __pow__(self, o): return self._binary(o, jnp.power)
-    def __mod__(self, o): return self._binary(o, jnp.mod)
+    def __add__(self, o): return self._binary(o, "add")
+    def __radd__(self, o): return self._rbinary(o, "add")
+    def __sub__(self, o): return self._binary(o, "subtract")
+    def __rsub__(self, o): return self._rbinary(o, "subtract")
+    def __mul__(self, o): return self._binary(o, "multiply")
+    def __rmul__(self, o): return self._rbinary(o, "multiply")
+    def __truediv__(self, o): return self._binary(o, "true_divide")
+    def __rtruediv__(self, o): return self._rbinary(o, "true_divide")
+    def __floordiv__(self, o): return self._binary(o, "floor_divide")
+    def __rfloordiv__(self, o): return self._rbinary(o, "floor_divide")
+    def __pow__(self, o): return self._binary(o, "power")
+    def __mod__(self, o): return self._binary(o, "mod")
     def __neg__(self): return Field(self.domain, -self.data)
     def __pos__(self): return self
-    def __abs__(self): return Field(self.domain, jnp.abs(self.data))
-    def __gt__(self, o): return self._binary(o, jnp.greater)
-    def __ge__(self, o): return self._binary(o, jnp.greater_equal)
-    def __lt__(self, o): return self._binary(o, jnp.less)
-    def __le__(self, o): return self._binary(o, jnp.less_equal)
-    def __eq__(self, o): return self._binary(o, jnp.equal)  # type: ignore[override]
-    def __ne__(self, o): return self._binary(o, jnp.not_equal)  # type: ignore[override]
-    def __and__(self, o): return self._binary(o, jnp.logical_and)
-    def __or__(self, o): return self._binary(o, jnp.logical_or)
-    def __invert__(self): return Field(self.domain, jnp.logical_not(self.data))
+    def __abs__(self): return Field(self.domain, self.xp.abs(self.data))
+    def __gt__(self, o): return self._binary(o, "greater")
+    def __ge__(self, o): return self._binary(o, "greater_equal")
+    def __lt__(self, o): return self._binary(o, "less")
+    def __le__(self, o): return self._binary(o, "less_equal")
+    def __eq__(self, o): return self._binary(o, "equal")  # type: ignore[override]
+    def __ne__(self, o): return self._binary(o, "not_equal")  # type: ignore[override]
+    def __and__(self, o): return self._binary(o, "logical_and")
+    def __or__(self, o): return self._binary(o, "logical_or")
+    def __xor__(self, o): return self._binary(o, "logical_xor")
+    def __invert__(self): return Field(self.domain, self.xp.logical_not(self.data))
 
     __hash__ = None  # type: ignore[assignment]
 
@@ -274,7 +504,7 @@ def _expand(f: Field, dom: Domain):
     shape = []
     src_ax = {d: i for i, d in enumerate(f.dims)}
     perm = [src_ax[d] for d in dom.dims if d in src_ax]
-    data = jnp.transpose(data, perm) if perm != sorted(perm) else data
+    data = _xp(data).transpose(data, perm) if perm != sorted(perm) else data
     it = iter(range(len(perm)))
     for d in dom.dims:
         if d in src_ax:

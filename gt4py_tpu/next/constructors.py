@@ -11,61 +11,53 @@ from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from .common import Connectivity, Dimension, Domain, Field, UnitRange
+from .common import Connectivity, Dimension, Domain, Field, UnitRange, domain_like
 
 import jax.numpy as jnp
 
 
 DomainLike = Union[Domain, dict, Sequence[Tuple[Dimension, int]]]
 
-
-def _as_domain(domain: DomainLike) -> Domain:
-    if isinstance(domain, Domain):
-        return domain
-    if isinstance(domain, dict):
-        dims = tuple(domain.keys())
-        ranges = tuple(
-            r if isinstance(r, UnitRange) else UnitRange(0, int(r))
-            for r in domain.values()
-        )
-        return Domain(dims, ranges)
-    dims, sizes = zip(*domain)
-    return Domain(
-        tuple(dims),
-        tuple(
-            s if isinstance(s, UnitRange) else UnitRange(0, int(s)) for s in sizes
-        ),
-    )
+_as_domain = domain_like
 
 
-def empty(domain: DomainLike, dtype=np.float64) -> Field:
+def _ns(allocator):
+    """Array namespace for an allocator spec: "numpy" builds numpy-backed
+    fields (the embedded oracle), anything else jax (the product path)."""
+    return np if allocator == "numpy" else jnp
+
+
+def empty(domain: DomainLike, dtype=np.float64, *, allocator=None) -> Field:
     dom = _as_domain(domain)
-    return Field(dom, jnp.zeros(dom.shape, dtype=dtype))
+    return Field(dom, _ns(allocator).zeros(dom.shape, dtype=dtype))
 
 
-def zeros(domain: DomainLike, dtype=np.float64) -> Field:
+def zeros(domain: DomainLike, dtype=np.float64, *, allocator=None) -> Field:
     dom = _as_domain(domain)
-    return Field(dom, jnp.zeros(dom.shape, dtype=dtype))
+    return Field(dom, _ns(allocator).zeros(dom.shape, dtype=dtype))
 
 
-def ones(domain: DomainLike, dtype=np.float64) -> Field:
+def ones(domain: DomainLike, dtype=np.float64, *, allocator=None) -> Field:
     dom = _as_domain(domain)
-    return Field(dom, jnp.ones(dom.shape, dtype=dtype))
+    return Field(dom, _ns(allocator).ones(dom.shape, dtype=dtype))
 
 
-def full(domain: DomainLike, fill_value, dtype=np.float64) -> Field:
+def full(domain: DomainLike, fill_value, dtype=np.float64, *, allocator=None) -> Field:
     dom = _as_domain(domain)
-    return Field(dom, jnp.full(dom.shape, fill_value, dtype=dtype))
+    return Field(dom, _ns(allocator).full(dom.shape, fill_value, dtype=dtype))
 
 
-def as_field(dims_or_domain, data, *, origin: Optional[dict] = None) -> Field:
+def as_field(
+    dims_or_domain, data, *, origin: Optional[dict] = None, allocator=None
+) -> Field:
     """Wrap an array as a Field.
 
     ``as_field((I, J), array)`` gives ranges starting at 0 (or at
     ``-origin[dim]`` when origins are passed, mirroring the reference's
-    origin semantics).
+    origin semantics).  ``allocator="numpy"`` keeps the data as a numpy
+    array: the field then runs on the embedded numpy oracle.
     """
-    data = jnp.asarray(data)
+    data = np.asarray(data) if allocator == "numpy" else jnp.asarray(data)
     if isinstance(dims_or_domain, Domain):
         return Field(dims_or_domain, data)
     dims = tuple(dims_or_domain)
@@ -84,10 +76,13 @@ def as_connectivity(
     codomain: Dimension,
     local_dim: Optional[Dimension] = None,
     skip_value: Optional[int] = -1,
+    allocator=None,
 ) -> Connectivity:
     from .common import DimensionKind
 
-    table = jnp.asarray(np.asarray(table, dtype=np.int32))
+    table = np.asarray(table, dtype=np.int32)
+    if allocator != "numpy":
+        table = jnp.asarray(table)
     if local_dim is None:
         local_dim = Dimension(
             f"{source.value}2{codomain.value}", DimensionKind.LOCAL

@@ -53,9 +53,13 @@ def _write_out(result: Field, out: Field, domain: Optional[Domain]) -> None:
         own = out.domain[d]
         lo = r.start - own.start
         idx.append(slice(lo, lo + len(r)))
-    out.data = out.data.at[tuple(idx)].set(
-        jnp.broadcast_to(val, tuple(len(r) for _, r in target)).astype(out.dtype)
-    )
+    shape = tuple(len(r) for _, r in target)
+    if isinstance(out.data, np.ndarray):  # embedded numpy oracle: in-place
+        out.data[tuple(idx)] = np.broadcast_to(val, shape).astype(out.dtype)
+    else:
+        out.data = out.data.at[tuple(idx)].set(
+            jnp.broadcast_to(val, shape).astype(out.dtype)
+        )
 
 
 class FieldOperator:
@@ -116,19 +120,22 @@ class ScanOperator:
             raise ValueError(f"No argument spans the scan axis {self.axis}")
         ax = dom.dims.index(self.axis)
 
+        oracle = all(isinstance(f.data, np.ndarray) for f in fields)
+        xp = np if oracle else jnp
+
         # broadcast all field args onto dom and move the scan axis first
         xs = []
         for a in args:
             if isinstance(a, Field):
-                data = jnp.broadcast_to(_expand(a, dom), dom.shape)
-                xs.append(jnp.moveaxis(data, ax, 0))
+                data = xp.broadcast_to(_expand(a, dom), dom.shape)
+                xs.append(xp.moveaxis(data, ax, 0))
             else:
                 xs.append(None)
 
         n = dom.shape[ax]
         plane_shape = dom.shape[:ax] + dom.shape[ax + 1 :]
         init = jax.tree_util.tree_map(
-            lambda v: jnp.broadcast_to(jnp.asarray(v), plane_shape), self.init
+            lambda v: xp.broadcast_to(xp.asarray(v), plane_shape), self.init
         )
 
         statics = [a for a in args if not isinstance(a, Field)]
@@ -143,15 +150,26 @@ class ScanOperator:
             return new, new
 
         xs_stacked = tuple(x for x in xs if x is not None)
-        _, ys = jax.lax.scan(step, init, xs_stacked, reverse=not self.forward)
+        if oracle:
+            # embedded numpy oracle: the explicit level-by-level loop is the
+            # reference's executable spec (embedded/operators.py:69-80)
+            order = range(n) if self.forward else range(n - 1, -1, -1)
+            carry = init
+            ys_list = [None] * n
+            for k in order:
+                carry, y = step(carry, tuple(x[k] for x in xs_stacked))
+                ys_list[k] = y
+            ys = jax.tree_util.tree_map(
+                lambda *planes: np.stack(planes, axis=0), *ys_list
+            )
+        else:
+            _, ys = jax.lax.scan(step, init, xs_stacked, reverse=not self.forward)
 
         def to_field(stack):
-            data = jnp.moveaxis(stack, 0, ax)
+            data = xp.moveaxis(stack, 0, ax)
             return Field(dom, data)
 
-        result = jax.tree_util.tree_map(
-            to_field, ys, is_leaf=lambda x: isinstance(x, jnp.ndarray)
-        )
+        result = jax.tree_util.tree_map(to_field, ys)
         if out is None:
             return result
         if isinstance(result, tuple):
