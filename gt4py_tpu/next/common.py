@@ -217,7 +217,11 @@ def domain_like(value) -> Domain:
     if isinstance(value, dict):
         dims = tuple(value.keys())
         ranges = tuple(
-            r if isinstance(r, UnitRange) else UnitRange(0, int(r))
+            r
+            if isinstance(r, UnitRange)
+            else UnitRange(int(r[0]), int(r[1]))
+            if isinstance(r, tuple)
+            else UnitRange(0, int(r))
             for r in value.values()
         )
         return Domain(dims, ranges)

@@ -1,33 +1,44 @@
 """Field-operator / scan-operator / program decorators.
 
 Reference: src/gt4py/next/ffront/decorator.py (field_operator :730,
-scan_operator :784-871, Program :223) and the embedded execution semantics
-in src/gt4py/next/embedded/operators.py:27-90 (the ScanOperator column
-loop is the executable spec the lax.scan lowering reproduces).
+scan_operator :784-871, Program :223 with .compile/.with_bound_args/
+.with_static_params) and the embedded execution semantics in
+src/gt4py/next/embedded/operators.py:27-90 (the ScanOperator column loop
+is the executable spec the lax.scan lowering reproduces).
 
-Execution is embedded-on-jax: calling an operator runs jnp operations
-eagerly (or traced, under an outer ``jax.jit``).  ``op(..., out=field)``
-writes the result into ``out``'s buffer over the intersected (or given)
-domain, mirroring program semantics.
+Round-2 redesign: definitions are PARSED (frontend.parse_definition) into
+a validated, typed field-view IR at decoration time -- invalid syntax,
+undefined symbols and type errors are rejected with source-located
+FieldViewError diagnostics (reference: func_to_foast.py:120 +
+foast_passes/type_deduction.py).  Execution interprets the typed IR over
+Fields (interpreter.py): jax-backed fields run eagerly / trace under
+``jax.jit``; numpy-backed fields are the embedded oracle.  ``Program``
+validates operator calls (out=/domain= typing), performs domain
+inference (extents.py) and exposes the AOT surface backed by
+CompiledProgramsPool (reference: otf/compiled_program.py:319-680).
 """
 
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from .common import Dimension, Domain, Field, UnitRange, _expand
+from . import frontend, fvir, type_system as ts
+from .common import Dimension, Domain, Field, UnitRange, _expand, domain_like
+from .frontend import FieldViewError
+from .interpreter import Interpreter
 
 
 def _write_out(result: Field, out: Field, domain: Optional[Domain]) -> None:
     """Store ``result`` into ``out`` over ``domain`` (functional update on
     the holder, like the cartesian FieldStorage)."""
+    if domain is not None:
+        domain = domain_like(domain)
     target = domain or Domain(
         result.dims,
         tuple(
@@ -62,16 +73,68 @@ def _write_out(result: Field, out: Field, domain: Optional[Domain]) -> None:
         )
 
 
+def _value_type(v) -> ts.TypeSpec:
+    try:
+        return ts.from_value(v)
+    except TypeError:
+        return ts.DeferredType()
+
+
 class FieldOperator:
-    """Callable wrapper (reference: decorator.FieldOperator :558)."""
+    """Callable wrapper over a parsed+typed operator definition
+    (reference: decorator.FieldOperator :558)."""
+
+    kind = "field_operator"
 
     def __init__(self, definition: Callable, name: Optional[str] = None):
         self.definition = definition
         self.__name__ = name or definition.__name__
+        self.ir = frontend.parse_definition(definition, self.kind)
+        # decoration-time deduction against the declared annotations:
+        # complete annotations -> full static typing now; bare/absent
+        # annotations -> deferred, resolved per call signature
+        self._typed_cache: Dict[Tuple, Tuple[fvir.OperatorIR, ts.TypeSpec]] = {}
+        self._decl_typed, self._decl_ret = frontend.deduce(self.ir)
+
+    # -- typing -- #
+
+    def _typed_for(self, arg_types: Tuple[ts.TypeSpec, ...]):
+        key = arg_types
+        hit = self._typed_cache.get(key)
+        if hit is None:
+            hit = frontend.deduce(self.ir, list(arg_types))
+            self._typed_cache[key] = hit
+        return hit
+
+    def _deduce_return(self, arg_types: Sequence[ts.TypeSpec]) -> ts.TypeSpec:
+        return self._typed_for(tuple(arg_types))[1]
+
+    @property
+    def return_type(self) -> ts.TypeSpec:
+        """Statically deduced return type (DeferredType when parameters
+        are not fully annotated)."""
+        return self._decl_ret
+
+    def input_extents(self):
+        """Per-parameter halo extents: {param: {dim: (lo, hi)}} -- the
+        domain-inference analysis (see extents.py)."""
+        from .extents import operator_extents
+
+        return operator_extents(self)
+
+    # -- execution -- #
 
     def __call__(self, *args, out: Optional[Field] = None,
                  domain: Optional[Domain] = None, offset_provider=None, **kwargs):
-        result = self.definition(*args, **kwargs)
+        if kwargs:
+            raise TypeError(
+                f"'{self.__name__}' takes positional arguments only "
+                f"(got keywords {sorted(kwargs)})"
+            )
+        typed, _ = self._typed_for(tuple(_value_type(a) for a in args))
+        env = {p.name: a for p, a in zip(typed.params, args)}
+        env.update(typed.closure)
+        result = Interpreter(typed, env).run()
         if out is None:
             return result
         if isinstance(result, tuple):
@@ -84,6 +147,13 @@ class FieldOperator:
     def with_backend(self, backend):  # API parity; embedded-on-jax only
         return self
 
+    def with_grid_type(self, grid_type):  # API parity
+        return self
+
+    def __str__(self):
+        ps = ", ".join(f"{p.name}: {p.type}" for p in self.ir.params)
+        return f"@{self.kind} {self.__name__}({ps}) -> {self._decl_ret}"
+
 
 def field_operator(fn=None, **kwargs):
     if fn is None:
@@ -91,22 +161,29 @@ def field_operator(fn=None, **kwargs):
     return FieldOperator(fn, **kwargs)
 
 
-class ScanOperator:
+class ScanOperator(FieldOperator):
     """Column scan (reference: decorator.scan_operator :784-871).
 
     ``definition(carry, *args) -> carry`` runs over the ``axis`` dimension
     level by level; the stacked carries form the result -- lowered to
-    ``lax.scan`` over the scan axis (reference executable spec:
+    ``lax.scan`` over the scan axis for jax-backed fields; numpy-backed
+    fields run the explicit column loop (the executable spec,
     embedded/operators.py:40-90).
     """
 
+    kind = "scan_operator"
+
     def __init__(self, definition: Callable, *, axis: Dimension,
                  forward: bool = True, init=0.0):
-        self.definition = definition
         self.axis = axis
         self.forward = forward
         self.init = init
-        self.__name__ = definition.__name__
+        super().__init__(definition)
+        if not self.ir.params:
+            raise FieldViewError(
+                f"scan operator '{self.__name__}' needs a carry parameter",
+                self.ir.loc,
+            )
 
     def __call__(self, *args, out: Optional[Field] = None,
                  domain: Optional[Domain] = None, offset_provider=None):
@@ -119,6 +196,31 @@ class ScanOperator:
         if self.axis not in dom.dims:
             raise ValueError(f"No argument spans the scan axis {self.axis}")
         ax = dom.dims.index(self.axis)
+
+        # type-check the scalarized body against these argument dtypes.
+        # A plain Python init literal (float/int) is weak: it adapts to
+        # the declared carry annotation instead of forcing f64/i64
+        # (reference: type_info weak-literal adaptation).
+        carry_t = ts.from_value(self.init)
+        if type(self.init) in (float, int) and isinstance(carry_t, ts.ScalarType):
+            decl = self.ir.params[0].type
+            if isinstance(decl, ts.ScalarType) and not ts.is_deferred(decl):
+                self.init = np.dtype(decl.kind).type(self.init)
+                carry_t = ts.from_value(self.init)
+        scalar_ts = [
+            ts.ScalarType(np.dtype(a.dtype)) if isinstance(a, Field)
+            else _value_type(a)
+            for a in args
+        ]
+        typed, ret_t = self._typed_for((carry_t, *scalar_ts))
+        if not ts.is_deferred(ret_t) and not ts.accepts(
+            frontend._strip_weak(carry_t), frontend._strip_weak(ret_t)
+        ):
+            raise FieldViewError(
+                f"scan '{self.__name__}' carry has type {carry_t} but the "
+                f"body returns {ret_t}",
+                self.ir.loc,
+            )
 
         oracle = all(isinstance(f.data, np.ndarray) for f in fields)
         xp = np if oracle else jnp
@@ -139,14 +241,16 @@ class ScanOperator:
         )
 
         statics = [a for a in args if not isinstance(a, Field)]
+        param_names = [p.name for p in typed.params]
 
         def step(carry, x_planes):
             it = iter(x_planes)
             st = iter(statics)
-            call_args = [
-                next(it) if isinstance(a, Field) else next(st) for a in args
-            ]
-            new = self.definition(carry, *call_args)
+            env = dict(typed.closure)
+            env[param_names[0]] = carry
+            for name, a in zip(param_names[1:], args):
+                env[name] = next(it) if isinstance(a, Field) else next(st)
+            new = Interpreter(typed, env).run()
             return new, new
 
         xs_stacked = tuple(x for x in xs if x is not None)
@@ -187,18 +291,240 @@ def scan_operator(fn=None, *, axis: Dimension, forward: bool = True, init=0.0):
 
 
 class Program:
-    """A sequence of operator calls with out= arguments
-    (reference: decorator.Program :223)."""
+    """A validated sequence of operator calls with out= arguments
+    (reference: decorator.Program :223).
 
-    def __init__(self, definition: Callable):
+    AOT surface (reference: decorator.py:223-500 + otf/compiled_program.py):
+      - ``with_static_params("n", ...)``: declare scalar params whose
+        values select a compiled variant
+      - ``with_bound_args(n=80)``: fix parameters
+      - ``compile(example_args, n=[1, 2], wait=True)``: precompile one
+        jitted executable per static-value combination
+      - calling a compiled Program dispatches to the matching variant
+        (no retrace); uncompiled Programs execute embedded.
+    """
+
+    def __init__(self, definition: Callable, *, static_params: Tuple[str, ...] = (),
+                 bound_args: Optional[Dict[str, Any]] = None):
         self.definition = definition
         self.__name__ = definition.__name__
+        self.ir = frontend.parse_definition(definition, "program")
+        self._decl_typed, _ = frontend.deduce(self.ir)
+        self._typed_cache: Dict[Tuple, fvir.OperatorIR] = {}
+        self._static_params = tuple(static_params)
+        self._bound_args = dict(bound_args or {})
+        self._pool = None
+        self._out_params: Tuple[str, ...] = self._find_out_params()
+
+    # -- analysis -- #
+
+    def _find_out_params(self) -> Tuple[str, ...]:
+        names = []
+        for st in self.ir.body:
+            call = st.value
+            if isinstance(call, fvir.Call):
+                o = call.kwargs.get("out")
+                for n in ([o] if isinstance(o, fvir.Name) else []):
+                    if n.id not in names:
+                        names.append(n.id)
+                if isinstance(o, fvir.TupleExpr):
+                    for e in o.elts:
+                        if isinstance(e, fvir.Name) and e.id not in names:
+                            names.append(e.id)
+        return tuple(names)
+
+    def _typed_for(self, arg_types: Tuple[ts.TypeSpec, ...]) -> fvir.OperatorIR:
+        hit = self._typed_cache.get(arg_types)
+        if hit is None:
+            typed, _ = frontend.deduce(self.ir, list(arg_types))
+            self._typed_cache[arg_types] = typed = typed
+        else:
+            typed = hit
+        return typed
+
+    # -- embedded execution -- #
+
+    def _bind(self, args, kwargs):
+        params = [p.name for p in self.ir.params]
+        values = dict(self._bound_args)
+        values.update(kwargs)
+        it = iter(args)
+        merged = []
+        for name in params:
+            if name in values:
+                merged.append(values.pop(name))
+            else:
+                try:
+                    merged.append(next(it))
+                except StopIteration:
+                    raise TypeError(
+                        f"program '{self.__name__}' missing argument '{name}'"
+                    )
+        extra = list(it)
+        if extra or values:
+            raise TypeError(
+                f"program '{self.__name__}' got unexpected arguments "
+                f"({len(extra)} extra positional, {sorted(values)})"
+            )
+        return merged
 
     def __call__(self, *args, offset_provider=None, **kwargs):
-        return self.definition(*args, **kwargs)
+        merged = self._bind(args, kwargs)
+        if self._pool is not None:
+            return self._dispatch_compiled(merged)
+        self._run_embedded(merged)
+        return None
 
-    def with_backend(self, backend):
+    def _run_embedded(self, merged):
+        typed = self._typed_for(tuple(_value_type(a) for a in merged))
+        env = {p.name: a for p, a in zip(typed.params, merged)}
+        env.update(typed.closure)
+        self._check_domains(typed, env)
+        Interpreter(typed, env).run()
+
+    def _check_domains(self, typed, env) -> None:
+        """Domain inference check (reference: transforms/infer_domain.py):
+        every statement's inputs must cover the domain it writes, expanded
+        by the callee's access extents -- located error instead of a
+        silently shrunk write."""
+        from .extents import required_domains
+        from .frontend import _err
+
+        for st in typed.body:
+            call = st.value
+            if not isinstance(call, fvir.Call):
+                continue
+            out_expr = call.kwargs.get("out")
+            if out_expr is None or "domain" in call.kwargs:
+                continue  # explicit domain=: _write_out validates coverage
+            fn = env.get(call.func.id) if isinstance(call.func, fvir.Name) else None
+            if not isinstance(fn, FieldOperator) or isinstance(fn, ScanOperator):
+                continue
+            outs = (
+                [out_expr]
+                if isinstance(out_expr, fvir.Name)
+                else (out_expr.elts if isinstance(out_expr, fvir.TupleExpr) else [])
+            )
+            out_fields = [
+                env[o.id]
+                for o in outs
+                if isinstance(o, fvir.Name) and isinstance(env.get(o.id), Field)
+            ]
+            if not out_fields:
+                continue
+            target = out_fields[0].domain
+            req = required_domains(fn, target)
+            for p, arg in zip(fn.ir.params, call.args):
+                if not isinstance(arg, fvir.Name):
+                    continue
+                f = env.get(arg.id)
+                if not isinstance(f, Field):
+                    continue
+                need = req.get(p.name)
+                if need is None:
+                    continue
+                for d, r in need:
+                    if d not in f.domain.dims:
+                        continue
+                    have = f.domain[d]
+                    if r.start < have.start or r.stop > have.stop:
+                        raise _err(
+                            f"argument '{arg.id}' must cover "
+                            f"{d.value}[{r.start}:{r.stop}) to write 'out' over "
+                            f"{d.value}[{target[d].start}:{target[d].stop}), "
+                            f"but spans [{have.start}:{have.stop}) "
+                            "(pass domain=... to restrict the write)",
+                            call,
+                        )
+
+    # -- AOT / compiled variants -- #
+
+    def with_static_params(self, *names: str) -> "Program":
+        unknown = set(names) - {p.name for p in self.ir.params}
+        if unknown:
+            raise ValueError(f"not parameters of '{self.__name__}': {sorted(unknown)}")
+        return Program(
+            self.definition, static_params=tuple(names), bound_args=self._bound_args
+        )
+
+    def with_bound_args(self, **bound) -> "Program":
+        unknown = set(bound) - {p.name for p in self.ir.params}
+        if unknown:
+            raise ValueError(f"not parameters of '{self.__name__}': {sorted(unknown)}")
+        merged = dict(self._bound_args)
+        merged.update(bound)
+        return Program(
+            self.definition, static_params=self._static_params, bound_args=merged
+        )
+
+    def with_backend(self, backend) -> "Program":
         return self
+
+    def _functional(self):
+        """Pure function (param datas in -> out datas) for jit/AOT."""
+        params = [p.name for p in self.ir.params]
+        out_idx = [params.index(n) for n in self._out_params]
+
+        bound = dict(self._bound_args)
+
+        def fn(*call_args, **static_kwargs):
+            it = iter(call_args)
+            merged = [
+                static_kwargs[name]
+                if name in static_kwargs
+                else bound[name]
+                if name in bound
+                else next(it)
+                for name in params
+            ]
+            fresh = [
+                Field(a.domain, a.data) if isinstance(a, Field) else a
+                for a in merged
+            ]
+            self._run_embedded(fresh)
+            return tuple(fresh[i].data for i in out_idx)
+
+        functools.update_wrapper(fn, self.definition)
+        return fn
+
+    def compile(self, example_args: Tuple = (), *, wait: bool = True,
+                offset_provider=None, **static_values) -> "Program":
+        """Precompile one executable per combination of static-parameter
+        values against ``example_args``'s shapes (reference:
+        decorator.Program.compile -> CompiledProgramsPool.compile)."""
+        from .compiled_program import CompiledProgramsPool
+
+        if self._pool is None:
+            self._pool = CompiledProgramsPool(
+                self._functional(), static_params=self._static_params
+            )
+        dyn = [a for a in example_args]
+        self._pool.compile(tuple(dyn), wait=wait, **static_values)
+        return self
+
+    def _dispatch_compiled(self, merged):
+        params = [p.name for p in self.ir.params]
+        static_kw = {
+            n: merged[params.index(n)] for n in self._static_params
+        }
+        dyn = [
+            a
+            for n, a in zip(params, merged)
+            if n not in self._static_params and n not in self._bound_args
+        ]
+        outs = self._pool(*dyn, **static_kw)
+        for name, data in zip(self._out_params, outs):
+            target = merged[params.index(name)]
+            target.data = data
+        return None
+
+    def wait_for_compilation(self) -> None:
+        if self._pool is not None:
+            self._pool.wait_for_compilation()
+
+    def __str__(self):
+        ps = ", ".join(f"{p.name}: {p.type}" for p in self.ir.params)
+        return f"@program {self.__name__}({ps})"
 
 
 def program(fn=None, **kwargs):

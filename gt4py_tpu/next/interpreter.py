@@ -1,0 +1,198 @@
+"""FVIR evaluator: executes typed field-view IR over Fields and scalars.
+
+Reference analog: the embedded execution path
+(src/gt4py/next/embedded/operators.py + the roundtrip runner
+runners/roundtrip.py:45-237 which interprets the lowered program).
+TPU-first: one evaluator serves (a) jax-backed Fields -- eager on device,
+or traced under ``jax.jit`` into a fused XLA program -- and (b)
+numpy-backed Fields, the independent oracle; semantics cannot fork
+because both run *this* code.
+
+Literal casting rule: a weak literal adapts to the deduced result dtype
+of its operation (frontend._result_scalar_kind), so e.g.
+``f32_field * 2.0`` stays float32 on both the numpy oracle and jax --
+numpy alone would silently upcast to float64, jax alone would keep f32;
+casting per the deduced type makes them bitwise-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+from . import fvir, type_system as ts
+from .common import Field
+from .frontend import FieldViewError, _err
+
+
+def _as_value(node: fvir.Expr, raw):
+    """Cast a just-evaluated scalar to the node's deduced dtype."""
+    t = node.type
+    if isinstance(t, ts.ScalarType) and not isinstance(raw, Field):
+        return np.dtype(t.kind).type(raw) if not hasattr(raw, "dtype") else raw
+    return raw
+
+
+class Interpreter:
+    def __init__(self, ir: fvir.OperatorIR, env: Dict[str, Any]):
+        self.ir = ir
+        self.env = env  # params + closure values
+
+    def run(self):
+        result = self._body(self.ir.body)
+        return result
+
+    class _ReturnValue(Exception):
+        def __init__(self, value):
+            self.value = value
+
+    def _body(self, body: List[fvir.Stmt]):
+        for st in body:
+            if isinstance(st, fvir.Return):
+                return self.eval(st.value)
+            if isinstance(st, fvir.Assign):
+                if not st.targets:
+                    self.eval(st.value)  # program call / docstring no-op
+                    continue
+                v = self.eval(st.value)
+                if st.unpack:
+                    vs = tuple(v)
+                    if len(vs) != len(st.targets):
+                        raise _err(
+                            f"cannot unpack {len(vs)} values into "
+                            f"{len(st.targets)} targets", st
+                        )
+                    for name, val in zip(st.targets, vs):
+                        self.env[name] = val
+                else:
+                    self.env[st.targets[0]] = v
+            elif isinstance(st, fvir.IfStmt):
+                cond = self.eval(st.cond)
+                try:
+                    flag = bool(cond)
+                except Exception:
+                    raise _err(
+                        "'if' condition is data-dependent under jit; use "
+                        "where()/concat_where() instead", st.cond
+                    )
+                r = self._body(st.body if flag else st.orelse)
+                if r is not None:
+                    return r
+            else:  # pragma: no cover
+                raise _err(f"cannot execute {type(st).__name__}", st)
+        return None
+
+    # -- expressions -- #
+
+    def eval(self, node: fvir.Expr):
+        if isinstance(node, fvir.Name):
+            return self.env[node.id]
+        if isinstance(node, fvir.Literal):
+            if node.value is None:
+                return None
+            t = node.type
+            if isinstance(t, ts.ScalarType):
+                return np.dtype(t.kind).type(node.value)
+            return node.value
+        if isinstance(node, fvir.TupleExpr):
+            return tuple(self.eval(e) for e in node.elts)
+        if isinstance(node, fvir.DictExpr):
+            from .common import domain_like
+
+            return domain_like(
+                {self.eval(k): self.eval(v) for k, v in zip(node.keys, node.values)}
+            )
+        if isinstance(node, fvir.UnaryOp):
+            v = self.eval(node.operand)
+            if node.op == "neg":
+                return -v
+            if node.op == "pos":
+                return v
+            if isinstance(v, Field):
+                return ~v
+            return np.logical_not(v) if not hasattr(v, "dtype") or isinstance(v, np.generic) else ~v
+        if isinstance(node, fvir.BinOp):
+            target = getattr(node, "operand_kind", None)
+            left = self._cast_operand(node.left, target)
+            right = self._cast_operand(node.right, target)
+            return _BINFNS[node.op](left, right)
+        if isinstance(node, fvir.Compare):
+            if isinstance(node.left.type, ts.DimensionType):
+                # K < 5 builds a Domain via the Dimension operators
+                return _CMPFNS[node.op](self.eval(node.left), self.eval(node.right))
+            target = getattr(node, "operand_kind", None)
+            left = self._cast_operand(node.left, target)
+            right = self._cast_operand(node.right, target)
+            return _CMPFNS[node.op](left, right)
+        if isinstance(node, fvir.BoolOp):
+            vals = [self.eval(v) for v in node.values]
+            out = vals[0]
+            for v in vals[1:]:
+                if isinstance(out, Field) or isinstance(v, Field):
+                    out = (out & v) if node.op == "and" else (out | v)
+                else:
+                    out = (out and v) if node.op == "and" else (out or v)
+            return out
+        if isinstance(node, fvir.Ternary):
+            cond = self.eval(node.cond)
+            try:
+                flag = bool(cond)
+            except Exception:
+                raise _err(
+                    "ternary condition is data-dependent under jit; use "
+                    "where() instead", node.cond
+                )
+            return self.eval(node.true_expr if flag else node.false_expr)
+        if isinstance(node, fvir.Subscript):
+            v = self.eval(node.value)
+            return v[node.index]
+        if isinstance(node, fvir.Call):
+            return self._call(node)
+        raise _err(f"cannot evaluate {type(node).__name__}", node)
+
+    def _cast_operand(self, opnode: fvir.Expr, target):
+        """Evaluate an operand; weak scalars are cast to the operation's
+        deduced operand dtype so oracle and product agree bitwise."""
+        v = self.eval(opnode)
+        t = opnode.type
+        if (
+            target is not None
+            and isinstance(t, ts.ScalarType)
+            and t.weak
+            and not isinstance(v, Field)
+        ):
+            return np.dtype(target).type(v)
+        return v
+
+    def _call(self, node: fvir.Call):
+        fn = self.eval(node.func)
+        args = [self.eval(a) for a in node.args]
+        kwargs = {k: self.eval(v) for k, v in node.kwargs.items()}
+        ftype = node.func.type
+        if isinstance(ftype, ts.OperatorType):
+            return fn(*args, **kwargs)
+        if isinstance(ftype, ts.FieldType) or isinstance(fn, Field):
+            return fn(*args)
+        if isinstance(ftype, ts.BuiltinType) or callable(fn):
+            return fn(*args, **kwargs)
+        raise _err(f"cannot call value of type {ftype}", node)
+
+
+_BINFNS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mult": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "floordiv": lambda a, b: a // b,
+    "mod": lambda a, b: a % b,
+    "pow": lambda a, b: a ** b,
+}
+_CMPFNS = {
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+}

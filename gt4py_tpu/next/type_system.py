@@ -40,6 +40,14 @@ class TypeSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class VoidType(TypeSpec):
+    """Type of statements / program operator calls (no value)."""
+
+    def __str__(self):
+        return "void"
+
+
+@dataclasses.dataclass(frozen=True)
 class DeferredType(TypeSpec):
     """A type not yet known (bare ``Field`` annotations, untyped params);
     resolved against the concrete arguments at first call."""
@@ -53,6 +61,10 @@ class DeferredType(TypeSpec):
 @dataclasses.dataclass(frozen=True)
 class ScalarType(TypeSpec):
     kind: np.dtype  # numpy dtype carries all we need (reference ScalarKind)
+    #: weak scalars come from literals/closure constants and adapt to the
+    #: other operand's dtype (jax weak-type analog); named parameters are
+    #: strong and never implicitly convert (reference type_info.promote)
+    weak: bool = False
 
     def __str__(self):
         return str(np.dtype(self.kind))
@@ -137,6 +149,36 @@ class FunctionType(TypeSpec):
     def __str__(self):
         ps = ", ".join(f"{n}: {t}" for n, t in self.params)
         return f"({ps}) -> {self.returns}"
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class OperatorType(TypeSpec):
+    """The type of a referenced field/scan operator (callable)."""
+
+    op: Any
+
+    def __str__(self):
+        return f"operator[{getattr(self.op, '__name__', '?')}]"
+
+
+@dataclasses.dataclass(frozen=True)
+class CastType(TypeSpec):
+    """A scalar type alias used as astype() target (e.g. float32)."""
+
+    dtype: np.dtype
+
+    def __str__(self):
+        return f"type[{np.dtype(self.dtype)}]"
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BuiltinType(TypeSpec):
+    """A field-view builtin function reference."""
+
+    fn: Any
+
+    def __str__(self):
+        return f"builtin[{getattr(self.fn, '__name__', '?')}]"
 
 
 # --------------------------------------------------------------------- #

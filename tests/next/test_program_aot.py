@@ -1,0 +1,124 @@
+"""Program AOT surface: .compile() / with_static_params / with_bound_args
+wired to CompiledProgramsPool (reference: decorator.py:223-500 +
+otf/compiled_program.py:319-680)."""
+
+import numpy as np
+import pytest
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.next import (
+    Dimension,
+    Dims,
+    Field,
+    as_field,
+    field_operator,
+    program,
+    zeros,
+)
+
+I = Dimension("I")
+IF = Field[Dims[I], gtx.float64]
+
+TRACES = []
+
+
+@field_operator
+def saxpy(x: IF, y: IF, a: float) -> IF:
+    return x * a + y
+
+
+def test_program_compile_and_dispatch_no_retrace():
+    TRACES.clear()
+
+    @field_operator
+    def tracked(x: IF, a: float) -> IF:
+        return x * a
+
+    # count retraces through a wrapper operator is awkward; instead count
+    # via the pool: after compile(), calling must hit the precompiled
+    # executable (pool.compiled_keys unchanged, no new variants)
+    @program
+    def prog(x: IF, o: IF, a: float):
+        tracked(x, a, out=o)
+
+    p = prog.with_static_params("a")
+    x = as_field((I,), np.arange(8.0))
+    o = zeros({I: 8})
+    p.compile((x, o), a=[2.0, 3.0], wait=True)
+    assert len(p._pool.compiled_keys) == 2
+
+    p(x, o, 2.0)
+    np.testing.assert_array_equal(o.asnumpy(), np.arange(8.0) * 2)
+    p(x, o, 3.0)
+    np.testing.assert_array_equal(o.asnumpy(), np.arange(8.0) * 3)
+    # both dispatches hit precompiled variants -- no new pool entries
+    assert len(p._pool.compiled_keys) == 2
+
+
+def test_program_compiled_unseen_static_compiles_on_demand():
+    @field_operator
+    def scale(x: IF, a: float) -> IF:
+        return x * a
+
+    @program
+    def prog(x: IF, o: IF, a: float):
+        scale(x, a, out=o)
+
+    p = prog.with_static_params("a")
+    x = as_field((I,), np.ones(4))
+    o = zeros({I: 4})
+    p.compile((x, o), a=[2.0], wait=True)
+    p(x, o, 5.0)  # unseen static value: compiled on demand
+    np.testing.assert_array_equal(o.asnumpy(), np.full(4, 5.0))
+    assert len(p._pool.compiled_keys) == 2
+
+
+def test_with_static_params_rejects_unknown():
+    @program
+    def prog(x: IF, o: IF):
+        saxpy(x, x, 1.0, out=o)
+
+    with pytest.raises(ValueError, match="not parameters"):
+        prog.with_static_params("nope")
+    with pytest.raises(ValueError, match="not parameters"):
+        prog.with_bound_args(nope=3)
+
+
+def test_bound_args_compose_with_compile():
+    @field_operator
+    def axpy(x: IF, y: IF, a: float) -> IF:
+        return x * a + y
+
+    @program
+    def prog(x: IF, y: IF, o: IF, a: float):
+        axpy(x, y, a, out=o)
+
+    x = as_field((I,), np.arange(4.0))
+    y = as_field((I,), np.ones(4))
+    o = zeros({I: 4})
+    bound = prog.with_bound_args(y=y).with_static_params("a")
+    bound.compile((x, o), a=[10.0], wait=True)
+    bound(x, o, 10.0)
+    np.testing.assert_array_equal(o.asnumpy(), np.arange(4.0) * 10 + 1)
+
+
+def test_embedded_and_compiled_agree():
+    @field_operator
+    def op(x: IF, y: IF) -> IF:
+        return x * 2.0 + y
+
+    @program
+    def prog(x: IF, y: IF, o: IF):
+        op(x, y, out=o)
+
+    rng = np.random.default_rng(0)
+    x = as_field((I,), rng.random(16))
+    y = as_field((I,), rng.random(16))
+    o1 = zeros({I: 16})
+    o2 = zeros({I: 16})
+    prog(x, y, o1)  # embedded
+
+    compiled = program(prog.definition)
+    compiled.compile((x, y, o2), wait=True)
+    compiled(x, y, o2)
+    np.testing.assert_array_equal(o1.asnumpy(), o2.asnumpy())
