@@ -1149,13 +1149,57 @@ class JaxBackend:
             tuple(sorted((n, str(d)) for n, d in scalar_dtypes.items())),
         )
 
-    def _trace_env(self, metas, env, scalars, domain):
+    def _periodic_fill_env(self, metas, env, domain, periodic, only=None):
+        """Periodic execution semantics: before the stencil runs, the I/J
+        halos of every field read with nonzero horizontal extent are filled
+        from the opposite interior edge (width = that field's read extent).
+        Models with periodic boundaries then need no explicit fill passes
+        between chained stencils; the pallas backend subsumes these fills
+        into the tile DMA (wrapped windows) at zero extra traffic."""
+        dI, dJ, _ = domain
+        ext = self.analysis.extents
+        new_env = dict(env)
+        for name, m in metas.items():
+            if only is not None and name not in only:
+                continue
+            e = ext.field_extent(name)
+            hi0, hi1 = -e.i[0], e.i[1]
+            hj0, hj1 = -e.j[0], e.j[1]
+            a = new_env[name]
+            oi, oj, _ok = m.origin
+            if "I" in periodic and m.shape[0] != 1 and (hi0 or hi1):
+                if dI < max(hi0, hi1):
+                    raise ValueError(
+                        f"periodic I domain ({dI}) smaller than the read "
+                        f"halo of field '{name}' ({max(hi0, hi1)})"
+                    )
+                if hi0:
+                    a = a.at[:, oi - hi0 : oi].set(a[:, oi + dI - hi0 : oi + dI])
+                if hi1:
+                    a = a.at[:, oi + dI : oi + dI + hi1].set(a[:, oi : oi + hi1])
+            if "J" in periodic and m.shape[1] != 1 and (hj0 or hj1):
+                if dJ < max(hj0, hj1):
+                    raise ValueError(
+                        f"periodic J domain ({dJ}) smaller than the read "
+                        f"halo of field '{name}' ({max(hj0, hj1)})"
+                    )
+                if hj0:
+                    a = a.at[:, :, oj - hj0 : oj].set(a[:, :, oj + dJ - hj0 : oj + dJ])
+                if hj1:
+                    a = a.at[:, :, oj + dJ : oj + dJ + hj1].set(a[:, :, oj : oj + hj1])
+            new_env[name] = a
+        return new_env
+
+    def _trace_env(self, metas, env, scalars, domain, periodic=()):
         """Execute the stencil on an env of physical buffers (overridable:
         the pallas backend lowers to fused tile kernels here)."""
+        if periodic:
+            env = self._periodic_fill_env(metas, env, domain, periodic)
         tracer = JaxTracer(self.analysis, dict(metas), tuple(domain))
         return tracer.trace(dict(env), dict(scalars))
 
-    def _build_program(self, metas: Dict[str, _FieldMeta], domain, static_bounds=None):
+    def _build_program(self, metas: Dict[str, _FieldMeta], domain, static_bounds=None,
+                       periodic=()):
         jax = _jax()
 
         written = [n for n in self.written if n in metas]
@@ -1163,13 +1207,16 @@ class JaxBackend:
 
         def program(written_arrays, read_arrays, scalars):
             env = {**read_arrays, **written_arrays}
-            env = self._trace_env(metas, env, {**scalars, **static_bounds}, domain)
+            env = self._trace_env(
+                metas, env, {**scalars, **static_bounds}, domain, periodic
+            )
             return {n: env[n] for n in written}
 
         donate = (0,) if config.DONATE_BUFFERS else ()
         return jax.jit(program, donate_argnums=donate)
 
-    def apply(self, arrays, scalars, domain, origins, physical_layout=False):
+    def apply(self, arrays, scalars, domain, origins, physical_layout=False,
+              periodic=()):
         """Functionally apply the stencil: traceable under an outer jit.
 
         ``arrays`` are jnp arrays (or tracers); returns a dict of updated
@@ -1179,13 +1226,16 @@ class JaxBackend:
         With ``physical_layout=True`` the caller passes and receives full
         K-leading (K, I, J, *dd) buffers (the executor's native layout) --
         chained stencils then compose with zero transposes.
+
+        ``periodic`` ("I", "J", or both): reads beyond the domain wrap
+        periodically (see ``_periodic_fill_env``).
         """
         import jax.numpy as jnp
 
         metas, full_bufs = self._prepare(
             arrays, origins, as_device=False, physical_in=physical_layout
         )
-        env = self._trace_env(metas, full_bufs, scalars, tuple(domain))
+        env = self._trace_env(metas, full_bufs, scalars, tuple(domain), periodic)
         out = {}
         for name in self.written:
             if name in full_bufs:
@@ -1247,7 +1297,7 @@ class JaxBackend:
             )
         return metas, full_bufs
 
-    def run(self, arrays, scalars, domain, origins, exec_info=None):
+    def run(self, arrays, scalars, domain, origins, exec_info=None, periodic=()):
         jax = _jax()
 
         metas, full_bufs = self._prepare(arrays, origins)
@@ -1266,9 +1316,11 @@ class JaxBackend:
         }
         key = self._program_key(
             metas, domain, {n: np.asarray(v).dtype for n, v in scalar_vals.items()}
-        ) + (tuple(sorted(static_bounds.items())),)
+        ) + (tuple(sorted(static_bounds.items())), tuple(sorted(periodic)))
         if key not in self._programs:
-            self._programs[key] = self._build_program(metas, domain, static_bounds)
+            self._programs[key] = self._build_program(
+                metas, domain, static_bounds, periodic
+            )
         program = self._programs[key]
 
         if exec_info is not None:

@@ -513,11 +513,67 @@ class NumpyBackend:
         self.analysis = analysis
         self.executor = NumpyExecutor(analysis)
 
-    def run(self, arrays, scalars, domain, origins, exec_info=None) -> None:
+    def _periodic_fill(self, arrays, domain, origins, periodic) -> None:
+        """Periodic execution semantics (the oracle's definition): before
+        the stencil runs, the I/J halos of every field read with nonzero
+        horizontal extent are filled in place from the opposite interior
+        edge, width = the field's read extent.  The jax/pallas backends
+        reproduce this bitwise (pre-fill under jit / wrapped-window DMA)."""
+        dI, dJ, _ = domain
+        ext = self.analysis.extents
+        for name, arr in arrays.items():
+            decl = self.analysis.stencil.field_decls[name]
+            e = ext.field_extent(name)
+            hi0, hi1 = -e.i[0], e.i[1]
+            hj0, hj1 = -e.j[0], e.j[1]
+            o = origins[name]
+            ax = 0
+            if decl.dimensions[0]:
+                oi = o[ax]
+                if "I" in periodic and (hi0 or hi1):
+                    if dI < max(hi0, hi1):
+                        raise ValueError(
+                            f"periodic I domain ({dI}) smaller than the "
+                            f"read halo of field '{name}' ({max(hi0, hi1)})"
+                        )
+                    sl = [slice(None)] * arr.ndim
+                    src = [slice(None)] * arr.ndim
+                    if hi0:
+                        sl[ax] = slice(oi - hi0, oi)
+                        src[ax] = slice(oi + dI - hi0, oi + dI)
+                        arr[tuple(sl)] = arr[tuple(src)]
+                    if hi1:
+                        sl[ax] = slice(oi + dI, oi + dI + hi1)
+                        src[ax] = slice(oi, oi + hi1)
+                        arr[tuple(sl)] = arr[tuple(src)]
+                ax += 1
+            if decl.dimensions[1]:
+                oj = o[ax]
+                if "J" in periodic and (hj0 or hj1):
+                    if dJ < max(hj0, hj1):
+                        raise ValueError(
+                            f"periodic J domain ({dJ}) smaller than the "
+                            f"read halo of field '{name}' ({max(hj0, hj1)})"
+                        )
+                    sl = [slice(None)] * arr.ndim
+                    src = [slice(None)] * arr.ndim
+                    if hj0:
+                        sl[ax] = slice(oj - hj0, oj)
+                        src[ax] = slice(oj + dJ - hj0, oj + dJ)
+                        arr[tuple(sl)] = arr[tuple(src)]
+                    if hj1:
+                        sl[ax] = slice(oj + dJ, oj + dJ + hj1)
+                        src[ax] = slice(oj, oj + hj1)
+                        arr[tuple(sl)] = arr[tuple(src)]
+
+    def run(self, arrays, scalars, domain, origins, exec_info=None,
+            periodic=()) -> None:
         import time
 
         if exec_info is not None:
             exec_info["run_start_time"] = time.perf_counter()
+        if periodic:
+            self._periodic_fill(arrays, domain, origins, periodic)
         self.executor.run(arrays, scalars, domain, origins)
         if exec_info is not None:
             exec_info["run_end_time"] = time.perf_counter()

@@ -86,9 +86,9 @@ class PallasBackend(JaxBackend):
 
     storage_device = "tpu"
 
-    def _trace_env(self, metas, env, scalars, domain):
+    def _trace_env(self, metas, env, scalars, domain, periodic=()):
         try:
-            return self._pallas_trace(metas, env, scalars, tuple(domain))
+            return self._pallas_trace(metas, env, scalars, tuple(domain), periodic)
         except _PallasIneligible:
             import os as _os
 
@@ -100,7 +100,7 @@ class PallasBackend(JaxBackend):
                     + "".join(traceback.format_exc().splitlines(True)[-6:]),
                     flush=True,
                 )
-            return super()._trace_env(metas, env, scalars, domain)
+            return super()._trace_env(metas, env, scalars, domain, periodic)
 
     # ------------------------------------------------------------------ #
 
@@ -305,7 +305,7 @@ class PallasBackend(JaxBackend):
 
     # ------------------------------------------------------------------ #
 
-    def _pallas_trace(self, metas, env, scalars, domain):
+    def _pallas_trace(self, metas, env, scalars, domain, periodic=()):
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
@@ -344,12 +344,96 @@ class PallasBackend(JaxBackend):
         if not mode_a:
             TI, TJ, halos = self._plan_columns(metas, domain, aligned)
             TK = dK
+        # ---- periodic boundaries: wrapped-window DMA planning ---- #
+        # In mode A the row window already fetches the padding/halo lanes,
+        # so wrapping reads costs ZERO extra traffic: the window is split
+        # into segments and the edge segments' *sources* point at the
+        # opposite interior edge.  Fields the kernel cannot wrap (read+
+        # written parity, mode B, geometry constraints) are pre-filled
+        # functionally before the kernel (same semantics, extra copies).
+        wrap_i: Dict[str, bool] = {}
+        wrap_j: Dict[str, List[Tuple[int, int, int]]] = {}  # (dst, src, size)
+        prefill: set = set()
+        if periodic:
+            read_written = set(written) & reads
+            for name, m in metas.items():
+                e = ext.field_extent(name)
+                rh_i = (-e.i[0], e.i[1])
+                rh_j = (-e.j[0], e.j[1])
+                need_i = "I" in periodic and m.shape[0] != 1 and any(rh_i)
+                need_j = "J" in periodic and m.shape[1] != 1 and any(rh_j)
+                if not (need_i or need_j):
+                    continue
+                if name in read_written or not mode_a:
+                    # read+written: the (filled) halo must appear in the
+                    # output for oracle parity -- wrap can't provide that
+                    prefill.add(name)
+                    continue
+                hi0, hi1, hj0, hj1 = halos[name]
+                oi, oj, _ok = m.origin
+                ok_i = ok_j = True
+                if need_i:
+                    ok_i = (
+                        hi0 <= oi
+                        and dI >= max(hi0, hi1)
+                        and oi + dI + hi1 <= m.shape[0]
+                        and (not aligned or dI % _SUBLANE == 0)
+                    )
+                if need_j:
+                    if aligned:
+                        blk = _LANE
+                        ok_j = (
+                            oj % _LANE == 0
+                            and oj >= blk
+                            and dJ % _LANE == 0
+                            and dJ >= blk
+                            and oj + dJ + blk <= m.shape[1]
+                            and max(hj0, hj1) <= blk
+                        )
+                    else:
+                        ok_j = (
+                            hj0 <= oj
+                            and oj + dJ + hj1 <= m.shape[1]
+                            and dJ >= max(hj0, hj1)
+                        )
+                if (need_i and not ok_i) or (need_j and not ok_j):
+                    prefill.add(name)
+                    continue
+                if need_i:
+                    wrap_i[name] = True
+                if need_j:
+                    if aligned:
+                        wrap_j[name] = [
+                            (oj - _LANE, oj + dJ - _LANE, _LANE),
+                            (oj, oj, dJ),
+                            (oj + dJ, oj, _LANE),
+                        ]
+                    else:
+                        segs = []
+                        if hj0:
+                            segs.append((oj - hj0, oj + dJ - hj0, hj0))
+                        segs.append((oj, oj, dJ))
+                        if hj1:
+                            segs.append((oj + dJ, oj, hj1))
+                        wrap_j[name] = segs
+            if prefill:
+                env = dict(env)
+                env.update(
+                    self._periodic_fill_env(metas, env, domain, periodic, prefill)
+                )
+
         import os as _os
         if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
             print(
                 f"[pallas] {self.analysis.stencil.name}: mode_a={mode_a} "
                 f"TI={TI} TJ={TJ} TK={TK} halos={halos} "
-                f"origins={ {n: m.origin for n, m in metas.items()} }",
+                f"origins={ {n: m.origin for n, m in metas.items()} }"
+                + (
+                    f" periodic={sorted(periodic)} wrap_i={sorted(wrap_i)} "
+                    f"wrap_j={sorted(wrap_j)} prefill={sorted(prefill)}"
+                    if periodic
+                    else ""
+                ),
                 flush=True,
             )
 
@@ -407,6 +491,35 @@ class PallasBackend(JaxBackend):
         n_scalars = len(scalar_names)
         n_fields = len(field_names)
         n_written = len(written)
+
+        # ---- static DMA segment plans (wrapped windows split the copy) ---- #
+        def _plan_segments(name):
+            m = metas[name]
+            hi0, hi1, _hj0, _hj1 = halos[name]
+            _sk, ni, nj = tile_shapes[name]
+            if m.shape[0] == 1:
+                isegs = [("all", 0, 1)]
+            elif wrap_i.get(name):
+                isegs = []
+                if hi0:
+                    isegs.append(("top", 0, hi0))
+                isegs.append(("mid", hi0, ni - hi0 - hi1))
+                if hi1:
+                    isegs.append(("bot", ni - hi1, hi1))
+            else:
+                isegs = [("win", 0, ni)]
+            if m.shape[1] == 1:
+                jsegs = [("all", 0, 0, 1)]
+            elif name in wrap_j:
+                jsegs = [("seg", d, s, z) for (d, s, z) in wrap_j[name]]
+            elif nj == m.shape[1]:
+                jsegs = [("all", 0, 0, nj)]
+            else:
+                jsegs = [("win", 0, 0, nj)]
+            return isegs, jsegs
+
+        segments = {name: _plan_segments(name) for name in field_names}
+        max_segs = max(len(i) * len(j) for i, j in segments.values())
 
         # written fields never read anywhere alias their input buffer in
         # place (no splice); requires naturally aligned interior starts
@@ -497,7 +610,24 @@ class PallasBackend(JaxBackend):
                     jax.lax.mul(b, jnp.int32(TJ)),
                 )  # (gk=0, gi, gj)
 
-            def in_copy(f_idx, tt, slot):
+            n_i_tiles = (dI // TI) if mode_a else None
+
+            def _in_seg_copies(f_idx, tt, slot, for_start):
+                """Yield the DMA segments fetching field ``f_idx``'s tile
+                window, as (pred, copy): ``pred`` is None (unconditional)
+                or a tile-index predicate the start must be guarded by.
+
+                Non-periodic fields are one segment (the whole window).
+                Wrapped fields split the window so the edge segments read
+                from the opposite interior edge -- periodic halos at zero
+                extra traffic (the window covers those lanes either way).
+                Edge-tile wrapped sources use CONSTANT starts under a
+                ``pl.when`` on the tile index: Mosaic must prove sublane
+                divisibility of every slice start, and a select on the
+                start itself defeats that proof.  For waits (``for_start=
+                False``) the unwrapped variant is yielded unconditionally
+                -- same semaphore, same byte count.
+                """
                 name = field_names[f_idx]
                 m = metas[name]
                 hi0, _, hj0, _ = halos[name]
@@ -506,24 +636,94 @@ class PallasBackend(JaxBackend):
                 sk, ni, nj = tile_shapes[name]
                 gk, gi, gj = coords(tt)
                 src = in_refs[f_idx]
+                dst = scratch_refs[f_idx]
                 if m.shape[2] == 1 or not k_tiled:
                     ksl = slice(None)
                 else:
                     ksl = pl.ds(off32(gk, ok - hk0), sk)
-                isl = (
-                    slice(None)
-                    if m.shape[0] == 1
-                    else pl.ds(off32(gi, oi - hi0), ni)
-                )
-                if m.shape[1] == 1 or nj == m.shape[1]:
-                    jsl = slice(None)
-                else:
-                    jsl = pl.ds(off32(gj, oj - hj0), nj)
-                return pltpu.make_async_copy(
-                    src.at[ksl, isl, jsl],
-                    scratch_refs[f_idx].at[slot],
-                    insem.at[slot, jnp.int32(f_idx)],
-                )
+                isegs, jsegs = segments[name]
+                w0 = None if m.shape[0] == 1 else off32(gi, oi - hi0)
+                w0_first = oi - hi0
+                w0_last = (dI - TI) + oi - hi0 if mode_a else None
+
+                def emit(seg, istart, iloc, isz, jseg, pred=None):
+                    jkind, jd, js, jsz = jseg
+                    if istart is None:
+                        s_isl = d_isl = slice(None)
+                    else:
+                        s_isl = pl.ds(istart, isz)
+                        d_isl = pl.ds(jnp.int32(iloc), isz)
+                    if jkind == "all":
+                        s_jsl = d_jsl = slice(None)
+                    elif jkind == "win":
+                        s_jsl = pl.ds(off32(gj, oj - hj0), jsz)
+                        d_jsl = slice(None)
+                    else:  # "seg": static physical lane positions
+                        s_jsl = pl.ds(jnp.int32(js), jsz)
+                        d_jsl = pl.ds(jnp.int32(jd), jsz)
+                    return pred, pltpu.make_async_copy(
+                        src.at[ksl, s_isl, s_jsl],
+                        dst.at[slot, slice(None), d_isl, d_jsl],
+                        insem.at[slot, jnp.int32(f_idx), jnp.int32(seg)],
+                    )
+
+                out = []
+                seg = 0
+                for ikind, iloc, isz in isegs:
+                    for jseg in jsegs:
+                        if ikind == "all":
+                            out.append(emit(seg, None, 0, 0, jseg))
+                        elif ikind == "win":
+                            out.append(emit(seg, w0, iloc, isz, jseg))
+                        elif ikind == "mid":
+                            out.append(emit(seg, off32(w0, iloc), iloc, isz, jseg))
+                        elif ikind == "top":
+                            if not for_start:
+                                out.append(emit(seg, w0, iloc, isz, jseg))
+                            elif n_i_tiles == 1:
+                                out.append(emit(
+                                    seg, jnp.int32(w0_first + dI), iloc, isz, jseg
+                                ))
+                            else:
+                                out.append(emit(
+                                    seg, jnp.int32(w0_first + dI), iloc, isz,
+                                    jseg, pred=gi == jnp.int32(0),
+                                ))
+                                out.append(emit(
+                                    seg, w0, iloc, isz, jseg,
+                                    pred=gi != jnp.int32(0),
+                                ))
+                        else:  # "bot"
+                            base = off32(w0, iloc)
+                            if not for_start:
+                                out.append(emit(seg, base, iloc, isz, jseg))
+                            elif n_i_tiles == 1:
+                                out.append(emit(
+                                    seg, jnp.int32(w0_last + iloc - dI),
+                                    iloc, isz, jseg,
+                                ))
+                            else:
+                                last = jnp.int32(dI - TI)
+                                out.append(emit(
+                                    seg, jnp.int32(w0_last + iloc - dI),
+                                    iloc, isz, jseg, pred=gi == last,
+                                ))
+                                out.append(emit(
+                                    seg, base, iloc, isz, jseg, pred=gi != last
+                                ))
+                        seg += 1
+                return out
+
+            def start_in(f_idx, tt, slot):
+                for pred, c in _in_seg_copies(f_idx, tt, slot, True):
+                    if pred is None:
+                        c.start()
+                    else:
+                        pl.when(pred)(lambda c=c: c.start())
+
+            def wait_in(f_idx, tt, slot):
+                for _pred, c in _in_seg_copies(f_idx, tt, slot, False):
+                    c.wait()
 
             def out_copy(w_idx, tt, slot):
                 name = written[w_idx]
@@ -562,18 +762,18 @@ class PallasBackend(JaxBackend):
             @pl.when(t == jnp.int32(0))
             def _():
                 for f in range(n_fields):
-                    in_copy(f, t, slot).start()
+                    start_in(f, t, slot)
 
             # prefetch tile t+1 into the other slot
             if T > 1:
                 @pl.when(t < jnp.int32(T - 1))
                 def _():
                     for f in range(n_fields):
-                        in_copy(f, jax.lax.add(t, jnp.int32(1)), nslot).start()
+                        start_in(f, jax.lax.add(t, jnp.int32(1)), nslot)
 
             # wait for our own inputs
             for f in range(n_fields):
-                in_copy(f, t, slot).wait()
+                wait_in(f, t, slot)
 
             # ---- run the stencil IR on the VMEM tiles (mutable refs) ---- #
             tile_env = {
@@ -671,7 +871,7 @@ class PallasBackend(JaxBackend):
                 for n in temp_names
             ]
             + [
-                pltpu.SemaphoreType.DMA((2, n_fields)),
+                pltpu.SemaphoreType.DMA((2, n_fields, max_segs)),
                 pltpu.SemaphoreType.DMA((2, max(n_written, 1))),
             ]
         )

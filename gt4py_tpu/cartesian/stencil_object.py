@@ -29,6 +29,26 @@ def _array_of(value):
     return value, getattr(value, "__gt_origin__", None), None
 
 
+def _normalize_periodic(periodic) -> Tuple[str, ...]:
+    """``periodic="I"`` / ``("I", "J")`` / ``"IJ"`` -> sorted axis tuple.
+
+    Periodic execution: reads beyond the compute domain wrap around it
+    (implemented as read-extent halo fills; the pallas backend subsumes
+    them into wrapped-window tile DMA)."""
+    if not periodic:
+        return ()
+    axes = tuple(periodic) if not isinstance(periodic, str) else tuple(periodic)
+    out = []
+    for ax in axes:
+        a = str(ax).upper()
+        if a not in ("I", "J"):
+            raise ArgumentError(
+                f"periodic= accepts axes 'I' and 'J', got {ax!r}"
+            )
+        out.append(a)
+    return tuple(sorted(set(out)))
+
+
 class StencilObject:
     """A built, callable stencil.
 
@@ -66,6 +86,7 @@ class StencilObject:
         domain=None,
         exec_info: Optional[dict] = None,
         validate_args: bool = True,
+        periodic=(),
         **kwargs,
     ):
         t0 = time.perf_counter()
@@ -77,7 +98,8 @@ class StencilObject:
         field_args, scalar_args = self._bind_args(args, kwargs)
         with stencil_call_context.activate(name=self.name, backend=self.backend_name):
             self._call_run(
-                field_args, scalar_args, origin, domain, exec_info, validate_args
+                field_args, scalar_args, origin, domain, exec_info, validate_args,
+                periodic=periodic,
             )
 
         t1 = time.perf_counter()
@@ -131,13 +153,15 @@ class StencilObject:
         return field_args, scalar_args
 
     def _call_run(
-        self, field_args, scalar_args, origin, domain, exec_info, validate_args
+        self, field_args, scalar_args, origin, domain, exec_info, validate_args,
+        periodic=(),
     ) -> None:
         arrays: Dict[str, np.ndarray] = {}
         holders: Dict[str, Any] = {}
         origins: Dict[str, Tuple[int, ...]] = {}
 
         origin = self._normalize_origin_arg(origin)
+        periodic = _normalize_periodic(periodic)
 
         for name, value in field_args.items():
             if value is None:
@@ -155,7 +179,9 @@ class StencilObject:
         if validate_args:
             self._validate_args(arrays, scalar_args, origins, domain)
 
-        result = self.backend.run(arrays, scalar_args, domain, origins, exec_info)
+        result = self.backend.run(
+            arrays, scalar_args, domain, origins, exec_info, periodic=periodic
+        )
 
         # functional backends (jax) return updated arrays: write them back
         if result is not None:
@@ -284,7 +310,8 @@ class StencilObject:
     def freeze(self, *, origin, domain) -> "FrozenStencil":
         return FrozenStencil(self, origin, domain)
 
-    def functional(self, *, origin, domain, physical_layout: bool = False):
+    def functional(self, *, origin, domain, physical_layout: bool = False,
+                   periodic=()):
         """Return a pure function for composing under ``jax.jit``.
 
         ``fn(**arrays_and_scalars) -> dict`` applies the stencil and returns
@@ -292,6 +319,11 @@ class StencilObject:
         (jax/pallas) backends.  This is the TPU-native composition path:
         chains of stencils trace into ONE fused XLA program with no
         host round-trips between them.
+
+        ``periodic=("I", "J")``: reads beyond the domain wrap periodically
+        -- chained periodic-boundary stencils then need no explicit halo
+        fill passes between stages (the pallas backend folds the wrap into
+        the tile DMA at zero extra traffic).
         """
         if not hasattr(self.backend, "apply"):
             raise TypeError(
@@ -300,6 +332,7 @@ class StencilObject:
             )
         origin_map = self._normalize_origin_arg(origin)
         domain = tuple(domain)
+        periodic = _normalize_periodic(periodic)
 
         def fn(**kwargs):
             arrays = {}
@@ -314,7 +347,8 @@ class StencilObject:
                 else:
                     scalars[p.name] = kwargs[p.name]
             return self.backend.apply(
-                arrays, scalars, domain, origins, physical_layout=physical_layout
+                arrays, scalars, domain, origins, physical_layout=physical_layout,
+                periodic=periodic,
             )
 
         return fn

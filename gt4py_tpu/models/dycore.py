@@ -286,21 +286,18 @@ class MiniDycore:
         self.vadv = make_vadv(dtype, backend)
         self.vadv_upd = make_vadv_update(dtype, backend)
         # physical K-leading layout end-to-end: zero transposes per step
-        self.hdiff_fn = self.hdiff.functional(
+        kw = dict(
             origin=(self.oi, self.oj, 0),
             domain=(ni, nj, nk),
             physical_layout=True,
         )
-        self.vadv_fn = self.vadv.functional(
-            origin=(self.oi, self.oj, 0),
-            domain=(ni, nj, nk),
-            physical_layout=True,
-        )
-        self.vadv_upd_fn = self.vadv_upd.functional(
-            origin=(self.oi, self.oj, 0),
-            domain=(ni, nj, nk),
-            physical_layout=True,
-        )
+        self.hdiff_fn = self.hdiff.functional(**kw)
+        self.vadv_fn = self.vadv.functional(**kw)
+        self.vadv_upd_fn = self.vadv_upd.functional(**kw)
+        # periodic-boundary variants: halo wrap folded into the kernels'
+        # tile DMA -- the step then needs no explicit fill passes
+        self.hdiff_fn_p = self.hdiff.functional(**kw, periodic=("I", "J"))
+        self.vadv_upd_fn_p = self.vadv_upd.functional(**kw, periodic=("I", "J"))
 
     def field_shape(self) -> Tuple[int, int, int]:
         """Physical (K, I, J) buffer shape (see aligned_field_shape)."""
@@ -326,25 +323,24 @@ class MiniDycore:
     FILL_FIELDS = ("u", "wcon")
 
     def step_fn(self, *, fill_halos: bool = True, dtr_stage: float = 3.0):
-        h = self.HALO
+        """``fill_halos=True``: periodic boundaries, handled as a stencil
+        execution option (reads wrap in the kernels' tile DMA -- no fill
+        passes).  ``fill_halos=False``: halos assumed pre-filled by the
+        shard_map halo exchange; plain stencils."""
+        hdiff_fn = self.hdiff_fn_p if fill_halos else self.hdiff_fn
+        vadv_upd_fn = self.vadv_upd_fn_p if fill_halos else self.vadv_upd_fn
 
         def step(state: Dict) -> Dict:
             import jax.numpy as jnp
 
-            if fill_halos:
-                state = dict(state)
-                for k in self.FILL_FIELDS:
-                    state[k] = periodic_fill(
-                        state[k], h, self.ni, self.nj, self.oi, self.oj
-                    )
             u = state["u"]
-            diffused = self.hdiff_fn(
+            diffused = hdiff_fn(
                 in_field=u, out_field=u, coeff=state["coeff"]
             )["out_field"]
             # vadv fused with the prognostic update: utens_stage and
             # u_out = diffused + (1/dtr)*utens_stage in one kernel (the
             # separate XLA update pass cost a full-state HBM round trip)
-            outs = self.vadv_upd_fn(
+            outs = vadv_upd_fn(
                 utens_stage=state["utens_stage"],
                 u_stage=diffused,
                 wcon=state["wcon"],

@@ -181,6 +181,69 @@ def make_y_advect(dtype, backend="jax", factor=1.0):
     return y_advect
 
 
+def make_xy_advect(dtype, backend="jax", factor=1.0):
+    """Both inner half-advections in ONE stencil (two outputs): qx and qy
+    share the read of q, saving a full-buffer HBM pass vs separate
+    x_advect + y_advect kernels.  Bitwise-equal: each output's expression
+    chain is identical to its single-direction stencil."""
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"fv_xyadv_{np.dtype(dtype).name}_{factor}",
+        externals={"FACTOR": factor},
+        literal_precision=_literal_precision(dtype),
+    )
+    def xy_advect(q: Field, cx: Field, cy: Field, qx: Field, qy: Field):
+        from __externals__ import FACTOR
+
+        with computation(PARALLEL), interval(...):
+            # x half-advection -> qx
+            alx = 7.0 / 12.0 * (q[-1, 0, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[-2, 0, 0] + q[1, 0, 0]
+            )
+            blx = alx[0, 0, 0] - q[0, 0, 0]
+            brx = alx[1, 0, 0] - q[0, 0, 0]
+            dmx = brx - blx
+            a6x = -3.0 * (blx + brx)
+            smx = blx * brx < 0.0
+            blmx = (-2.0 * brx if dmx * a6x > dmx * dmx else blx) if smx else 0.0
+            brmx = (-2.0 * blx if dmx * a6x < -dmx * dmx else brx) if smx else 0.0
+            dmlx = brmx - blmx
+            a6lx = -3.0 * (blmx + brmx)
+            fposx = (q[-1, 0, 0] + brmx[-1, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlx[-1, 0, 0] - a6lx[-1, 0, 0] * (1.0 - 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fnegx = (q[0, 0, 0] + blmx[0, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlx[0, 0, 0] + a6lx[0, 0, 0] * (1.0 + 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fluxx = cx[0, 0, 0] * (fposx if cx[0, 0, 0] >= 0.0 else fnegx)
+            qx = q[0, 0, 0] - FACTOR * (fluxx[1, 0, 0] - fluxx[0, 0, 0])
+            # y half-advection -> qy
+            aly = 7.0 / 12.0 * (q[0, -1, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[0, -2, 0] + q[0, 1, 0]
+            )
+            bly = aly[0, 0, 0] - q[0, 0, 0]
+            bry = aly[0, 1, 0] - q[0, 0, 0]
+            dmy = bry - bly
+            a6y = -3.0 * (bly + bry)
+            smy = bly * bry < 0.0
+            blmy = (-2.0 * bry if dmy * a6y > dmy * dmy else bly) if smy else 0.0
+            brmy = (-2.0 * bly if dmy * a6y < -dmy * dmy else bry) if smy else 0.0
+            dmly = brmy - blmy
+            a6ly = -3.0 * (blmy + brmy)
+            fposy = (q[0, -1, 0] + brmy[0, -1, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmly[0, -1, 0] - a6ly[0, -1, 0] * (1.0 - 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fnegy = (q[0, 0, 0] + blmy[0, 0, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmly[0, 0, 0] + a6ly[0, 0, 0] * (1.0 + 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fluxy = cy[0, 0, 0] * (fposy if cy[0, 0, 0] >= 0.0 else fnegy)
+            qy = q[0, 0, 0] - FACTOR * (fluxy[0, 1, 0] - fluxy[0, 0, 0])
+
+    return xy_advect
+
+
 def make_fv_final(dtype, backend="jax"):
     """Fused outer stage: both outer PPM fluxes (on the cross-advected
     fields) plus the two divergence updates in one stencil."""
@@ -318,6 +381,7 @@ class FvAdvection:
         self.upd_x = make_flux_update_x(dtype, backend, factor=1.0)
         self.upd_y = make_flux_update_y(dtype, backend, factor=1.0)
         if physical:
+            kw_p = dict(kw, periodic=("I", "J"))
             self.fns = {
                 "xflux": self.xflux.functional(**kw),
                 "yflux": self.yflux.functional(**kw),
@@ -329,6 +393,10 @@ class FvAdvection:
                 "xadv_half": make_x_advect(dtype, backend, 0.5).functional(**kw),
                 "yadv_half": make_y_advect(dtype, backend, 0.5).functional(**kw),
                 "final": make_fv_final(dtype, backend).functional(**kw),
+                # periodic product path: 2 kernels/step, ZERO fill passes
+                # (halo wrap folded into the tile DMA on pallas)
+                "xyadv_half_p": make_xy_advect(dtype, backend, 0.5).functional(**kw_p),
+                "final_p": make_fv_final(dtype, backend).functional(**kw_p),
             }
 
     def field_shape(self) -> Tuple[int, int, int]:
@@ -359,36 +427,24 @@ class FvAdvection:
     def step_fn(self, *, winds_filled: bool = False):
         """Pure jax step over physical buffers (jax/pallas backends).
 
-        ``winds_filled=True`` skips the per-step periodic fill of the
-        Courant fields: callers iterating many steps with constant winds
-        can fill them once (``fill_winds``) and save two whole-buffer
-        passes per step.
+        Periodic boundaries are an execution option of the stencils
+        (``periodic=("I", "J")``): reads wrap in the kernels' tile DMA,
+        so the step contains NO halo-fill passes at all -- two fused
+        kernels move the minimum possible HBM traffic.  ``winds_filled``
+        is accepted for API compatibility (pre-filled Courant halos are
+        simply re-wrapped from the same interior values -- bitwise
+        identical).
         """
-        h, ni, nj = self.HALO, self.ni, self.nj
         fns = self.fns
-
-        def fill(a):
-            return periodic_fill(a, h, ni, nj, self.oi, self.oj)
 
         def step(q, cx, cy):
             import jax.numpy as jnp
 
-            # fused staging: inner half-advections and the combined outer
-            # stage carry their PPM fluxes as in-stencil temporaries --
-            # bitwise-equal to the 6-stencil pipeline (q's periodic halo
-            # of width 3 covers the fused extents exactly), but 3 kernels
-            # and 3 fills instead of 6 and 6
-            q = fill(q)
-            # the fused stages evaluate boundary-face fluxes in the halo
-            # (instead of wrapping interior flux values), so the Courant
-            # fields' halos must be periodic too
-            if not winds_filled:
-                cx = fill(cx)
-                cy = fill(cy)
             zeros = jnp.zeros_like(q)
-            qx = fill(fns["xadv_half"](q=q, cx=cx, qout=zeros)["qout"])
-            qy = fill(fns["yadv_half"](q=q, cy=cy, qout=zeros)["qout"])
-            return fns["final"](q=q, qx=qx, qy=qy, cx=cx, cy=cy, qout=zeros)["qout"]
+            outs = fns["xyadv_half_p"](q=q, cx=cx, cy=cy, qx=zeros, qy=zeros)
+            return fns["final_p"](
+                q=q, qx=outs["qx"], qy=outs["qy"], cx=cx, cy=cy, qout=zeros
+            )["qout"]
 
         return step
 
