@@ -219,9 +219,39 @@ class PallasBackend(JaxBackend):
             total += _LIVE_VALUES * max_val
             return total
 
-        tk_options = sorted(
-            (d for d in _divisors(dK) if d >= min(8, dK)), reverse=True
-        )
+        def traffic_bytes(tk, ti):
+            """Estimated HBM bytes per kernel run: window reads (halo
+            amplification!) + staged writes + a fixed per-tile overhead
+            (DMA issue/semaphore costs, calibrated ~64KB-equivalent)."""
+            tiles = (dK // tk) * (dI // ti)
+            k_t = tk != dK
+            per_tile = 0
+            for name, m in metas.items():
+                hi0, hi1, _, _ = halos[name]
+                e = ext.alloc_extent(name)
+                if m.shape[2] == 1:
+                    sk = 1
+                elif k_t:
+                    sk = min(tk - e.k[0] + e.k[1], m.shape[2])
+                else:
+                    sk = m.shape[2]
+                ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
+                nj = m.shape[1]
+                per_tile += sk * ni * nj * m.dtype.itemsize
+                if name in self.written:
+                    wk = 1 if m.shape[2] == 1 else (tk if k_t else m.shape[2])
+                    per_tile += (
+                        wk
+                        * (1 if m.shape[0] == 1 else ti)
+                        * min(nj, dJ)
+                        * m.dtype.itemsize
+                    )
+            # fields with a K column but a single K tile are re-read whole
+            # per K step only when k is tiled; with tk == dK the outer k
+            # loop is 1, so `tiles` already accounts for everything
+            return per_tile * tiles + tiles * 64 * 1024
+
+        tk_options = sorted(_divisors(dK), reverse=True)
         if aligned:
             ti_options = [
                 t for t in sorted(_divisors(dI), reverse=True) if t % _SUBLANE == 0
@@ -236,8 +266,9 @@ class PallasBackend(JaxBackend):
         for tk in tk_options:
             for ti in ti_options:
                 if vmem_bytes(tk, ti) <= _VMEM_BUDGET:
-                    # prefer fewer, larger tiles (less halo amplification)
-                    score = (dK // tk) * (dI // ti)
+                    # minimize estimated traffic (halo amplification +
+                    # per-tile overhead); tiebreak on fewer tiles
+                    score = (traffic_bytes(tk, ti), (dK // tk) * (dI // ti))
                     if best is None or score < best[0]:
                         best = (score, tk, ti)
         if best is None:

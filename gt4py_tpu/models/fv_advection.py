@@ -244,6 +244,115 @@ def make_xy_advect(dtype, backend="jax", factor=1.0):
     return xy_advect
 
 
+def make_fv_step(dtype, backend="jax"):
+    """The ENTIRE Lin-Rood split step in ONE stencil: the cross-advected
+    fields qx/qy and every PPM flux are in-stencil temporaries, recomputed
+    in tile halos instead of round-tripping HBM.  Minimum possible traffic:
+    read q, cx, cy; write qout (4 buffers vs 11 for the 2-kernel split).
+    This is the TPU form of the reference's on-the-fly stage merging
+    (gtc/passes/oir_optimizations/horizontal_execution_merging.py:135):
+    the extent analysis gives the temporaries their (+-3) halo extents and
+    the pallas backend keeps them entirely in VMEM."""
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"fv_step_{np.dtype(dtype).name}",
+        literal_precision=_literal_precision(dtype),
+    )
+    def fv_step(q: Field, cx: Field, cy: Field, qout: Field):
+        with computation(PARALLEL), interval(...):
+            # inner x half-advection -> qx (temporary, j-extent +-3)
+            alx = 7.0 / 12.0 * (q[-1, 0, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[-2, 0, 0] + q[1, 0, 0]
+            )
+            blx = alx[0, 0, 0] - q[0, 0, 0]
+            brx = alx[1, 0, 0] - q[0, 0, 0]
+            dmx = brx - blx
+            a6x = -3.0 * (blx + brx)
+            smx = blx * brx < 0.0
+            blmx = (-2.0 * brx if dmx * a6x > dmx * dmx else blx) if smx else 0.0
+            brmx = (-2.0 * blx if dmx * a6x < -dmx * dmx else brx) if smx else 0.0
+            dmlx = brmx - blmx
+            a6lx = -3.0 * (blmx + brmx)
+            fposx = (q[-1, 0, 0] + brmx[-1, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlx[-1, 0, 0] - a6lx[-1, 0, 0] * (1.0 - 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fnegx = (q[0, 0, 0] + blmx[0, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlx[0, 0, 0] + a6lx[0, 0, 0] * (1.0 + 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fluxx = cx[0, 0, 0] * (fposx if cx[0, 0, 0] >= 0.0 else fnegx)
+            qx = q[0, 0, 0] - 0.5 * (fluxx[1, 0, 0] - fluxx[0, 0, 0])
+            # inner y half-advection -> qy (temporary, i-extent +-3)
+            aly = 7.0 / 12.0 * (q[0, -1, 0] + q[0, 0, 0]) - 1.0 / 12.0 * (
+                q[0, -2, 0] + q[0, 1, 0]
+            )
+            bly = aly[0, 0, 0] - q[0, 0, 0]
+            bry = aly[0, 1, 0] - q[0, 0, 0]
+            dmy = bry - bly
+            a6y = -3.0 * (bly + bry)
+            smy = bly * bry < 0.0
+            blmy = (-2.0 * bry if dmy * a6y > dmy * dmy else bly) if smy else 0.0
+            brmy = (-2.0 * bly if dmy * a6y < -dmy * dmy else bry) if smy else 0.0
+            dmly = brmy - blmy
+            a6ly = -3.0 * (blmy + brmy)
+            fposy = (q[0, -1, 0] + brmy[0, -1, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmly[0, -1, 0] - a6ly[0, -1, 0] * (1.0 - 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fnegy = (q[0, 0, 0] + blmy[0, 0, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmly[0, 0, 0] + a6ly[0, 0, 0] * (1.0 + 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fluxy = cy[0, 0, 0] * (fposy if cy[0, 0, 0] >= 0.0 else fnegy)
+            qy = q[0, 0, 0] - 0.5 * (fluxy[0, 1, 0] - fluxy[0, 0, 0])
+            # outer stage: x flux on qy
+            alfx = 7.0 / 12.0 * (qy[-1, 0, 0] + qy[0, 0, 0]) - 1.0 / 12.0 * (
+                qy[-2, 0, 0] + qy[1, 0, 0]
+            )
+            blfx = alfx[0, 0, 0] - qy[0, 0, 0]
+            brfx = alfx[1, 0, 0] - qy[0, 0, 0]
+            dmfx = brfx - blfx
+            a6fx = -3.0 * (blfx + brfx)
+            smfx = blfx * brfx < 0.0
+            blmfx = (-2.0 * brfx if dmfx * a6fx > dmfx * dmfx else blfx) if smfx else 0.0
+            brmfx = (-2.0 * blfx if dmfx * a6fx < -dmfx * dmfx else brfx) if smfx else 0.0
+            dmlfx = brmfx - blmfx
+            a6lfx = -3.0 * (blmfx + brmfx)
+            fpfx = (qy[-1, 0, 0] + brmfx[-1, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlfx[-1, 0, 0] - a6lfx[-1, 0, 0] * (1.0 - 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fnfx = (qy[0, 0, 0] + blmfx[0, 0, 0]) - 0.5 * cx[0, 0, 0] * (
+                dmlfx[0, 0, 0] + a6lfx[0, 0, 0] * (1.0 + 2.0 * cx[0, 0, 0] / 3.0)
+            )
+            fx = cx[0, 0, 0] * (fpfx if cx[0, 0, 0] >= 0.0 else fnfx)
+            # outer stage: y flux on qx
+            alfy = 7.0 / 12.0 * (qx[0, -1, 0] + qx[0, 0, 0]) - 1.0 / 12.0 * (
+                qx[0, -2, 0] + qx[0, 1, 0]
+            )
+            blfy = alfy[0, 0, 0] - qx[0, 0, 0]
+            brfy = alfy[0, 1, 0] - qx[0, 0, 0]
+            dmfy = brfy - blfy
+            a6fy = -3.0 * (blfy + brfy)
+            smfy = blfy * brfy < 0.0
+            blmfy = (-2.0 * brfy if dmfy * a6fy > dmfy * dmfy else blfy) if smfy else 0.0
+            brmfy = (-2.0 * blfy if dmfy * a6fy < -dmfy * dmfy else brfy) if smfy else 0.0
+            dmlfy = brmfy - blmfy
+            a6lfy = -3.0 * (blmfy + brmfy)
+            fpfy = (qx[0, -1, 0] + brmfy[0, -1, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmlfy[0, -1, 0] - a6lfy[0, -1, 0] * (1.0 - 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fnfy = (qx[0, 0, 0] + blmfy[0, 0, 0]) - 0.5 * cy[0, 0, 0] * (
+                dmlfy[0, 0, 0] + a6lfy[0, 0, 0] * (1.0 + 2.0 * cy[0, 0, 0] / 3.0)
+            )
+            fy = cy[0, 0, 0] * (fpfy if cy[0, 0, 0] >= 0.0 else fnfy)
+            qout = (
+                q[0, 0, 0]
+                - (fx[1, 0, 0] - fx[0, 0, 0])
+                - (fy[0, 1, 0] - fy[0, 0, 0])
+            )
+
+    return fv_step
+
+
 def make_fv_final(dtype, backend="jax"):
     """Fused outer stage: both outer PPM fluxes (on the cross-advected
     fields) plus the two divergence updates in one stencil."""
@@ -397,6 +506,8 @@ class FvAdvection:
                 # (halo wrap folded into the tile DMA on pallas)
                 "xyadv_half_p": make_xy_advect(dtype, backend, 0.5).functional(**kw_p),
                 "final_p": make_fv_final(dtype, backend).functional(**kw_p),
+                # single-kernel step: qx/qy/fluxes as in-VMEM temporaries
+                "step_p": make_fv_step(dtype, backend).functional(**kw_p),
             }
 
     def field_shape(self) -> Tuple[int, int, int]:
@@ -441,10 +552,7 @@ class FvAdvection:
             import jax.numpy as jnp
 
             zeros = jnp.zeros_like(q)
-            outs = fns["xyadv_half_p"](q=q, cx=cx, cy=cy, qx=zeros, qy=zeros)
-            return fns["final_p"](
-                q=q, qx=outs["qx"], qy=outs["qy"], cx=cx, cy=cy, qout=zeros
-            )["qout"]
+            return fns["step_p"](q=q, cx=cx, cy=cy, qout=zeros)["qout"]
 
         return step
 
