@@ -955,12 +955,21 @@ class JaxTracer:
         ok = meta.origin[2]
 
         (i0, j0, _), (ni, nj, _) = self._region_spec(meta, ir.CartesianOffset(), ctx)
-        block = buf[:, slice(i0, i0 + ni), slice(j0, j0 + nj)]
+
+        import jax
 
         if isinstance(off, ir.VariableKOffset):
             dk = jnp.asarray(self._eval(env, off.k, ctx)).astype(jnp.int32)
             if ctx.klevel is not None:
                 base = jnp.asarray(ok + ctx.klevel, dtype=jnp.int32)
+            elif self.ref_env:
+                # Mosaic cannot lower the (nk,) -> (nk, 1, 1) reshape
+                # ("unsupported shape cast"); broadcasted_iota along the
+                # leading dim is its native multi-dim iota form
+                kk0, _ = ctx.kslice
+                base = (ok + kk0) + jax.lax.broadcasted_iota(
+                    jnp.int32, (ctx.nk, ni, nj), 0
+                )
             else:
                 kk0, kk1 = ctx.kslice
                 base = (ok + jnp.arange(kk0, kk1, dtype=jnp.int32)).reshape(-1, 1, 1)
@@ -970,10 +979,33 @@ class JaxTracer:
             kidx = jnp.clip(kval + ok, 0, SK - 1)
 
         kidx = jnp.asarray(kidx)
-        if kidx.ndim == 0:
+        if kidx.ndim == 0 and not self.ref_env:
             kidx = kidx.reshape(1, 1, 1)
         kidx = jnp.broadcast_to(kidx, (ctx.nk, ni, nj))
-        out = jnp.take_along_axis(block, kidx, axis=0)
+        if self.ref_env:
+            # inside a Mosaic kernel: lax.gather lowers only for 2D
+            # operands and value-level dynamic_slice not at all, so build
+            # the K-gather as a select-scan over the column, loading each
+            # plane from the VMEM ref (refs DO take dynamic slice starts).
+            # K is the leading, untiled dim; the column is VMEM-resident
+            # in mode B, so this trades VPU selects for HBM traffic.
+            import jax
+            from jax.experimental import pallas as pl
+
+            def body(k, acc):
+                plane = buf[
+                    pl.ds(jnp.asarray(k, dtype=jnp.int32), 1),
+                    slice(i0, i0 + ni),
+                    slice(j0, j0 + nj),
+                ]
+                return jnp.where(kidx == k, plane, acc)
+
+            out = jax.lax.fori_loop(
+                0, SK, body, jnp.zeros((ctx.nk, ni, nj), meta.dtype)
+            )
+        else:
+            block = buf[:, slice(i0, i0 + ni), slice(j0, j0 + nj)]
+            out = jnp.take_along_axis(block, kidx, axis=0)
 
         if acc.data_index:
             didx = tuple(self._data_index_value(env, d, ctx) for d in acc.data_index)

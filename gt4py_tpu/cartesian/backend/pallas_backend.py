@@ -51,6 +51,12 @@ class _PallasIneligible(Exception):
     pass
 
 
+#: (stencil_name, traceback_tail) per XLA fallback -- observability for
+#: tests asserting the kernel path covers the language (a bitwise-equal
+#: result alone cannot distinguish the paths)
+FALLBACK_EVENTS: list = []
+
+
 _VMEM_BUDGET = 14 * 1024 * 1024  # scratch + value-stack, below the 16MB core
 _SUBLANE = 8
 _LANE = 128
@@ -91,13 +97,13 @@ class PallasBackend(JaxBackend):
             return self._pallas_trace(metas, env, scalars, tuple(domain), periodic)
         except _PallasIneligible:
             import os as _os
+            import traceback
 
+            tail = "".join(traceback.format_exc().splitlines(True)[-6:])
+            FALLBACK_EVENTS.append((self.analysis.stencil.name, tail))
             if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
-                import traceback
-
                 print(
-                    f"[pallas] {self.analysis.stencil.name}: XLA fallback at\n"
-                    + "".join(traceback.format_exc().splitlines(True)[-6:]),
+                    f"[pallas] {self.analysis.stencil.name}: XLA fallback at\n" + tail,
                     flush=True,
                 )
             return super()._trace_env(metas, env, scalars, domain, periodic)
@@ -107,8 +113,6 @@ class PallasBackend(JaxBackend):
     def _check_eligible(self, metas) -> None:
         for node in ir.walk_values(self.analysis.stencil.vertical_loops):
             if isinstance(node, ir.FieldAccess):
-                if not isinstance(node.offset, ir.CartesianOffset):
-                    raise _PallasIneligible()  # variable/absolute K: XLA path
                 if node.data_index:
                     raise _PallasIneligible()
         for m in metas.values():
@@ -122,6 +126,16 @@ class PallasBackend(JaxBackend):
                 we = ext.write_extent(name)
                 if we.i != (0, 0) or we.j != (0, 0):
                     raise _PallasIneligible()
+
+    def _has_nonuniform_k(self) -> bool:
+        """Variable/absolute-K reads need the full K column in VMEM
+        (mode B) for the in-kernel K-gather."""
+        for node in ir.walk_values(self.analysis.stencil.vertical_loops):
+            if isinstance(node, ir.FieldAccess) and not isinstance(
+                node.offset, ir.CartesianOffset
+            ):
+                return True
+        return False
 
     def _read_names(self) -> set:
         reads = set()
@@ -365,7 +379,7 @@ class PallasBackend(JaxBackend):
             n for n in analysis.parameter_info if scalars.get(n) is not None
         )
 
-        mode_a = self._all_parallel_full()
+        mode_a = self._all_parallel_full() and not self._has_nonuniform_k()
         if mode_a:
             try:
                 TK, TI, halos = self._plan_rows(metas, domain, aligned)

@@ -18,5 +18,11 @@ levels fit comfortably (SURVEY.md §5 "long-context analog").
 """
 
 from .mesh import CartesianMesh  # noqa: F401
-from .halo import halo_exchange, shard_map_stencil  # noqa: F401
+from .halo import (  # noqa: F401
+    from_extended,
+    halo_exchange,
+    overlapped_shard_map_stencil,
+    shard_map_stencil,
+    to_extended,
+)
 from .distributed import DistributedField, distribute, gather  # noqa: F401

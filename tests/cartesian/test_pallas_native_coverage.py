@@ -1,0 +1,111 @@
+"""The pallas kernel path must cover the language, not silently fall back.
+
+Reference counterpart: the per-backend feature matrices of
+tests/next_tests/definitions.py:92-120 -- but here unsupported features
+fall back to the XLA executor *transparently*, so a bitwise-equal result
+cannot distinguish the paths.  These tests assert via
+``pallas_backend.FALLBACK_EVENTS`` that the features in
+``tests.definitions.NATIVE_SUPPORT["pallas"]`` really execute in-kernel
+(interpret mode here; the same drivers run on real Mosaic via
+``GT4PY_TPU_TEST_PLATFORM=tpu``, see docs/performance.md).
+"""
+
+import numpy as np
+import pytest
+
+from gt4py_tpu.cartesian import gtscript
+from gt4py_tpu.cartesian.backend import pallas_backend
+from gt4py_tpu.cartesian.gtscript import (
+    BACKWARD,
+    FORWARD,
+    PARALLEL,
+    computation,
+    interval,
+)
+
+F32 = gtscript.Field[np.float32]
+I32 = gtscript.Field[np.int32]
+
+
+def _assert_no_fallback(fn, *args, **kwargs):
+    before = len(pallas_backend.FALLBACK_EVENTS)
+    fn(*args, **kwargs)
+    events = pallas_backend.FALLBACK_EVENTS[before:]
+    assert not events, f"pallas fell back to XLA: {events}"
+
+
+def _mk(shape, seed=0, dtype=np.float32, lo=0.0, hi=1.0):
+    rng = np.random.default_rng(seed)
+    return (lo + (hi - lo) * rng.random(shape)).astype(dtype)
+
+
+def test_variable_k_offset_runs_in_kernel():
+    @gtscript.stencil(backend="pallas")
+    def varK(a: F32, kidx: I32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a[0, 0, kidx] + a[1, 0, 0]
+
+    @gtscript.stencil(backend="numpy")
+    def varK_np(a: F32, kidx: I32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a[0, 0, kidx] + a[1, 0, 0]
+
+    shape = (13, 11, 9)
+    rng = np.random.default_rng(1)
+    a = _mk(shape, 1)
+    kidx = rng.integers(-4, 5, shape).astype(np.int32)
+    out_p = np.zeros(shape, np.float32)
+    out_n = np.zeros(shape, np.float32)
+    dom = (12, 11, 9)
+    _assert_no_fallback(varK, a.copy(), kidx.copy(), out_p, domain=dom)
+    varK_np(a.copy(), kidx.copy(), out_n, domain=dom)
+    np.testing.assert_array_equal(out_p, out_n)
+
+
+def test_absolute_k_in_scan_runs_in_kernel():
+    @gtscript.stencil(backend="pallas")
+    def absK(a: F32, out: F32):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = a.at(K=3)
+            with interval(1, None):
+                out = a.at(K=0) + out[0, 0, -1]
+
+    @gtscript.stencil(backend="numpy")
+    def absK_np(a: F32, out: F32):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = a.at(K=3)
+            with interval(1, None):
+                out = a.at(K=0) + out[0, 0, -1]
+
+    shape = (7, 9, 8)
+    a = _mk(shape, 2)
+    out_p = np.zeros(shape, np.float32)
+    out_n = np.zeros(shape, np.float32)
+    _assert_no_fallback(absK, a.copy(), out_p)
+    absK_np(a.copy(), out_n)
+    np.testing.assert_array_equal(out_p, out_n)
+
+
+def test_variable_k_in_backward_scan_runs_in_kernel():
+    @gtscript.stencil(backend="pallas")
+    def vscan(a: F32, kidx: I32, acc: F32):
+        with computation(BACKWARD), interval(...):
+            acc = a[0, 0, kidx] + acc[0, 0, 1] * 0.5
+
+    @gtscript.stencil(backend="numpy")
+    def vscan_np(a: F32, kidx: I32, acc: F32):
+        with computation(BACKWARD), interval(...):
+            acc = a[0, 0, kidx] + acc[0, 0, 1] * 0.5
+
+    shape = (6, 7, 10)
+    rng = np.random.default_rng(5)
+    a = _mk(shape, 3)
+    kidx = rng.integers(-9, 10, shape).astype(np.int32)
+    acc_p = np.zeros(shape, np.float32)
+    acc_n = np.zeros(shape, np.float32)
+    dom = (6, 7, 9)  # leave the top plane as the carry seed
+    _assert_no_fallback(vscan, a.copy(), kidx.copy(), acc_p, domain=dom)
+    vscan_np(a.copy(), kidx.copy(), acc_n, domain=dom)
+    np.testing.assert_array_equal(acc_p, acc_n)

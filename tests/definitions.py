@@ -31,6 +31,8 @@ NATIVE_SUPPORT: Dict[str, Set[Feature]] = {
     "jax": set(Feature),
     "pallas": {
         Feature.USES_SCAN,
+        Feature.USES_VARIABLE_K_OFFSET,
+        Feature.USES_ABSOLUTE_K,
         Feature.USES_REGIONS,
         Feature.USES_WHILE,
         Feature.USES_LOWER_DIM_FIELDS,
