@@ -508,6 +508,10 @@ class FvAdvection:
                 "final_p": make_fv_final(dtype, backend).functional(**kw_p),
                 # single-kernel step: qx/qy/fluxes as in-VMEM temporaries
                 "step_p": make_fv_step(dtype, backend).functional(**kw_p),
+                # non-periodic fused step: halos pre-filled externally
+                # (the shard_map halo-exchange path; HALO=3 covers the
+                # fused read extent exactly)
+                "step": make_fv_step(dtype, backend).functional(**kw),
             }
 
     def field_shape(self) -> Tuple[int, int, int]:
@@ -553,6 +557,19 @@ class FvAdvection:
 
             zeros = jnp.zeros_like(q)
             return fns["step_p"](q=q, cx=cx, cy=cy, qout=zeros)["qout"]
+
+        return step
+
+    def local_step_fn(self):
+        """Non-periodic step on halo-prefilled blocks: the shard_map /
+        halo-exchange path (periodicity or physical boundaries are the
+        exchange layer's concern, not the kernel's)."""
+        fn = self.fns["step"]
+
+        def step(q, cx, cy):
+            import jax.numpy as jnp
+
+            return fn(q=q, cx=cx, cy=cy, qout=jnp.zeros_like(q))["qout"]
 
         return step
 
