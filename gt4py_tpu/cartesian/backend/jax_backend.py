@@ -918,8 +918,14 @@ class JaxTracer:
 
         didx = ()
         if acc.data_index:
-            didx = tuple(self._data_index_value(env, d, ctx) for d in acc.data_index)
-            region = region[(slice(None), slice(None), slice(None)) + didx]
+            if for_write:
+                # writes need static component indices (read-modify-write)
+                didx = tuple(
+                    self._data_index_value(env, d, ctx) for d in acc.data_index
+                )
+                region = region[(slice(None), slice(None), slice(None)) + didx]
+            else:
+                region = self._apply_data_index(env, region, acc, ctx)
 
         if not for_write:
             return region, None
@@ -1008,8 +1014,7 @@ class JaxTracer:
             out = jnp.take_along_axis(block, kidx, axis=0)
 
         if acc.data_index:
-            didx = tuple(self._data_index_value(env, d, ctx) for d in acc.data_index)
-            out = out[(slice(None), slice(None), slice(None)) + didx]
+            out = self._apply_data_index(env, out, acc, ctx)
         return out
 
     def _data_index_value(self, env, expr: ir.Expr, ctx: _TraceCtx):
@@ -1017,8 +1022,47 @@ class JaxTracer:
 
         v = try_static_int(expr)
         if v is None:
-            raise NotImplementedError("Non-static data-dimension indices")
+            raise NotImplementedError("Non-static data-dimension write indices")
         return v
+
+    def _apply_data_index(self, env, region, acc: ir.FieldAccess, ctx: _TraceCtx):
+        """Consume the trailing data axes of ``region`` (shape
+        (nk, ni, nj, *data_dims)); static int indices slice, per-point
+        (dynamic) int indices gather along the data axis (reference:
+        gtc/common.py:390-398 -- data_index is any int expression)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gt4py_tpu.cartesian.analysis import try_static_int
+
+        grid = (slice(None), slice(None), slice(None))
+        for expr in acc.data_index:
+            v = try_static_int(expr)
+            if v is not None:
+                region = region[grid + (v,)]
+                continue
+            idx = jnp.asarray(self._eval(env, expr, ctx)).astype(jnp.int32)
+            if idx.ndim == 0:
+                region = jax.lax.dynamic_index_in_dim(
+                    region, idx, axis=3, keepdims=False
+                )
+                continue
+            if idx.ndim != 3:
+                raise NotImplementedError("Data index must be scalar or per-point")
+            rem = region.ndim - 4
+            idx_exp = jnp.reshape(idx, idx.shape + (1,) * (rem + 1))
+            import numpy as _np
+
+            shape = _np.broadcast_shapes(
+                idx_exp.shape, region.shape[:3] + (1,) + region.shape[4:]
+            )
+            gathered = jnp.take_along_axis(
+                jnp.broadcast_to(region, shape[:3] + region.shape[3:]),
+                jnp.broadcast_to(idx_exp, shape),
+                axis=3,
+            )
+            region = jnp.reshape(gathered, gathered.shape[:3] + gathered.shape[4:])
+        return region
 
     # ------------------- expressions ------------------- #
 

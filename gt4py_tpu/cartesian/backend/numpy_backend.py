@@ -345,7 +345,29 @@ class NumpyExecutor:
         arr = np.asarray(v)
         if arr.ndim == 0:
             return int(arr)
-        raise NotImplementedError("Non-scalar data-dimension indices")
+        raise NotImplementedError("Non-scalar data-dimension write indices")
+
+    def _apply_data_index(self, out: np.ndarray, acc: ir.FieldAccess, ctx: _Ctx):
+        """Consume the trailing data axes of ``out`` (shape (ni, nj, nk,
+        *data_dims)) one index expression at a time; per-point (dynamic)
+        int indices gather along the data axis (reference counterpart:
+        gtc/common.py:390-398 -- data_index is any int expression)."""
+        for expr in acc.data_index:
+            idx = np.asarray(self._eval(expr, ctx))
+            if idx.ndim == 0:
+                out = out[:, :, :, int(idx)]
+                continue
+            # idx varies per grid point: broadcast over (ni, nj, nk) and
+            # gather along the first remaining data axis
+            if idx.ndim != 3:
+                raise NotImplementedError("Data index must be scalar or per-point")
+            rem = out.ndim - 4
+            idx_exp = idx.astype(np.int64).reshape(idx.shape + (1,) * (rem + 1))
+            shape = np.broadcast_shapes(idx_exp.shape, out.shape[:3] + (1,) + out.shape[4:])
+            g = np.take_along_axis(np.broadcast_to(out, shape[:3] + out.shape[3:]),
+                                   np.broadcast_to(idx_exp, shape), axis=3)
+            out = g.reshape(g.shape[:3] + g.shape[4:])
+        return out
 
     # ------------------- expressions ------------------- #
 
@@ -439,8 +461,7 @@ class NumpyExecutor:
 
         if acc.data_index:
             # out has shape (ni, nj, nk, *data_dims): index the trailing axes
-            idx = tuple(self._data_index_value(d, ctx) for d in acc.data_index)
-            out = out[(slice(None), slice(None), slice(None)) + idx]
+            out = self._apply_data_index(out, acc, ctx)
         return out
 
     def _eval_variable_k(self, view: _View, off: ir.VariableKOffset, ctx: _Ctx):

@@ -93,6 +93,10 @@ class PallasBackend(JaxBackend):
     storage_device = "tpu"
 
     def _trace_env(self, metas, env, scalars, domain, periodic=()):
+        if any(m.data_ndim for m in metas.values()):
+            out = self._trace_split_data_dims(metas, env, scalars, domain, periodic)
+            if out is not None:
+                return out
         try:
             return self._pallas_trace(metas, env, scalars, tuple(domain), periodic)
         except _PallasIneligible:
@@ -109,6 +113,68 @@ class PallasBackend(JaxBackend):
             return super()._trace_env(metas, env, scalars, domain, periodic)
 
     # ------------------------------------------------------------------ #
+
+    def _split_child(self):
+        """Backend over the component-split stencil (see
+        passes.split_data_dims); None when the split does not apply."""
+        if not hasattr(self, "_split_child_backend"):
+            from gt4py_tpu.cartesian.analysis import analyze
+            from gt4py_tpu.cartesian.passes import split_data_dims
+
+            split = split_data_dims(self.analysis.stencil)
+            self._split_child_backend = (
+                PallasBackend(analyze(split), self.options) if split else None
+            )
+        return self._split_child_backend
+
+    def _trace_split_data_dims(self, metas, env, scalars, domain, periodic):
+        """Run data-dims stencils as Mosaic kernels over per-component
+        (K, I, J) buffers: a trailing data dim would become a tiny,
+        unaligned Mosaic lane dimension, so the split happens outside the
+        kernel (XLA slices/updates fuse with the surrounding program)."""
+        import itertools
+
+        from gt4py_tpu.cartesian.passes import component_name
+
+        child = self._split_child()
+        if child is None:
+            return None
+
+        decls = self.analysis.stencil.field_decls
+        grid = (slice(None), slice(None), slice(None))
+        env2, metas2 = {}, {}
+        for name, m in metas.items():
+            dd = decls[name].data_dims if name in decls else ()
+            if not dd:
+                env2[name] = env[name]
+                metas2[name] = m
+                continue
+            for idx in itertools.product(*(range(d) for d in dd)):
+                cname = component_name(name, idx)
+                env2[cname] = env[name][grid + idx]
+                metas2[cname] = _FieldMeta(
+                    shape=m.shape[:3],
+                    origin=m.origin,
+                    dtype=m.dtype,
+                    dimensions=m.dimensions,
+                    data_ndim=0,
+                )
+        out_env = child._trace_env(metas2, env2, scalars, domain, periodic)
+        result = dict(env)
+        for name in self.written:
+            if name not in metas:
+                continue
+            dd = decls[name].data_dims if name in decls else ()
+            if not dd:
+                result[name] = out_env[name]
+                continue
+            buf = env[name]
+            for idx in itertools.product(*(range(d) for d in dd)):
+                cname = component_name(name, idx)
+                if cname in child.written:
+                    buf = buf.at[grid + idx].set(out_env[cname])
+            result[name] = buf
+        return result
 
     def _check_eligible(self, metas) -> None:
         for node in ir.walk_values(self.analysis.stencil.vertical_loops):

@@ -261,3 +261,93 @@ def _replace_accesses(stmt: ir.Stmt, replacements: Dict[int, ir.Expr]) -> None:
     elif isinstance(stmt, ir.HorizontalRestriction):
         for s in stmt.body:
             _replace_accesses(s, replacements)
+
+
+def component_name(name: str, idx: Tuple[int, ...]) -> str:
+    """Name of the scalar component field for data index ``idx``."""
+    return name + "__c" + "_".join(str(i) for i in idx)
+
+
+def split_data_dims(stencil: ir.Stencil) -> Optional[ir.Stencil]:
+    """Rewrite data-dims fields into per-component scalar fields.
+
+    TPU-first data-dims handling: a trailing data dimension would become
+    the Mosaic lane dimension of every tile (tiny, unaligned), so the
+    pallas backend instead splits each (K, I, J, *dd) buffer into dd
+    separate (K, I, J) component buffers outside the kernel and rewrites
+    every statically-indexed access to the matching component field
+    (the unroll analog of the reference's UnrollVectorAssignments,
+    frontend/defir_to_gtir.py:123 -- applied at the backend boundary,
+    not the frontend).  Returns None when the stencil has no data dims
+    or some data index is not statically evaluable.
+    """
+    import itertools
+
+    from gt4py_tpu.cartesian.analysis import try_static_int
+
+    split: Dict[str, ir.FieldDecl] = {
+        name: decl
+        for decls in (stencil.field_decls, stencil.temp_decls)
+        for name, decl in decls.items()
+        if decl.data_dims
+    }
+    if not split:
+        return None
+
+    # every access to a split field must have fully-static data indices
+    for node in ir.walk_values(stencil.vertical_loops):
+        if not (isinstance(node, ir.FieldAccess) and node.name in split):
+            continue
+        if len(node.data_index) != len(split[node.name].data_dims):
+            return None
+        if any(try_static_int(e) is None for e in node.data_index):
+            return None
+
+    out = copy.deepcopy(stencil)
+    for node in ir.walk_values(out.vertical_loops):
+        if isinstance(node, ir.FieldAccess) and node.name in split:
+            dims = split[node.name].data_dims
+            # % d: numpy negative-index semantics
+            idx = tuple(
+                try_static_int(e) % d for e, d in zip(node.data_index, dims)
+            )
+            node.name = component_name(node.name, idx)
+            node.data_index = ()
+
+    def expand(decls: Dict[str, ir.FieldDecl]) -> Dict[str, ir.FieldDecl]:
+        new: Dict[str, ir.FieldDecl] = {}
+        for name, decl in decls.items():
+            if not decl.data_dims:
+                new[name] = decl
+                continue
+            for idx in itertools.product(*(range(d) for d in decl.data_dims)):
+                cname = component_name(name, idx)
+                new[cname] = ir.FieldDecl(
+                    name=cname,
+                    dtype=decl.dtype,
+                    dimensions=decl.dimensions,
+                    data_dims=(),
+                    is_api=decl.is_api,
+                )
+        return new
+
+    out.field_decls = expand(out.field_decls)
+    out.temp_decls = expand(out.temp_decls)
+    new_params = []
+    for p in out.api_params:
+        if p.is_field and p.name in split:
+            for idx in itertools.product(
+                *(range(d) for d in split[p.name].data_dims)
+            ):
+                new_params.append(
+                    ir.ApiParam(
+                        name=component_name(p.name, idx),
+                        is_field=True,
+                        is_keyword=p.is_keyword,
+                        optional=p.optional,
+                    )
+                )
+        else:
+            new_params.append(p)
+    out.api_params = new_params
+    return out

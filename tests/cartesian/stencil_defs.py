@@ -362,6 +362,27 @@ def data_dims_norm():
     return definition, make_inputs
 
 
+@register(origin=(0, 0, 0))
+def data_dims_dynamic_index():
+    def definition(
+        vec: gtscript.Field[(np.float64, (3,))],
+        idx: gtscript.Field[np.int64],
+        out: Field3D,
+    ):
+        with computation(PARALLEL), interval(...):
+            out = vec[0, 0, 0][idx % 3] + vec[0, 0, 0][1]
+
+    def make_inputs():
+        rng = np.random.default_rng(41)
+        return dict(
+            vec=rand(4, 4, 4, 3, seed=41),
+            idx=rng.integers(-6, 7, size=(4, 4, 4)).astype(np.int64),
+            out=np.zeros((4, 4, 4)),
+        )
+
+    return definition, make_inputs
+
+
 @register(origin=(0, 0, 0), externals={"FACTOR": 2.5, "USE_IT": True})
 def externals_inlined():
     def definition(inp: Field3D, out: Field3D):

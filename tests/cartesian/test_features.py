@@ -104,6 +104,39 @@ def test_global_table(backend):
     assert (out == 3.0).all()
 
 
+@pytest.mark.parametrize("backend", ["numpy", "jax", "pallas"])
+def test_dynamic_data_index(backend):
+    """Per-point (field-valued) data-dimension indices gather along the
+    data axis (reference: gtc/common.py:390-398 -- data_index is any int
+    expression, not just a literal)."""
+    IField = gtscript.Field[np.int64]
+
+    @gtscript.stencil(backend=backend)
+    def lookup(
+        table: gtscript.GlobalTable[(np.float64, (4,))], idx: IField, out: Field3D
+    ):
+        with computation(PARALLEL), interval(...):
+            out = table[idx]
+
+    table = np.array([1.0, 2.0, 3.0, 4.0])
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 4, (3, 4, 5)).astype(np.int64)
+    out = np.zeros((3, 4, 5))
+    lookup(table, idx, out, origin=(0, 0, 0), domain=(3, 4, 5))
+    np.testing.assert_array_equal(out, table[idx])
+
+    @gtscript.stencil(backend=backend)
+    def pick(vec: gtscript.Field[(np.float64, (3,))], idx: IField, out: Field3D):
+        with computation(FORWARD), interval(...):
+            out = vec[0, 0, 0][idx % 3]
+
+    vec = rng.random((3, 4, 5, 3))
+    out2 = np.zeros((3, 4, 5))
+    pick(vec, idx, out2, origin=(0, 0, 0), domain=(3, 4, 5))
+    expect = np.take_along_axis(vec, (idx % 3)[..., None], axis=3)[..., 0]
+    np.testing.assert_allclose(out2, expect, rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("backend", BACKENDS)
 def test_vector_assignment(backend):
     """Whole-vector assignment between data-dims fields (reference:

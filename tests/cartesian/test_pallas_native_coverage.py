@@ -88,6 +88,35 @@ def test_absolute_k_in_scan_runs_in_kernel():
     np.testing.assert_array_equal(out_p, out_n)
 
 
+def test_data_dims_split_runs_in_kernel():
+    """Statically-indexed data-dims fields run as per-component Mosaic
+    kernels (passes.split_data_dims); bitwise vs the jax executor."""
+
+    def defn(
+        vec: gtscript.Field[(np.float32, (3,))],
+        out: F32,
+        w: gtscript.Field[(np.float32, (2, 2))],
+    ):
+        with computation(PARALLEL), interval(...):
+            out = vec[0, 0, 0][0] + vec[1, 0, 0][1] * vec[0, 0, 0][2]
+            w[0, 0, 0][1, 0] = out[0, 0, 0] * 2.0
+            w[0, 0, 0][0, 1] = vec[0, 0, 0][-1]
+
+    st_p = gtscript.stencil(backend="pallas", definition=defn, rebuild=True)
+    st_j = gtscript.stencil(backend="jax", definition=defn, rebuild=True)
+
+    shape3 = (6, 5, 4)
+    rng = np.random.default_rng(9)
+    vec = rng.random(shape3 + (3,)).astype(np.float32)
+    w = np.zeros(shape3 + (2, 2), np.float32)
+    out = np.zeros(shape3, np.float32)
+    vj, wj, oj = vec.copy(), w.copy(), out.copy()
+    _assert_no_fallback(st_p, vec, out, w, origin=(1, 0, 0), domain=(4, 5, 4))
+    st_j(vj, oj, wj, origin=(1, 0, 0), domain=(4, 5, 4))
+    np.testing.assert_array_equal(out, oj)
+    np.testing.assert_array_equal(w, wj)
+
+
 def test_variable_k_in_backward_scan_runs_in_kernel():
     @gtscript.stencil(backend="pallas")
     def vscan(a: F32, kidx: I32, acc: F32):

@@ -33,6 +33,10 @@ NATIVE_SUPPORT: Dict[str, Set[Feature]] = {
         Feature.USES_SCAN,
         Feature.USES_VARIABLE_K_OFFSET,
         Feature.USES_ABSOLUTE_K,
+        # data-dims fields run as per-component kernels when every data
+        # index is static (passes.split_data_dims); per-point dynamic
+        # data indices fall back to the XLA executor
+        Feature.USES_DATA_DIMS,
         Feature.USES_REGIONS,
         Feature.USES_WHILE,
         Feature.USES_LOWER_DIM_FIELDS,
