@@ -165,6 +165,45 @@ def bench_oracle_dycore(n_iters=1):
     return (time.perf_counter() - t0) / n_iters
 
 
+def bench_tpu_full_dycore():
+    """Per-iteration time of the FullDycore step (dycore + FV tracer +
+    semi-Lagrangian tracer) at 512^2 x 80."""
+    from gt4py_tpu.models.full_dycore import FullDycore
+
+    model = FullDycore(NI, NJ, NK, dtype=DTYPE, backend="pallas")
+    step = model.step_fn()
+    state = _build_state(model)
+    i1, i2 = 3, 9
+    t1 = _timed_loop(step, state, i1)
+    t2 = _timed_loop(step, state, i2)
+    return max((t2 - t1) / (i2 - i1), 1e-9)
+
+
+def bench_tpu_fv_1024():
+    """FVTP2D at the 1024^2 x 80 scale (BASELINE large-grid row)."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models import FvAdvection
+
+    model = FvAdvection(1024, 1024, NK, dtype=DTYPE, backend="pallas")
+    st = {k: jnp.asarray(v) for k, v in model.init_state(seed=4).items()}
+    st["cx"], st["cy"] = model.fill_winds(st["cx"], st["cy"])
+    fv_step = model.step_fn(winds_filled=True)
+
+    def step(state):
+        q = fv_step(state["q"], state["cx"], state["cy"])
+        new = dict(state)
+        new["q"] = q
+        new["u"] = q
+        return new
+
+    st["u"] = st["q"]
+    i1, i2 = 3, 9
+    t1 = _timed_loop(step, st, i1)
+    t2 = _timed_loop(step, st, i2)
+    return max((t2 - t1) / (i2 - i1), 1e-9)
+
+
 def main():
     from gt4py_tpu import config
 
@@ -179,6 +218,21 @@ def main():
     oracle_dycore = bench_oracle_dycore()
     oracle_fv = bench_oracle_fv()
 
+    extra = {}
+    if os.environ.get("GT4PY_TPU_BENCH_EXTRA", "1") != "0":
+        try:
+            full = bench_tpu_full_dycore()
+            extra["full_dycore_512_ms"] = round(full * 1e3, 2)
+            extra["full_dycore_512_gpoints"] = round(NI * NJ * NK / full / 1e9, 3)
+        except Exception as e:  # keep the headline metric robust
+            print(f"# full-dycore bench failed: {e}", file=sys.stderr)
+        try:
+            fv_big = bench_tpu_fv_1024()
+            extra["fv_1024_ms"] = round(fv_big * 1e3, 2)
+            extra["fv_1024_gpoints"] = round(1024 * 1024 * NK / fv_big / 1e9, 3)
+        except Exception as e:
+            print(f"# fv-1024 bench failed: {e}", file=sys.stderr)
+
     # combined BASELINE metric: total points processed per second across
     # the hdiff+vadv dycore step and the FVTP2D advection step
     points = NI * NJ * NK
@@ -190,9 +244,12 @@ def main():
         "unit": "Gpoint/s",
         "vs_baseline": round(gps / oracle_gps, 2),
     }
+    if extra:
+        result["extra"] = extra
     print(
         f"# tpu: dycore {tpu_dycore*1e3:.2f} ms, fv {tpu_fv*1e3:.2f} ms | "
-        f"oracle: dycore {oracle_dycore*1e3:.0f} ms, fv {oracle_fv*1e3:.0f} ms",
+        f"oracle: dycore {oracle_dycore*1e3:.0f} ms, fv {oracle_fv*1e3:.0f} ms | "
+        f"extra: {extra}",
         file=sys.stderr,
     )
     print(json.dumps(result))

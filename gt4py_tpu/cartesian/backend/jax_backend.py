@@ -788,21 +788,30 @@ class JaxTracer:
             )
 
         if self.ref_env:
-            # refs mutate in place; the loop carries only the active mask
-            def body_mask(mask):
+            # refs mutate in place; the loop carries only the active mask.
+            # Mosaic quirks: the carry must be i32 (an i1 vector carry
+            # fails to legalize scf.yield) and the exit test must be an
+            # i32 max (bool reduce_or lowers through an f64 proxy under
+            # global x64: "Only arrays with 32-bit element types can be
+            # converted to scalars")
+            def body_mask(mask_i32):
+                mask = mask_i32 > 0
                 ctx.masks.append(mask)
                 for s in stmt.body:
                     self._trace_stmt(env, s, ctx)
                 ctx.masks.pop()
-                return jnp.logical_and(
+                new_mask = jnp.logical_and(
                     mask,
                     jnp.broadcast_to(
                         jnp.asarray(self._eval(env, stmt.cond, ctx)).astype(bool),
                         ctx.shape(),
                     ),
                 )
+                return new_mask.astype(jnp.int32)
 
-            jax.lax.while_loop(lambda m: jnp.any(m), body_mask, mask0)
+            jax.lax.while_loop(
+                lambda m: jnp.max(m) > 0, body_mask, mask0.astype(jnp.int32)
+            )
             return env
 
         def cond_fn(carry):

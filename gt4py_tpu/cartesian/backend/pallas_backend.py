@@ -944,7 +944,17 @@ class PallasBackend(JaxBackend):
                     out_copy(w, t, slot).wait()
 
         # ---- pallas_call plumbing ---- #
-        scalar_ops = [jnp.asarray(scalars[n]).reshape(1, 1) for n in scalar_names]
+        def scalar_op(n):
+            # cast to the declared dtype: a bare python float otherwise
+            # becomes f64 under global x64 and the pallas_call custom-call
+            # operand defeats XLA's X64 rewriting on TPU
+            decl = analysis.stencil.scalar_decls.get(n)
+            v = jnp.asarray(scalars[n], dtype=decl.dtype if decl else None)
+            if aligned and v.dtype.itemsize > 4:
+                raise _PallasIneligible()  # no 64-bit types in Mosaic
+            return v.reshape(1, 1)
+
+        scalar_ops = [scalar_op(n) for n in scalar_names]
         field_ops = [env[n] for n in field_names]
 
         def out_struct(name):

@@ -25,12 +25,19 @@ MAX_OFFSET = 2
 
 
 class ProgramGenerator:
-    def __init__(self, rng: random.Random, n_inputs: int = 3, n_outputs: int = 2):
+    def __init__(
+        self,
+        rng: random.Random,
+        n_inputs: int = 3,
+        n_outputs: int = 2,
+        dtype=np.float64,
+    ):
         self.rng = rng
         self.inputs = [f"in{i}" for i in range(n_inputs)]
         self.outputs = [f"out{i}" for i in range(n_outputs)]
         self.scalars = ["s0", "s1"]
         self.n_temps = 0
+        self.dtype = np.dtype(dtype)
 
     # ------------------------------------------------------------------ #
 
@@ -42,13 +49,11 @@ class ProgramGenerator:
             loops.append(self._gen_loop())
 
         field_decls = {
-            name: ir.FieldDecl(name=name, dtype=np.dtype(np.float64))
+            name: ir.FieldDecl(name=name, dtype=self.dtype)
             for name in self.inputs + self.outputs
         }
         temp_decls = {
-            name: ir.FieldDecl(
-                name=name, dtype=np.dtype(np.float64), is_api=False
-            )
+            name: ir.FieldDecl(name=name, dtype=self.dtype, is_api=False)
             for name in self.temps_assigned
         }
         params = [
@@ -62,11 +67,11 @@ class ProgramGenerator:
             api_params=params,
             field_decls=field_decls,
             scalar_decls={
-                n: ir.ScalarDecl(name=n, dtype=np.dtype(np.float64))
-                for n in self.scalars
+                n: ir.ScalarDecl(name=n, dtype=self.dtype) for n in self.scalars
             },
             temp_decls=temp_decls,
             vertical_loops=loops,
+            literal_float_dtype=self.dtype,
         )
 
     # ------------------------------------------------------------------ #
@@ -306,32 +311,53 @@ class ProgramGenerator:
 
 
 def run_differential_case(
-    seed: int, domain=None, halo=6, backends=("jax",)
+    seed: int,
+    domain=None,
+    halo=6,
+    backends=("jax",),
+    dtype=np.float64,
+    aligned=False,
+    rtol=1e-12,
+    atol=1e-12,
 ) -> None:
     """Generate one program, run the numpy oracle vs each backend in
-    ``backends`` ("jax", "pallas"), assert allclose.  The pallas leg runs
-    the interpret-mode kernel path on CPU (random programs with extended
-    API write extents transparently fall back to the XLA executor, which
-    still exercises the eligibility logic)."""
+    ``backends`` ("jax", "pallas"), assert allclose.  On CPU the pallas
+    leg runs the interpret-mode kernel path (random programs with
+    extended API write extents transparently fall back to the XLA
+    executor, which still exercises the eligibility logic).
+
+    ``aligned=True`` picks Mosaic-eligible geometry (origins on the
+    (8, 128) DMA grid, physical J a multiple of 128) so the same cases
+    compile and run on a real TPU chip: use with ``dtype=np.float32``
+    (Mosaic has no 64-bit types) and f32 tolerances."""
     from gt4py_tpu.cartesian import analysis as analysis_mod
     from gt4py_tpu.cartesian.backend import from_name
 
     rng = random.Random(seed)
     if domain is None:
-        # vary the domain shape per seed: exercises extent clipping,
-        # single-plane K, and non-square IJ paths
-        domain = (rng.randint(3, 9), rng.randint(3, 9), rng.randint(1, 7))
-    gen = ProgramGenerator(rng)
+        if aligned:
+            # I on the sublane (8) grid, J on the lane (128) grid
+            domain = (8 * rng.randint(1, 3), 128, rng.randint(1, 7))
+        else:
+            # vary the domain shape per seed: exercises extent clipping,
+            # single-plane K, and non-square IJ paths
+            domain = (rng.randint(3, 9), rng.randint(3, 9), rng.randint(1, 7))
+    gen = ProgramGenerator(rng, dtype=dtype)
     stencil = gen.generate()
     an = analysis_mod.analyze(stencil)
 
     nprng = np.random.default_rng(seed)
-    shape = (domain[0] + 2 * halo, domain[1] + 2 * halo, domain[2] + 2)
+    if aligned:
+        shape = (8 + domain[0] + 8, 128 + domain[1] + 128, domain[2] + 2)
+        origin = (8, 128, 1)
+    else:
+        shape = (domain[0] + 2 * halo, domain[1] + 2 * halo, domain[2] + 2)
+        origin = (halo, halo, 1)
     arrays = {}
     origins = {}
     for name in gen.inputs + gen.outputs:
-        arrays[name] = nprng.random(shape)
-        origins[name] = (halo, halo, 1)
+        arrays[name] = nprng.random(shape).astype(dtype)
+        origins[name] = origin
 
     scalars = {"s0": nprng.uniform(-1, 1), "s1": nprng.uniform(-1, 1)}
 
@@ -348,8 +374,8 @@ def run_differential_case(
             np.testing.assert_allclose(
                 jx[name],
                 ref[name],
-                rtol=1e-12,
-                atol=1e-12,
+                rtol=rtol,
+                atol=atol,
                 err_msg=f"seed {seed}: field '{name}' diverges ({backend})\n"
                 + _dump(stencil),
             )

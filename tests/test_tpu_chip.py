@@ -1,0 +1,120 @@
+"""On-chip Mosaic suite: run with ``GT4PY_TPU_TEST_PLATFORM=tpu``.
+
+Interpret-mode CI cannot catch Mosaic-only failure classes
+(docs/performance.md "TPU-only failure modes"), so this job drives the
+kernel path on the real chip: f32 aligned-geometry differential fuzzing
+plus the product-path model kernels vs the XLA executor (bitwise).
+Skipped on the default CPU platform.  Remote first-compiles take
+5-40 s per kernel; the persistent compile cache makes re-runs fast.
+
+Last recorded runs: see docs/performance.md "On-chip suite runs".
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("GT4PY_TPU_TEST_PLATFORM", "cpu") != "tpu",
+    reason="on-chip suite: set GT4PY_TPU_TEST_PLATFORM=tpu",
+)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_on_chip(seed):
+    from gt4py_tpu.testing.program_gen import run_differential_case
+
+    run_differential_case(
+        seed,
+        backends=("pallas",),
+        dtype=np.float32,
+        aligned=True,
+        rtol=3e-5,
+        atol=3e-6,
+    )
+
+
+def _no_new_fallbacks(fn):
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    before = len(pallas_backend.FALLBACK_EVENTS)
+    out = fn()
+    events = pallas_backend.FALLBACK_EVENTS[before:]
+    assert not events, f"pallas fell back on chip: {events}"
+    return out
+
+
+def test_dycore_step_on_chip_matches_xla():
+    """The product-path dycore kernels (hdiff + vadv tridiagonal + update,
+    periodic wrap in the tile DMA) are bitwise-equal to the XLA executor
+    on the chip."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models.dycore import MiniDycore
+
+    k_args = dict(dtype=np.float32, aligned=True)
+    pal = MiniDycore(64, 256, 16, backend="pallas", **k_args)
+    ref = MiniDycore(64, 256, 16, backend="jax", **k_args)
+    state = {k: jnp.asarray(v) for k, v in pal.init_state().items()}
+
+    out_p = _no_new_fallbacks(lambda: pal.step_fn()(dict(state)))
+    out_j = ref.step_fn()(dict(state))
+    for name in ("u", "utens_stage"):
+        a = np.asarray(out_p[name])
+        b = np.asarray(out_j[name])
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_fv_step_on_chip_matches_xla():
+    """The single-kernel FVTP2D step is bitwise-equal to the XLA executor
+    on the chip."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models.fv_advection import FvAdvection
+
+    k_args = dict(dtype=np.float32, aligned=True)
+    pal = FvAdvection(64, 256, 16, backend="pallas", **k_args)
+    ref = FvAdvection(64, 256, 16, backend="jax", **k_args)
+    state = {k: jnp.asarray(v) for k, v in pal.init_state().items()}
+
+    q_p = _no_new_fallbacks(
+        lambda: pal.step_fn()(state["q"], state["cx"], state["cy"])
+    )
+    q_j = ref.step_fn()(state["q"], state["cx"], state["cy"])
+    np.testing.assert_array_equal(np.asarray(q_p), np.asarray(q_j))
+
+
+def test_native_coverage_on_chip():
+    """Variable-K / absolute-K / data-dims stencils execute in-kernel on
+    real Mosaic (the same assertions as the interpret-mode coverage
+    tests, aligned geometry)."""
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import FORWARD, PARALLEL, computation, interval
+
+    F32 = gtscript.Field[np.float32]
+    I32 = gtscript.Field[np.int32]
+
+    @gtscript.stencil(backend="pallas")
+    def varK(a: F32, kidx: I32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a[0, 0, kidx] + a[1, 0, 0]
+
+    @gtscript.stencil(backend="jax")
+    def varK_j(a: F32, kidx: I32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a[0, 0, kidx] + a[1, 0, 0]
+
+    shape = (16 + 16, 128 + 256, 8)
+    origin = (8, 128, 0)
+    dom = (16, 256, 8)
+    rng = np.random.default_rng(3)
+    a = rng.random(shape, dtype=np.float32)
+    kidx = rng.integers(-4, 5, shape).astype(np.int32)
+    out_p = np.zeros(shape, np.float32)
+    out_j = np.zeros(shape, np.float32)
+    _no_new_fallbacks(
+        lambda: varK(a.copy(), kidx.copy(), out_p, origin=origin, domain=dom)
+    )
+    varK_j(a.copy(), kidx.copy(), out_j, origin=origin, domain=dom)
+    np.testing.assert_array_equal(out_p, out_j)
