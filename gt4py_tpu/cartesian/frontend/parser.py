@@ -922,14 +922,21 @@ _ORDER_MAP = {"PARALLEL": ir.LoopOrder.PARALLEL, "FORWARD": ir.LoopOrder.FORWARD
               "BACKWARD": ir.LoopOrder.BACKWARD}
 
 
-def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None) -> ir.Interval:
+def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None):
     """Parse ``interval(a, b)`` / ``interval(...)``
     (reference: VerticalIntervalParser, gtscript_frontend.py:300-409;
     scalar-parameter bounds become RuntimeAxisBounds resolved at call time).
+
+    Returns ``(interval, field_cond)``.  Field-valued (per-column) bounds
+    -- an IJ int field as ``a``/``b`` -- have no reference counterpart;
+    they desugar to the K hull plus a pointwise condition
+    ``start <= K < end`` returned as ``field_cond`` (the caller wraps the
+    section body in an If), so every backend, the extent analysis, and
+    the race validators see them through the ordinary mask machinery.
     """
     args = call.args
     if len(args) == 1 and isinstance(args[0], ast.Constant) and args[0].value is Ellipsis:
-        return ir.Interval.full()
+        return ir.Interval.full(), None
     if len(args) == 1:
         v = _const_int(args[0])
         if v is None:
@@ -937,9 +944,11 @@ def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None) -> ir.Interval
         if v is None:
             raise GTScriptSyntaxError("Invalid interval bound")
         start = ir.AxisBound.from_value(v, is_end=False)
-        return ir.Interval(start, ir.AxisBound(start.level, start.offset + 1))
+        return ir.Interval(start, ir.AxisBound(start.level, start.offset + 1)), None
     if len(args) != 2:
         raise GTScriptSyntaxError("interval() takes 1 or 2 arguments")
+
+    conds: List[ir.Expr] = []
 
     def bound(nd: ast.expr, is_end: bool):
         if isinstance(nd, ast.Constant) and nd.value is None:
@@ -957,12 +966,43 @@ def _parse_interval_call(call: ast.Call, maker: "IRMaker" = None) -> ir.Interval
         name, off = _runtime_bound_parts(nd)
         if name is not None and maker is not None and name in maker.ctx.scalar_decls:
             return ir.RuntimeAxisBound(name=name, offset=off)
+        if name is not None and maker is not None and name in maker.ctx.field_decls:
+            decl = maker.ctx.field_decls[name]
+            if decl.dimensions[2] or decl.data_dims:
+                raise GTScriptSyntaxError(
+                    f"Field-valued interval bound '{name}' must be a "
+                    "K-less (IJ) field without data dimensions"
+                )
+            if not np.issubdtype(decl.dtype, np.integer):
+                raise GTScriptSyntaxError(
+                    f"Field-valued interval bound '{name}' must have an "
+                    f"integer dtype (got {decl.dtype})"
+                )
+            val: ir.Expr = ir.FieldAccess(name=name)
+            if off:
+                val = ir.BinaryOp(
+                    op=ir.BinaryOperator.ADD, left=val, right=ir.Literal(value=off)
+                )
+            conds.append(
+                ir.BinaryOp(
+                    op=ir.BinaryOperator.LT if is_end else ir.BinaryOperator.GE,
+                    left=ir.AxisPosition(axis="K"),
+                    right=val,
+                )
+            )
+            return ir.AxisBound.end() if is_end else ir.AxisBound.start()
         raise GTScriptSyntaxError(
-            "Interval bounds must be integer literals, None, or scalar "
-            "parameters"
+            "Interval bounds must be integer literals, None, scalar "
+            "parameters, or K-less integer fields"
         )
 
-    return ir.Interval(bound(args[0], False), bound(args[1], True))
+    interval = ir.Interval(bound(args[0], False), bound(args[1], True))
+    cond = None
+    for c in conds:
+        cond = c if cond is None else ir.BinaryOp(
+            op=ir.BinaryOperator.AND, left=cond, right=c
+        )
+    return interval, cond
 
 
 def _axis_index_bound(nd: ast.expr, maker: "IRMaker" = None):
@@ -1149,9 +1189,14 @@ def _parse_computation_with(node: ast.With, maker: IRMaker) -> List[ir.VerticalL
             return [ir.HorizontalRestriction(masks=masks, body=stmts)]
         return stmts
 
+    def make_section(interval, field_cond, body) -> ir.VerticalSection:
+        if field_cond is not None:
+            body = [ir.If(cond=field_cond, body=body, orelse=[])]
+        return ir.VerticalSection(interval=interval, body=body)
+
     if "interval" in items:
-        interval = _parse_interval_call(items["interval"], maker)
-        sections.append(ir.VerticalSection(interval=interval, body=parse_body(node.body)))
+        interval, field_cond = _parse_interval_call(items["interval"], maker)
+        sections.append(make_section(interval, field_cond, parse_body(node.body)))
     else:
         for inner in node.body:
             if not isinstance(inner, ast.With):
@@ -1162,9 +1207,9 @@ def _parse_computation_with(node: ast.With, maker: IRMaker) -> List[ir.VerticalL
             inner_items = [_with_item_call(i) for i in inner.items]
             if len(inner_items) != 1 or inner_items[0][0] != "interval":
                 raise GTScriptSyntaxError("Expected 'with interval(...)'")
-            interval = _parse_interval_call(inner_items[0][1], maker)
+            interval, field_cond = _parse_interval_call(inner_items[0][1], maker)
             sections.append(
-                ir.VerticalSection(interval=interval, body=parse_body(inner.body))
+                make_section(interval, field_cond, parse_body(inner.body))
             )
 
     return [ir.VerticalLoop(loop_order=order, sections=sections)]

@@ -105,6 +105,63 @@ def test_global_table(backend):
 
 
 @pytest.mark.parametrize("backend", ["numpy", "jax", "pallas"])
+def test_field_valued_interval_bounds(backend):
+    """Per-column K interval bounds from IJ int fields (net-new vs the
+    reference: desugared at parse time to the K hull + a pointwise
+    ``start <= K < end`` mask, so every backend executes them through
+    the ordinary mask machinery)."""
+    IJ = gtscript.Field[gtscript.IJ, np.int64]
+
+    @gtscript.stencil(backend=backend)
+    def st(a: Field3D, kstart: IJ, kend: IJ, out: Field3D):
+        with computation(PARALLEL), interval(kstart, kend):
+            out = a * 2.0
+        with computation(FORWARD), interval(kstart + 1, None):
+            out = out[0, 0, -1] + 1.0
+
+    ni, nj, nk = 5, 6, 8
+    rng = np.random.default_rng(0)
+    a = rng.random((ni, nj, nk + 1))
+    kstart = rng.integers(0, 4, (ni, nj)).astype(np.int64)
+    kend = (kstart + rng.integers(1, 4, (ni, nj))).astype(np.int64)
+    out_full = np.zeros((ni, nj, nk + 1))
+    # K origin 1: the desugared scan runs over the full hull, so the
+    # [0, 0, -1] read needs a K halo plane below the domain
+    st(a, kstart, kend, out_full, origin=(0, 0, 1), domain=(ni, nj, nk))
+    out = out_full[:, :, 1:]
+    ai = a[:, :, 1:]
+
+    expect = np.zeros((ni, nj, nk))
+    for i in range(ni):
+        for j in range(nj):
+            for k in range(kstart[i, j], min(kend[i, j], nk)):
+                expect[i, j, k] = ai[i, j, k] * 2.0
+            for k in range(kstart[i, j] + 1, nk):
+                expect[i, j, k] = expect[i, j, k - 1] + 1.0
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_field_valued_interval_bound_errors():
+    from gt4py_tpu.cartesian.frontend.parser import GTScriptSyntaxError
+
+    IJK = gtscript.Field[np.int64]
+    with pytest.raises(GTScriptSyntaxError, match="K-less"):
+
+        @gtscript.stencil(backend="numpy")
+        def bad_k(a: Field3D, b: IJK, out: Field3D):
+            with computation(PARALLEL), interval(b, None):
+                out = a
+
+    FIJ = gtscript.Field[gtscript.IJ, np.float64]
+    with pytest.raises(GTScriptSyntaxError, match="integer dtype"):
+
+        @gtscript.stencil(backend="numpy")
+        def bad_f(a: Field3D, b: FIJ, out: Field3D):
+            with computation(PARALLEL), interval(b, None):
+                out = a
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax", "pallas"])
 def test_dynamic_data_index(backend):
     """Per-point (field-valued) data-dimension indices gather along the
     data axis (reference: gtc/common.py:390-398 -- data_index is any int
