@@ -58,10 +58,14 @@ def _common_xp(*operands):
     return np if any(isinstance(f, Field) for f in operands) else jnp
 
 
-def where(cond: Field, a, b) -> Field:
+def where(cond, a, b) -> Field:
+    """Pointwise select.  Any operand (including the condition) may be a
+    scalar (reference: fbuiltins.where over scalar/field mixes)."""
+    if not any(isinstance(x, Field) for x in (cond, a, b)):
+        return np.where(cond, a, b)[()]
     dom = _merge_domains(cond, a, b)
     xp = _common_xp(cond, a, b)
-    c = _expand(cond, dom)
+    c = _expand(cond, dom) if isinstance(cond, Field) else cond
     av = _expand(a, dom) if isinstance(a, Field) else a
     bv = _expand(b, dom) if isinstance(b, Field) else b
     return Field(dom, xp.where(c, av, bv))

@@ -1,0 +1,176 @@
+"""Random field-operator generator for differential next-DSL testing.
+
+Counterpart of ``program_gen`` for the field-view DSL: generates random
+*valid* operator source in the restricted-Python subset, parses it
+through the real frontend (type deduction + validation), and runs it on
+numpy-backed and jax-backed Fields.  Both execute the same typed-IR
+interpreter (next/interpreter.py), so divergence localizes to the array
+namespaces -- broadcasting, dtype promotion, where/maximum/minimum,
+reductions with skip values, domain-intersection slicing.
+"""
+
+from __future__ import annotations
+
+import random
+import textwrap
+from typing import Dict, List
+
+import numpy as np
+
+
+class OperatorGenerator:
+    """Builds one random field-operator source string + its closure."""
+
+    def __init__(self, rng: random.Random, with_unstructured: bool = False):
+        self.rng = rng
+        self.with_unstructured = with_unstructured
+        self.lines: List[str] = []
+        self.n_tmp = 0
+
+    def _leaf(self, names: List[str]) -> str:
+        r = self.rng.random()
+        if r < 0.55:
+            name = self.rng.choice(names)
+            # only certainly-field names may be shifted (the type system
+            # rejects calling a scalar-typed temp -- correctly)
+            if (
+                not self.with_unstructured
+                and name in self.field_names
+                and self.rng.random() < 0.35
+            ):
+                off = self.rng.choice(["Ioff", "Joff"])
+                k = self.rng.randint(-2, 2)
+                return f"{name}({off}[{k}])"
+            return name
+        if r < 0.75:
+            return "s"
+        return repr(round(self.rng.uniform(-1.5, 1.5), 3))
+
+    def _expr(self, names: List[str], depth: int = 0) -> str:
+        r = self.rng.random()
+        if depth >= 3 or r < 0.3:
+            return self._leaf(names)
+        if r < 0.7:
+            op = self.rng.choice(["+", "-", "*"])
+            return f"({self._expr(names, depth + 1)} {op} {self._expr(names, depth + 1)})"
+        if r < 0.85:
+            c = self._expr(names, depth + 1)
+            t = self._expr(names, depth + 1)
+            f = self._expr(names, depth + 1)
+            return f"where(({c}) > 0.25, {t}, {f})"
+        fn = self.rng.choice(["minimum", "maximum"])
+        return f"{fn}({self._expr(names, depth + 1)}, {self._expr(names, depth + 1)})"
+
+    def _is_field_expr(self, expr: str) -> bool:
+        import re
+
+        return any(re.search(rf"\b{n}\b", expr) for n in self.field_names)
+
+    def generate(self) -> str:
+        self.field_names = {"a", "b"}
+        names = ["a", "b"]
+        body = []
+        for _ in range(self.rng.randint(1, 3)):
+            t = f"t{self.n_tmp}"
+            self.n_tmp += 1
+            e = self._expr(names)
+            body.append(f"{t} = {e}")
+            if self._is_field_expr(e):
+                self.field_names.add(t)
+            names.append(t)
+        if self.with_unstructured:
+            e = self._expr(names)
+            if not self._is_field_expr(e):
+                e = f"({e}) + 0.0 * a"
+            body.append(f"r = neighbor_sum(({e})(V2E), axis=V2E)")
+            ret = "r"
+        else:
+            ret = self._expr(names)
+            if not self._is_field_expr(ret):
+                ret = f"({ret}) + 0.0 * a"
+        src = "def op(a: FT, b: FT, s: float64) -> RT:\n" + textwrap.indent(
+            "\n".join(body + [f"return {ret}"]), "    "
+        )
+        return src
+
+
+def run_differential_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import (
+        Dimension,
+        Field,
+        FieldOffset,
+        as_connectivity,
+        as_field,
+        field_operator,
+        maximum,
+        minimum,
+        neighbor_sum,
+        where,
+    )
+    from gt4py_tpu.next.type_system import Dims
+
+    rng = random.Random(seed)
+    unstructured = rng.random() < 0.3
+
+    I = Dimension("I")
+    J = Dimension("J")
+    Vertex = Dimension("Vertex")
+    Edge = Dimension("Edge")
+    Ioff = FieldOffset("Ioff", source=I, target=(I,))
+    Joff = FieldOffset("Joff", source=J, target=(J,))
+
+    nprng = np.random.default_rng(seed)
+    if unstructured:
+        nv, ne, width = 6, 9, 3
+        table = np.full((nv, width), -1, dtype=np.int64)
+        for v in range(nv):
+            n = nprng.integers(1, width + 1)
+            table[v, :n] = nprng.integers(0, ne, n)
+        V2E = as_connectivity(table, source=Vertex, codomain=Edge)
+        FT = Field[Dims[Edge], np.float64]
+        RT = Field[Dims[Vertex], np.float64]
+        data_dims, shape = (Edge,), (ne,)
+    else:
+        V2E = None
+        FT = Field[Dims[I, J], np.float64]
+        RT = Field[Dims[I, J], np.float64]
+        data_dims, shape = (I, J), (10, 9)
+
+    gen = OperatorGenerator(rng, with_unstructured=unstructured)
+    src = gen.generate()
+
+    ns = dict(
+        FT=FT, RT=RT, float64=np.float64, where=where, minimum=minimum,
+        maximum=maximum, neighbor_sum=neighbor_sum, Ioff=Ioff, Joff=Joff,
+        V2E=V2E,
+    )
+    # the frontend reads the source via inspect.getsource; register the
+    # generated text under a virtual filename so linecache can serve it
+    import linecache
+
+    filename = f"<next-fuzz-{seed}>"
+    linecache.cache[filename] = (len(src), None, src.splitlines(True), filename)
+    code = compile(src, filename, "exec")
+    exec(code, ns)
+    op = field_operator(ns["op"])
+
+    a_np = nprng.random(shape)
+    b_np = nprng.random(shape)
+    s = float(nprng.uniform(-1, 1))
+
+    results = {}
+    for alloc in ("numpy", "jax"):
+        a = as_field(data_dims, a_np.copy(), allocator=alloc)
+        b = as_field(data_dims, b_np.copy(), allocator=alloc)
+        out = op(a, b, s)
+        results[alloc] = (out.asnumpy(), out.dims, tuple(out.domain.ranges))
+
+    r_np, d_np, dom_np = results["numpy"]
+    r_jx, d_jx, dom_jx = results["jax"]
+    assert d_np == d_jx, f"seed {seed}: dims diverge {d_np} vs {d_jx}\n{src}"
+    assert dom_np == dom_jx, f"seed {seed}: domains diverge {dom_np} vs {dom_jx}\n{src}"
+    np.testing.assert_allclose(
+        r_jx, r_np, rtol=rtol, atol=atol,
+        err_msg=f"seed {seed}: values diverge\n{src}",
+    )

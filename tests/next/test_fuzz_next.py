@@ -1,0 +1,12 @@
+"""Differential fuzzing of the field-view DSL: random operators run on
+numpy-backed vs jax-backed Fields through the shared typed-IR
+interpreter (the next analog of tests/cartesian/test_fuzz_differential)."""
+
+import pytest
+
+from gt4py_tpu.testing.next_fuzz import run_differential_case
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_random_field_operator_parity(seed):
+    run_differential_case(seed)
