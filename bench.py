@@ -31,11 +31,14 @@ def _build_state(model):
     return {k: jnp.asarray(v) for k, v in model.init_state(seed=3).items()}
 
 
-def _timed_loop(step_fn, state, iters, repeats=2):
+def _timed_loop(step_fn, state, iters, repeats=2, sum_keys=("u",)):
     """Time `iters` applications of step_fn composed inside one jit.
 
     The shared TPU relay shows up-to-2x contention swings; take the min
-    over `repeats` trials to approximate the uncontended time."""
+    over `repeats` trials to approximate the uncontended time.
+    ``sum_keys`` must cover every independent computation chain in the
+    step -- anything the final readback does not observe is dead code
+    XLA deletes (and the bench then under-reports)."""
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +48,7 @@ def _timed_loop(step_fn, state, iters, repeats=2):
             return step_fn(s)
 
         final = jax.lax.fori_loop(0, iters, body, state)
-        return jnp.sum(final["u"])
+        return sum(jnp.sum(final[k]) for k in sum_keys)
 
     # warm (compile + first dispatch)
     float(run(state))
@@ -174,8 +177,11 @@ def bench_tpu_full_dycore():
     step = model.step_fn()
     state = _build_state(model)
     i1, i2 = 3, 9
-    t1 = _timed_loop(step, state, i1)
-    t2 = _timed_loop(step, state, i2)
+    # sum ALL prognostic chains: u (dycore), q (FV), qsl (semi-Lagrangian)
+    # are independent -- summing only u lets XLA dead-code the tracers
+    keys = ("u", "q", "qsl")
+    t1 = _timed_loop(step, state, i1, sum_keys=keys)
+    t2 = _timed_loop(step, state, i2, sum_keys=keys)
     return max((t2 - t1) / (i2 - i1), 1e-9)
 
 

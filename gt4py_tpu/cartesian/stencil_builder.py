@@ -65,6 +65,7 @@ class StencilBuilder:
                 source,
                 self.name,
                 sorted(annotations.items()),
+                self._helper_sources(),
                 sorted((k, repr(v)) for k, v in self.externals.items()),
                 sorted((repr(k), repr(v)) for k, v in self.dtypes.items()),
                 self.backend_name,
@@ -73,17 +74,50 @@ class StencilBuilder:
         )
         return hashlib.sha256(key.encode()).hexdigest()[:32]
 
+    def _helper_sources(self):
+        """Sources of every ``@gtscript.function`` reachable from the
+        definition's globals/closure/externals: inlined helper bodies are
+        part of the stencil's semantics, so they must be part of the
+        fingerprint (otherwise editing a helper serves stale cached IR
+        across processes)."""
+        import inspect
+
+        from gt4py_tpu.cartesian.gtscript import GTScriptFunction
+
+        values = list(getattr(self.definition, "__globals__", {}).items())
+        for cell in getattr(self.definition, "__closure__", None) or ():
+            try:
+                values.append(("<closure>", cell.cell_contents))
+            except ValueError:
+                pass
+        values.extend(self.externals.items())
+        out = {}
+        for name, v in values:
+            if isinstance(v, GTScriptFunction):
+                try:
+                    out[name] = inspect.getsource(v.definition)
+                except (OSError, TypeError):
+                    out[name] = repr(v.definition)
+        return sorted(out.items())
+
     @property
     def analysis(self) -> analysis_mod.StencilAnalysis:
         if self._analysis is None:
-            stencil_ir = parse_definition(
-                self.definition,
-                externals=self.externals,
-                dtypes=self.dtypes,
-                name=self.name,
-                literal_precision=self.options.get("literal_precision"),
-            )
-            self._analysis = analysis_mod.analyze(stencil_ir)
+            from gt4py_tpu.cartesian import artifact_cache
+
+            sid = self.stencil_id()
+            if not self.rebuild:
+                self._analysis = artifact_cache.load(sid)
+            if self._analysis is None:
+                stencil_ir = parse_definition(
+                    self.definition,
+                    externals=self.externals,
+                    dtypes=self.dtypes,
+                    name=self.name,
+                    literal_precision=self.options.get("literal_precision"),
+                )
+                self._analysis = analysis_mod.analyze(stencil_ir)
+                artifact_cache.save(sid, self._analysis)
         return self._analysis
 
     def build(self) -> StencilObject:
