@@ -40,14 +40,26 @@ def _path(sid: str) -> str:
 
 
 def load(sid: str):
-    """The cached StencilAnalysis for ``sid``, or None."""
+    """The cached StencilAnalysis for ``sid``, or None.
+
+    Only the parsed stencil IR is persisted; the analysis re-runs on
+    load.  Analysis tables are keyed by statement object identity
+    (``id(stmt)``), which dangles after unpickling -- persisting the
+    whole StencilAnalysis silently served wrong per-statement extents
+    (caught by the FV oracle parity test)."""
     if not _ENABLED:
         return None
     try:
         with open(_path(sid), "rb") as f:
-            return pickle.load(f)
+            stencil_ir = pickle.load(f)
     except (OSError, pickle.UnpicklingError, AttributeError, EOFError,
             ImportError, IndexError):
+        return None
+    from gt4py_tpu.cartesian import analysis as analysis_mod
+
+    try:
+        return analysis_mod.analyze(stencil_ir)
+    except Exception:
         return None
 
 
@@ -60,7 +72,7 @@ def save(sid: str, analysis) -> None:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
         try:
             with os.fdopen(fd, "wb") as f:
-                pickle.dump(analysis, f, protocol=pickle.HIGHEST_PROTOCOL)
+                pickle.dump(analysis.stencil, f, protocol=pickle.HIGHEST_PROTOCOL)
             os.replace(tmp, path)  # atomic on POSIX
         finally:
             if os.path.exists(tmp):

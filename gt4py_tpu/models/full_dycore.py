@@ -62,7 +62,12 @@ class FullDycore:
             interior = (slice(None), slice(oi, oi + ni), slice(oj, oj + nj))
             u = state["cx"][interior] / dt  # reuse Courant winds
             v = state["cy"][interior] / dt
-            qsl_int = semi_lagrangian_step(state["qsl"][interior], u, v, dt)
+            # winds are Courant numbers <= 0.4 cells: the windowed (W=1)
+            # roll/select formulation applies -- ~250x faster than the
+            # general TPU gather (see semi_lagrangian_step)
+            qsl_int = semi_lagrangian_step(
+                state["qsl"][interior], u, v, dt, max_shift=1
+            )
             new = dict(state)
             new["q"] = q
             new["qsl"] = state["qsl"].at[interior].set(qsl_int)

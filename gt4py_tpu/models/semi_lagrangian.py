@@ -13,14 +13,26 @@ from typing import Tuple
 import numpy as np
 
 
-def semi_lagrangian_step(q, u, v, dt: float, dx: float = 1.0, dy: float = 1.0):
+def semi_lagrangian_step(
+    q, u, v, dt: float, dx: float = 1.0, dy: float = 1.0, *, max_shift=None
+):
     """One semi-Lagrangian advection step (first-order trajectories,
     bilinear interpolation, periodic domain).
 
     Arrays are physical K-leading ``(K, NI, NJ)`` (no halo needed --
     periodicity is handled by index wrapping).  Returns the advected q.
+
+    ``max_shift``: bound on the departure displacement in cells.  When
+    given, the interpolation evaluates as a windowed sum of periodic
+    rolls and pointwise selects -- pure VPU work.  When None, a general
+    3D gather is used: exact for any displacement, but XLA lowers it to
+    a serial gather on TPU (~1.2 s for 512^2x80 vs ~5 ms windowed --
+    measured; production configurations bound CFL anyway).
     """
     import jax.numpy as jnp
+
+    if max_shift is not None:
+        return _windowed_step(q, u, v, dt, dx, dy, int(max_shift))
 
     nk, ni, nj = q.shape
     # arrival-grid index coordinates
@@ -57,6 +69,48 @@ def semi_lagrangian_step(q, u, v, dt: float, dx: float = 1.0, dy: float = 1.0):
         + wi * (1 - wj) * q10
         + wi * wj * q11
     )
+
+
+def _windowed_step(q, u, v, dt: float, dx: float, dy: float, W: int):
+    """Bounded-displacement formulation: the bilinear corners land within
+    ``W`` cells of the arrival point, so the gather becomes a sum over
+    the (2W+2)^2 periodic rolls weighted by pointwise corner-match masks.
+    Bitwise-equal to the gather path for in-bound displacements (the
+    nonzero terms accumulate in the same order with identical products);
+    out-of-bound displacements clamp to the window edge."""
+    import jax.numpy as jnp
+
+    nk, ni, nj = q.shape
+    ii = jnp.arange(ni, dtype=q.dtype).reshape(1, ni, 1)
+    jj = jnp.arange(nj, dtype=q.dtype).reshape(1, 1, nj)
+    xd = ii - u * (dt / dx)
+    yd = jj - v * (dt / dy)
+    i0f = jnp.floor(xd)
+    j0f = jnp.floor(yd)
+    wi = (xd - i0f).astype(q.dtype)
+    wj = (yd - j0f).astype(q.dtype)
+    # wrapped displacement of the low corner, clamped into the window
+    half_i, half_j = ni // 2, nj // 2
+    di = (i0f.astype(jnp.int32) - ii.astype(jnp.int32) + half_i) % ni - half_i
+    dj = (j0f.astype(jnp.int32) - jj.astype(jnp.int32) + half_j) % nj - half_j
+    di = jnp.clip(di, -W, W)
+    dj = jnp.clip(dj, -W, W)
+
+    zero = jnp.zeros_like(q)
+    acc = zero
+    for d_i in range(-W, W + 2):
+        # weight of I-shift d_i: low corner when di == d_i, high when
+        # di == d_i - 1 (the corner above the low one)
+        wiw = jnp.where(di == d_i, 1.0 - wi, zero) + jnp.where(
+            di == d_i - 1, wi, zero
+        )
+        qi = jnp.roll(q, -d_i, axis=1)
+        for d_j in range(-W, W + 2):
+            wjw = jnp.where(dj == d_j, 1.0 - wj, zero) + jnp.where(
+                dj == d_j - 1, wj, zero
+            )
+            acc = acc + wiw * wjw * jnp.roll(qi, -d_j, axis=2)
+    return acc
 
 
 def semi_lagrangian_step_numpy(q, u, v, dt: float, dx: float = 1.0, dy: float = 1.0):

@@ -169,3 +169,20 @@ def test_poisson_solve_inverts_laplacian():
         np.fft.rfft2(p2, axes=(1, 2)) * (-k2), s=(ni, nj), axes=(1, 2)
     )
     np.testing.assert_allclose(lap_spec, rhs_smooth, rtol=1e-8, atol=1e-10)
+
+
+def test_semi_lagrangian_windowed_matches_gather():
+    """The bounded-displacement roll/select formulation is bitwise-equal
+    to the general-gather path for in-window displacements."""
+    rng = np.random.default_rng(3)
+    q = rng.random((NK, NI, NJ))
+    u = rng.random((NK, NI, NJ)) * 2 - 1
+    v = rng.random((NK, NI, NJ)) * 2 - 1
+    out_g = np.asarray(semi_lagrangian_step(q, u, v, dt=0.7))
+    out_w = np.asarray(semi_lagrangian_step(q, u, v, dt=0.7, max_shift=1))
+    np.testing.assert_array_equal(out_w, out_g)
+    # larger displacements need a wider window
+    u3 = np.full((NK, NI, NJ), 3.0)
+    out_g3 = np.asarray(semi_lagrangian_step(q, u3, v, dt=1.0))
+    out_w3 = np.asarray(semi_lagrangian_step(q, u3, v, dt=1.0, max_shift=3))
+    np.testing.assert_array_equal(out_w3, out_g3)
