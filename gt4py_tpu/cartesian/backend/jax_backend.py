@@ -925,14 +925,24 @@ class JaxTracer:
             sizes = (nk, ni, nj) + data_shape
             region = jax.lax.dynamic_slice(buf, starts, sizes)
 
+        from gt4py_tpu.cartesian.analysis import try_static_int
+
         didx = ()
+        dynamic_write = False
         if acc.data_index:
-            if for_write:
-                # writes need static component indices (read-modify-write)
+            if for_write and all(
+                try_static_int(d) is not None for d in acc.data_index
+            ):
                 didx = tuple(
                     self._data_index_value(env, d, ctx) for d in acc.data_index
                 )
                 region = region[(slice(None), slice(None), slice(None)) + didx]
+            elif for_write:
+                # per-point component write: the "current value" is the
+                # gathered component; write_back one-hot-selects over the
+                # data axes (modulo wrap, mirroring the read path)
+                dynamic_write = True
+                region = self._apply_data_index(env, region, acc, ctx)
             else:
                 region = self._apply_data_index(env, region, acc, ctx)
 
@@ -949,7 +959,16 @@ class JaxTracer:
                     full = buf[idx]
                 else:
                     full = jax.lax.dynamic_slice(buf, starts, sizes)
-                full = full.at[(slice(None), slice(None), slice(None)) + didx].set(value)
+                if dynamic_write:
+                    sel = self._data_onehot(env, acc, ctx, full.shape)
+                    v = jnp.reshape(
+                        value, value.shape + (1,) * (full.ndim - value.ndim)
+                    )
+                    full = jnp.where(sel, v, full)
+                else:
+                    full = full.at[
+                        (slice(None), slice(None), slice(None)) + didx
+                    ].set(value)
                 value = full
             if not dyn_k:
                 # dynamic_update_slice, not .at[].set: the latter lowers to
@@ -1033,6 +1052,28 @@ class JaxTracer:
         if v is None:
             raise NotImplementedError("Non-static data-dimension write indices")
         return v
+
+    def _data_onehot(self, env, acc: ir.FieldAccess, ctx: _TraceCtx, shape):
+        """Boolean (nk, ni, nj, *dd) mask selecting each point's component
+        (dynamic data-index writes; modulo wrap like the read path)."""
+        import jax.numpy as jnp
+
+        dd = shape[3:]
+        n = len(dd)
+        sel = jnp.ones((1, 1, 1) + (1,) * n, dtype=bool)
+        for ax, expr in enumerate(acc.data_index):
+            iota = jnp.arange(dd[ax], dtype=jnp.int32).reshape(
+                (1, 1, 1) + (1,) * ax + (dd[ax],) + (1,) * (n - ax - 1)
+            )
+            iv = jnp.asarray(self._eval(env, expr, ctx)).astype(jnp.int32)
+            if iv.ndim == 0:
+                iv = iv.reshape((1, 1, 1) + (1,) * n)
+            elif iv.ndim == 3:
+                iv = iv.reshape(iv.shape + (1,) * n)
+            else:
+                raise NotImplementedError("Data index must be scalar or per-point")
+            sel = sel & (iota == (iv % dd[ax]))
+        return sel
 
     def _apply_data_index(self, env, region, acc: ir.FieldAccess, ctx: _TraceCtx):
         """Consume the trailing data axes of ``region`` (shape

@@ -230,6 +230,9 @@ class NumpyExecutor:
     def _exec_assign(self, stmt: ir.Assign, ctx: _Ctx) -> None:
         value = self._eval(stmt.value, ctx)
         view = self.views[stmt.target.name]
+        if stmt.target.data_index and self._has_dynamic_index(stmt.target, ctx):
+            self._assign_dynamic_component(stmt, value, ctx)
+            return
         idx = self._target_index(stmt.target, ctx)
         target_dtype = view.dtype
 
@@ -247,6 +250,46 @@ class NumpyExecutor:
             view.data[idx] = np.where(mask, rhs, old)
         else:
             view.data[idx] = np.broadcast_to(rhs, view.data[idx].shape)
+
+    def _has_dynamic_index(self, target: ir.FieldAccess, ctx: _Ctx) -> bool:
+        return any(
+            np.asarray(self._eval(e, ctx)).ndim != 0 for e in target.data_index
+        )
+
+    def _assign_dynamic_component(self, stmt: ir.Assign, value, ctx: _Ctx) -> None:
+        """Write to a per-point (dynamic) data-dimension component:
+        read-modify-write with a one-hot select over the data axes
+        (dynamic indices use modulo wrap, mirroring the read path)."""
+        target = stmt.target
+        view = self.views[target.name]
+        off = target.offset
+        if not isinstance(off, ir.CartesianOffset):
+            raise NotImplementedError("Non-Cartesian write offsets")
+        si, sj, sk = self._spatial_slices(view, off, ctx)
+        region = view.data[si, sj, sk]  # (ni, nj, nk, *dd)
+        dd = region.shape[3:]
+        n = len(dd)
+        sel = np.ones((1, 1, 1) + (1,) * n, dtype=bool)
+        for ax, expr in enumerate(target.data_index):
+            iota = np.arange(dd[ax]).reshape(
+                (1, 1, 1) + (1,) * ax + (dd[ax],) + (1,) * (n - ax - 1)
+            )
+            iv = np.asarray(self._eval(expr, ctx)).astype(np.int64)
+            iv = iv.reshape(iv.shape + (1,) * (n - iv.ndim + 3)) if iv.ndim > 3 else (
+                iv.reshape(iv.shape + (1,) * n) if iv.ndim == 3
+                else iv.reshape((1, 1, 1) + (1,) * n)
+            )
+            sel = sel & (iota == (iv % dd[ax]))
+        if ctx.masks:
+            mask = ctx.masks[0]
+            for m in ctx.masks[1:]:
+                mask = np.logical_and(mask, m)
+            mask = np.asarray(mask)
+            mask = mask.reshape(mask.shape + (1,) * (region.ndim - mask.ndim))
+            sel = sel & mask
+        rhs = np.asarray(value).astype(view.dtype)
+        rhs = rhs.reshape(rhs.shape + (1,) * (region.ndim - rhs.ndim))
+        view.data[si, sj, sk] = np.where(sel, rhs, region)
 
     def _exec_if(self, stmt: ir.If, ctx: _Ctx) -> None:
         cond = self._eval(stmt.cond, ctx)

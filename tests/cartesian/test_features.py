@@ -194,6 +194,36 @@ def test_dynamic_data_index(backend):
     np.testing.assert_allclose(out2, expect, rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("backend", ["numpy", "jax", "pallas"])
+def test_dynamic_data_index_write(backend):
+    """Per-point data-dimension WRITES: one-hot read-modify-write over
+    the data axes (dynamic indices wrap modulo the dimension size,
+    mirroring the read path); composes with if-masks."""
+    IF = gtscript.Field[np.int64]
+
+    @gtscript.stencil(backend=backend)
+    def st(vec: gtscript.Field[(np.float64, (3,))], idx: IF, a: Field3D):
+        with computation(PARALLEL), interval(...):
+            vec[0, 0, 0][idx % 3] = a * 2.0
+            if a > 0.5:
+                vec[0, 0, 0][(idx + 1) % 3] = -1.0
+
+    rng = np.random.default_rng(0)
+    shape = (5, 6, 4)
+    vec0 = rng.random(shape + (3,))
+    idx0 = rng.integers(-5, 6, shape).astype(np.int64)
+    a0 = rng.random(shape)
+    vec = vec0.copy()
+    st(vec, idx0.copy(), a0.copy(), origin=(0, 0, 0), domain=shape)
+
+    expect = vec0.copy()
+    ii, jj, kk = np.indices(shape)
+    expect[ii, jj, kk, idx0 % 3] = a0 * 2.0
+    m = a0 > 0.5
+    expect[ii[m], jj[m], kk[m], (idx0[m] + 1) % 3] = -1.0
+    np.testing.assert_array_equal(vec, expect)
+
+
 @pytest.mark.parametrize("backend", BACKENDS)
 def test_vector_assignment(backend):
     """Whole-vector assignment between data-dims fields (reference:
