@@ -63,6 +63,21 @@ _LANE = 128
 _LIVE_VALUES = 8  # conservative count of concurrently-live whole-tile values
 
 
+def _live_values(stencil: ir.Stencil) -> int:
+    """Estimated concurrently-live whole-tile values on the Mosaic value
+    stack.  Baseline 8; expression-heavy statements (e.g. the inlined
+    16-term windowed semi-Lagrangian sum) measurably exceed it -- the
+    512^2x80 SL kernel ran ~2 MB past the 8-value estimate ("Ran out of
+    memory in memory space vmem ... on stack"), so grow with the largest
+    single statement's node count."""
+    biggest = 0
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            for stmt in section.body:
+                biggest = max(biggest, len(ir.walk_values(stmt)))
+    return _LIVE_VALUES + min(8, biggest // 100)
+
+
 def _divisors(n: int):
     return [d for d in range(1, n + 1) if n % d == 0]
 
@@ -296,7 +311,7 @@ class PallasBackend(JaxBackend):
                     (tk - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
             # whole-tile intermediate values live on the Mosaic value stack
-            total += _LIVE_VALUES * max_val
+            total += _live_values(self.analysis.stencil) * max_val
             return total
 
         def traffic_bytes(tk, ti):
@@ -390,7 +405,7 @@ class PallasBackend(JaxBackend):
                 total += (
                     (dK - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
-            total += _LIVE_VALUES * max_val
+            total += _live_values(self.analysis.stencil) * max_val
             return total
 
         if aligned:
