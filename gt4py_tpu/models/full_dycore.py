@@ -76,16 +76,18 @@ class FullDycore:
             state = dyn_step(state)
             q = fv_step(state["q"], state["cx"], state["cy"])
             # semi-Lagrangian transport of qsl: one fused windowed-
-            # interpolation kernel, periodic wrap in the tile DMA
-            # (winds are the Courant fields; displacement = cx)
-            dts = jnp.asarray(dt, dtype=self.dtype)
+            # interpolation kernel, periodic wrap in the tile DMA.  The
+            # winds are u = cx/dt, so the displacement u*dt/dx is just
+            # cx -- pass the Courant fields directly with dtdx = 1
+            # (two full-array divisions saved; dt cancels exactly)
+            one = jnp.asarray(1.0, dtype=self.dtype)
             qsl = sl_fn(
                 q=state["qsl"],
-                u=state["cx"] / dts,
-                v=state["cy"] / dts,
+                u=state["cx"],
+                v=state["cy"],
                 qout=jnp.zeros_like(state["qsl"]),
-                dtdx=dts,
-                dtdy=dts,
+                dtdx=one,
+                dtdy=one,
             )["qout"]
             new = dict(state)
             new["q"] = q
