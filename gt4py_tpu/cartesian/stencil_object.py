@@ -170,6 +170,8 @@ class StencilObject:
                     raise ArgumentError(f"Field '{name}' is required but got None")
                 continue
             arr, attr_origin, holder = _array_of(value)
+            if holder is None:
+                arr, attr_origin = self._reorder_duck_dims(name, value, arr, attr_origin)
             arrays[name] = arr
             holders[name] = holder
             origins[name] = self._field_origin(name, origin, attr_origin)
@@ -201,6 +203,34 @@ class StencilObject:
                         )
 
     # ------------------------------------------------------------------ #
+
+    def _reorder_duck_dims(self, name, value, arr, attr_origin):
+        """Duck arrays carrying ``__gt_dims__`` in a different axis order
+        get transposed (a view) to the stencil's declared order, and
+        their ``__gt_origin__`` is permuted along (reference: the
+        `__gt_dims__` storage protocol, backend/dace_stencil_object.py:33)."""
+        gt_dims = getattr(value, "__gt_dims__", None)
+        if gt_dims is None:
+            return arr, attr_origin
+        decl = self.ir.field_decls.get(name)
+        if decl is None:
+            return arr, attr_origin
+        expected = [ax for ax, m in zip("IJK", decl.dimensions) if m]
+        got = [str(d).upper() for d in gt_dims[: len(expected)]]
+        if got == expected:
+            return arr, attr_origin
+        if sorted(got) != sorted(expected):
+            raise ArgumentError(
+                f"Field '{name}': __gt_dims__ {tuple(gt_dims)} does not "
+                f"match the declared axes {tuple(expected)}"
+            )
+        perm = [got.index(ax) for ax in expected]
+        perm += list(range(len(expected), np.ndim(arr)))  # data axes stay
+        arr = np.transpose(arr, perm) if isinstance(arr, np.ndarray) else arr.transpose(perm)
+        if attr_origin is not None:
+            spatial = [attr_origin[p] for p in perm[: len(expected)]]
+            attr_origin = tuple(spatial) + tuple(attr_origin[len(expected):])
+        return arr, attr_origin
 
     def _normalize_origin_arg(self, origin) -> Dict[str, Tuple[int, ...]]:
         """Reference: stencil_object._normalize_origins (:499-532)."""

@@ -381,12 +381,35 @@ def power(a, b):
 
 #: names callable inside the typed frontend (frontend.py) -- everything
 #: here evaluates field-wise with domain intersection
+cbrt = _unary("cbrt")
+
+
+def gamma(x):
+    """Gamma function (reference fbuiltins math set): via gammaln for
+    x > 0, reflection formula for x <= 0; numpy oracle uses scipy."""
+    if isinstance(x, Field):
+        return Field(x.domain, _gamma_impl(x.data, x.xp))
+    return _gamma_impl(jnp.asarray(x), jnp)
+
+
+def _gamma_impl(v, xp):
+    if xp is np:
+        import scipy.special as sps
+
+        return sps.gamma(v)
+    import jax.scipy.special as jsp
+
+    pos = jnp.exp(jsp.gammaln(v))
+    neg = jnp.pi / (jnp.sin(jnp.pi * v) * jnp.exp(jsp.gammaln(1.0 - v)))
+    return jnp.where(v > 0, pos, neg)
+
+
 MATH_BUILTINS = {
     name: globals()[name]
     for name in (
         "sqrt exp log sin cos tan arcsin arccos arctan sinh cosh tanh "
         "arcsinh arccosh arctanh log10 log2 floor ceil trunc abs "
-        "isfinite isinf isnan maximum minimum fmod power"
+        "isfinite isinf isnan maximum minimum fmod power gamma cbrt"
     ).split()
 }
 

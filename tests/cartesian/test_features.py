@@ -397,3 +397,42 @@ def test_axis_index_external_bound():
     st(a, out, origin=(0, 0, 0))
     np.testing.assert_array_equal(out[0, 0, 3:], 2.0)
     np.testing.assert_array_equal(out[0, 0, :3], 0.0)
+
+
+def test_gt_dims_axis_reordering():
+    """Duck arrays carrying __gt_dims__ in a non-canonical order are
+    transposed (as views) to the declared (I, J, K) order at call time,
+    with __gt_origin__ permuted along (reference: the __gt_dims__
+    storage protocol)."""
+
+    class Duck(np.ndarray):
+        pass
+
+    @gtscript.stencil(backend="numpy")
+    def st(a: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = a[1, 0, 0] + a[-1, 0, 0]
+
+    rng = np.random.default_rng(0)
+    base = rng.random((6, 5, 4))  # logical (I, J, K)
+    kji = np.ascontiguousarray(np.transpose(base, (2, 1, 0))).view(Duck)
+    kji.__gt_dims__ = ("K", "J", "I")
+    kji.__gt_origin__ = (0, 0, 1)  # per ITS axis order: K, J, I
+    out = np.zeros((6, 5, 4))
+    st(kji, out, origin=(1, 0, 0), domain=(4, 5, 4))
+    expect = base[2:, :, :] + base[:-2, :, :]
+    np.testing.assert_array_equal(out[1:5], expect)
+
+    # writes go through the transposed view into the original layout
+    out_kji = np.ascontiguousarray(np.zeros((4, 5, 6))).view(Duck)
+    out_kji.__gt_dims__ = ("K", "J", "I")
+    st(kji, out_kji, origin=(1, 0, 0), domain=(4, 5, 4))
+    np.testing.assert_array_equal(np.transpose(out_kji, (2, 1, 0))[1:5], expect)
+
+    # mismatched axis sets are rejected
+    bad = base.view(Duck)
+    bad.__gt_dims__ = ("I", "J", "X")
+    from gt4py_tpu.cartesian.stencil_object import ArgumentError
+
+    with pytest.raises(ArgumentError, match="__gt_dims__"):
+        st(bad, out, origin=(1, 0, 0), domain=(4, 5, 4))

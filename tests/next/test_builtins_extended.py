@@ -183,3 +183,28 @@ def test_field_restrict_getitem():
     np.testing.assert_array_equal(sub.asnumpy(), f.asnumpy()[:, 1:3])
     with pytest.raises(TypeError):
         f[0]
+
+
+def test_gamma_and_cbrt_builtins():
+    """gamma/cbrt complete the reference fbuiltins math set
+    (src/gt4py/next/ffront/fbuiltins.py:326-348)."""
+    import scipy.special as sps
+
+    from gt4py_tpu.next import Dimension, Field, as_field, field_operator
+    from gt4py_tpu.next.builtins import cbrt, gamma
+
+    I = Dimension("I")
+    vals = np.array([0.5, 1.0, 2.5, -0.5])
+    for alloc in ("numpy", "jax"):
+        f = as_field((I,), vals.copy(), allocator=alloc)
+        np.testing.assert_allclose(gamma(f).asnumpy(), sps.gamma(vals), rtol=1e-10)
+        np.testing.assert_allclose(cbrt(f).asnumpy(), np.cbrt(vals), rtol=1e-12)
+
+    @field_operator
+    def op(a: Field) -> Field:
+        return gamma(a) + cbrt(a)
+
+    f = as_field((I,), vals.copy())
+    np.testing.assert_allclose(
+        op(f).asnumpy(), sps.gamma(vals) + np.cbrt(vals), rtol=1e-10
+    )
