@@ -278,8 +278,11 @@ def split_data_dims(stencil: ir.Stencil) -> Optional[ir.Stencil]:
     every statically-indexed access to the matching component field
     (the unroll analog of the reference's UnrollVectorAssignments,
     frontend/defir_to_gtir.py:123 -- applied at the backend boundary,
-    not the frontend).  Returns None when the stencil has no data dims
-    or some data index is not statically evaluable.
+    not the frontend).  Per-point (dynamic) indices expand to component
+    selects: reads become nested ternaries over the components, writes
+    one masked assign per reachable component (modulo wrap, the
+    executors' dynamic-index semantics).  Returns None only when the
+    stencil has no data dims.
     """
     import itertools
 
@@ -294,25 +297,146 @@ def split_data_dims(stencil: ir.Stencil) -> Optional[ir.Stencil]:
     if not split:
         return None
 
-    # every access to a split field must have fully-static data indices
     for node in ir.walk_values(stencil.vertical_loops):
         if not (isinstance(node, ir.FieldAccess) and node.name in split):
             continue
         if len(node.data_index) != len(split[node.name].data_dims):
             return None
-        if any(try_static_int(e) is None for e in node.data_index):
-            return None
 
     out = copy.deepcopy(stencil)
-    for node in ir.walk_values(out.vertical_loops):
+
+    def _combo_parts(acc: ir.FieldAccess):
+        """(combos, conds): every component tuple the access can hit and
+        the per-combo selection condition (None when fully static).
+        Dynamic axes select by ``expr % d == v`` (modulo wrap, matching
+        the executors' dynamic-write semantics)."""
+        dims = split[acc.name].data_dims
+        axis_opts = []
+        for e, d in zip(acc.data_index, dims):
+            v = try_static_int(e)
+            if v is not None:
+                axis_opts.append([(v % d, None)])
+            else:
+                axis_opts.append(
+                    [
+                        (
+                            comp,
+                            ir.BinaryOp(
+                                op=ir.BinaryOperator.EQ,
+                                left=ir.BinaryOp(
+                                    op=ir.BinaryOperator.MOD,
+                                    left=copy.deepcopy(e),
+                                    right=ir.Literal(value=d),
+                                ),
+                                right=ir.Literal(value=comp),
+                            ),
+                        )
+                        for comp in range(d)
+                    ]
+                )
+        combos = []
+        for parts in itertools.product(*axis_opts):
+            idx = tuple(p[0] for p in parts)
+            conds = [p[1] for p in parts if p[1] is not None]
+            cond = None
+            for c in conds:
+                cond = c if cond is None else ir.BinaryOp(
+                    op=ir.BinaryOperator.AND, left=cond, right=c
+                )
+            combos.append((idx, cond))
+        return combos
+
+    def rewrite_expr(node: ir.Expr) -> ir.Expr:
+        # rewrite children first (incl. dynamic-K offset expressions and
+        # the data-index expressions themselves)
+        for f in getattr(node, "__dataclass_fields__", {}):
+            v = getattr(node, f)
+            if isinstance(v, ir.Expr):
+                setattr(node, f, rewrite_expr(v))
+            elif isinstance(v, (list, tuple)):
+                setattr(
+                    node, f,
+                    type(v)(
+                        rewrite_expr(x) if isinstance(x, ir.Expr) else x for x in v
+                    ),
+                )
+            elif isinstance(v, (ir.VariableKOffset, ir.AbsoluteKIndex)):
+                v.k = rewrite_expr(v.k)
         if isinstance(node, ir.FieldAccess) and node.name in split:
-            dims = split[node.name].data_dims
-            # % d: numpy negative-index semantics
-            idx = tuple(
-                try_static_int(e) % d for e, d in zip(node.data_index, dims)
+            combos = _combo_parts(node)
+            if len(combos) == 1 and combos[0][1] is None:
+                node.name = component_name(node.name, combos[0][0])
+                node.data_index = ()
+                return node
+            # dynamic read: nested component select (last combo = else leaf)
+            expr: ir.Expr = ir.FieldAccess(
+                name=component_name(node.name, combos[-1][0]), offset=node.offset
             )
-            node.name = component_name(node.name, idx)
-            node.data_index = ()
+            for idx, cond in reversed(combos[:-1]):
+                expr = ir.TernaryOp(
+                    cond=cond,
+                    true_expr=ir.FieldAccess(
+                        name=component_name(node.name, idx),
+                        offset=copy.deepcopy(node.offset),
+                    ),
+                    false_expr=expr,
+                )
+            return expr
+        return node
+
+    def rewrite_stmts(stmts: List[ir.Stmt]) -> List[ir.Stmt]:
+        new: List[ir.Stmt] = []
+        for stmt in stmts:
+            if isinstance(stmt, ir.Assign):
+                stmt.value = rewrite_expr(stmt.value)
+                t = stmt.target
+                if t.name in split:
+                    t.data_index = tuple(rewrite_expr(e) for e in t.data_index)
+                    combos = _combo_parts(t)
+                    if len(combos) == 1 and combos[0][1] is None:
+                        t.name = component_name(t.name, combos[0][0])
+                        t.data_index = ()
+                        new.append(stmt)
+                        continue
+                    # dynamic component write: one masked assign per
+                    # component the index can hit (one-hot semantics)
+                    for idx, cond in combos:
+                        new.append(
+                            ir.If(
+                                cond=copy.deepcopy(cond),
+                                body=[
+                                    ir.Assign(
+                                        target=ir.FieldAccess(
+                                            name=component_name(t.name, idx),
+                                            offset=copy.deepcopy(t.offset),
+                                        ),
+                                        value=copy.deepcopy(stmt.value),
+                                    )
+                                ],
+                                orelse=[],
+                            )
+                        )
+                    continue
+                new.append(stmt)
+            elif isinstance(stmt, ir.If):
+                stmt.cond = rewrite_expr(stmt.cond)
+                stmt.body = rewrite_stmts(stmt.body)
+                stmt.orelse = rewrite_stmts(stmt.orelse)
+                new.append(stmt)
+            elif isinstance(stmt, ir.While):
+                stmt.cond = rewrite_expr(stmt.cond)
+                stmt.body = rewrite_stmts(stmt.body)
+                new.append(stmt)
+            elif isinstance(stmt, ir.HorizontalRestriction):
+                stmt.body = rewrite_stmts(stmt.body)
+                new.append(stmt)
+            else:
+                new.append(stmt)
+        return new
+
+    for loop in out.vertical_loops:
+        for section in loop.sections:
+            section.body = rewrite_stmts(section.body)
 
     def expand(decls: Dict[str, ir.FieldDecl]) -> Dict[str, ir.FieldDecl]:
         new: Dict[str, ir.FieldDecl] = {}

@@ -138,3 +138,29 @@ def test_variable_k_in_backward_scan_runs_in_kernel():
     _assert_no_fallback(vscan, a.copy(), kidx.copy(), acc_p, domain=dom)
     vscan_np(a.copy(), kidx.copy(), acc_n, domain=dom)
     np.testing.assert_array_equal(acc_p, acc_n)
+
+
+def test_dynamic_data_index_runs_in_kernel():
+    """Per-point data indices expand to component selects / masked
+    per-component writes inside the kernel (no XLA fallback)."""
+    def defn(vec: gtscript.Field[(np.float32, (3,))], idx: I32, a: F32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = vec[0, 0, 0][idx % 3] + a[1, 0, 0]
+            vec[0, 0, 0][(idx + 1) % 3] = a * 2.0
+
+    st_p = gtscript.stencil(backend="pallas", definition=defn, rebuild=True)
+    st_n = gtscript.stencil(backend="numpy", definition=defn, rebuild=True)
+
+    rng = np.random.default_rng(0)
+    shape = (6, 5, 4)
+    vec0 = rng.random(shape + (3,)).astype(np.float32)
+    idx0 = rng.integers(-5, 6, shape).astype(np.int32)
+    a0 = rng.random(shape).astype(np.float32)
+    vp, vn = vec0.copy(), vec0.copy()
+    op, on = np.zeros(shape, np.float32), np.zeros(shape, np.float32)
+    _assert_no_fallback(
+        st_p, vp, idx0.copy(), a0.copy(), op, origin=(1, 0, 0), domain=(4, 5, 4)
+    )
+    st_n(vn, idx0.copy(), a0.copy(), on, origin=(1, 0, 0), domain=(4, 5, 4))
+    np.testing.assert_array_equal(op, on)
+    np.testing.assert_array_equal(vp, vn)

@@ -33,9 +33,9 @@ NATIVE_SUPPORT: Dict[str, Set[Feature]] = {
         Feature.USES_SCAN,
         Feature.USES_VARIABLE_K_OFFSET,
         Feature.USES_ABSOLUTE_K,
-        # data-dims fields run as per-component kernels when every data
-        # index is static (passes.split_data_dims); per-point dynamic
-        # data indices fall back to the XLA executor
+        # data-dims fields run as per-component kernels (passes.
+        # split_data_dims); per-point dynamic indices expand to
+        # component selects / masked per-component writes in-kernel
         Feature.USES_DATA_DIMS,
         Feature.USES_REGIONS,
         Feature.USES_WHILE,
