@@ -126,3 +126,82 @@ def test_native_coverage_on_chip():
     )
     varK_j(a.copy(), kidx.copy(), out_j, origin=origin, domain=dom)
     np.testing.assert_array_equal(out_p, out_j)
+
+
+def test_sl_stencil_on_chip_matches_windowed():
+    """The fused windowed semi-Lagrangian kernel matches the jnp
+    roll/select formulation on the chip (few f32 ulps)."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models.dycore import aligned_field_shape, ORIGIN_I, ORIGIN_J
+    from gt4py_tpu.models.semi_lagrangian import (
+        make_sl_stencil,
+        semi_lagrangian_step,
+    )
+
+    NI, NJ, NK = 64, 256, 8
+    shape = aligned_field_shape(NK, NI, NJ)  # physical (K, I, J)
+    rng = np.random.default_rng(0)
+    q = rng.random(shape, dtype=np.float32)
+    u = (2.0 * (rng.random(shape) - 0.5)).astype(np.float32)
+    v = (2.0 * (rng.random(shape) - 0.5)).astype(np.float32)
+    dt = np.float32(0.4)
+
+    st = make_sl_stencil(np.float32, "pallas", max_shift=1)
+    fn = st.functional(
+        origin=(ORIGIN_I, ORIGIN_J, 0),
+        domain=(NI, NJ, NK),
+        physical_layout=True,
+        periodic=("I", "J"),
+    )
+    out = np.asarray(
+        fn(q=jnp.asarray(q), u=jnp.asarray(u), v=jnp.asarray(v),
+           qout=jnp.zeros_like(jnp.asarray(q)), dtdx=dt, dtdy=dt)["qout"]
+    )
+    oi, oj = ORIGIN_I, ORIGIN_J
+    got = out[:, oi:oi+NI, oj:oj+NJ]
+
+    # reference: the jnp windowed path on the periodic interior
+    qi = q[:, oi:oi+NI, oj:oj+NJ]
+    ui = u[:, oi:oi+NI, oj:oj+NJ]
+    vi = v[:, oi:oi+NI, oj:oj+NJ]
+    want = np.asarray(
+        semi_lagrangian_step(jnp.asarray(qi), jnp.asarray(ui), jnp.asarray(vi),
+                             float(dt), max_shift=1)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-6)
+
+
+def test_dynamic_data_index_on_chip():
+    """Dynamic data-dimension reads/writes execute in-kernel on Mosaic
+    (component split + ternary selects / masked per-component writes)."""
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    F32 = gtscript.Field[np.float32]
+    I32 = gtscript.Field[np.int32]
+
+    def defn(vec: gtscript.Field[(np.float32, (3,))], idx: I32, a: F32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = vec[0, 0, 0][idx % 3] + a[1, 0, 0]
+            vec[0, 0, 0][(idx + 1) % 3] = a * 2.0
+
+    st_p = gtscript.stencil(backend="pallas", definition=defn, rebuild=True)
+    st_n = gtscript.stencil(backend="numpy", definition=defn, rebuild=True)
+
+    shape = (16 + 16, 128 + 256, 8)
+    origin = (8, 128, 0)
+    dom = (16, 256, 8)
+    rng = np.random.default_rng(0)
+    vec0 = rng.random(shape + (3,)).astype(np.float32)
+    idx0 = rng.integers(-5, 6, shape).astype(np.int32)
+    a0 = rng.random(shape).astype(np.float32)
+    vp, vn = vec0.copy(), vec0.copy()
+    op = np.zeros(shape, np.float32)
+    on = np.zeros(shape, np.float32)
+    _no_new_fallbacks(
+        lambda: st_p(vp, idx0.copy(), a0.copy(), op, origin=origin, domain=dom)
+    )
+    st_n(vn, idx0.copy(), a0.copy(), on, origin=origin, domain=dom)
+    np.testing.assert_array_equal(op, on)
+    np.testing.assert_array_equal(vp, vn)
