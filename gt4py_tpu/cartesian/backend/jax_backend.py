@@ -896,6 +896,15 @@ class JaxTracer:
         meta = self.meta[name]
         buf = env.get(name)
         if buf is None:  # unwritten temporary (only reachable in dead code)
+            if not for_write and isinstance(acc.offset, ir.CartesianOffset):
+                # produce the zeros REGION directly: a synthetic zeros
+                # VALUE must never be indexed with ref-style dynamic
+                # slices in kernel (ref-mode) tracing (fuzz seed 225)
+                (_, _, _), (ni, nj, nk) = self._region_spec(meta, acc.offset, ctx)
+                region = jnp.zeros((nk, ni, nj) + meta.shape[3:], dtype=meta.dtype)
+                if acc.data_index:
+                    region = self._apply_data_index(env, region, acc, ctx)
+                return region, None
             buf = jnp.zeros(_phys_shape(meta.shape), dtype=meta.dtype)
         off = acc.offset
         if not isinstance(off, ir.CartesianOffset):

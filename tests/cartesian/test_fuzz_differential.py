@@ -29,3 +29,11 @@ def test_random_program_pallas_f32_aligned(seed):
         rtol=3e-5,
         atol=3e-6,
     )
+
+
+@pytest.mark.parametrize("seed", [225, 513])
+def test_fuzz_regression_dead_temp_dynamic_k(seed):
+    """Sweep-found crash: a dead-code read of an unwritten temporary at a
+    dynamic K position indexed a synthetic zeros VALUE with ref-style
+    pl.ds slices inside the kernel trace (IndexError at trace time)."""
+    run_differential_case(seed, backends=("pallas",))
