@@ -992,7 +992,18 @@ class JaxTracer:
         import jax.numpy as jnp
 
         meta = self.meta[acc.name]
-        buf = env[acc.name]
+        buf = env.get(acc.name)
+        if buf is None:
+            # unwritten temporary (dead code): zeros region directly --
+            # the zeros VALUE must not be sliced with ref-style dynamic
+            # starts in kernel tracing (same class as fuzz seed 225)
+            (_, _, _), (ni, nj, _) = self._region_spec(
+                meta, ir.CartesianOffset(), ctx
+            )
+            region = jnp.zeros((ctx.nk, ni, nj) + meta.shape[3:], dtype=meta.dtype)
+            if acc.data_index:
+                region = self._apply_data_index(env, region, acc, ctx)
+            return region
         off = acc.offset
         SK = meta.shape[2]
         ok = meta.origin[2]
@@ -1103,12 +1114,14 @@ class JaxTracer:
             idx = jnp.asarray(self._eval(env, expr, ctx)).astype(jnp.int32)
             if idx.ndim == 0:
                 region = jax.lax.dynamic_index_in_dim(
-                    region, idx, axis=3, keepdims=False
+                    region, idx % region.shape[3], axis=3, keepdims=False
                 )
                 continue
             if idx.ndim != 3:
                 raise NotImplementedError("Data index must be scalar or per-point")
             rem = region.ndim - 4
+            # modulo wrap: uniform dynamic-index semantics on all backends
+            idx = idx % region.shape[3]
             idx_exp = jnp.reshape(idx, idx.shape + (1,) * (rem + 1))
             import numpy as _np
 

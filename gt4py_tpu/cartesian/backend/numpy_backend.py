@@ -395,17 +395,28 @@ class NumpyExecutor:
         *data_dims)) one index expression at a time; per-point (dynamic)
         int indices gather along the data axis (reference counterpart:
         gtc/common.py:390-398 -- data_index is any int expression)."""
+        from gt4py_tpu.cartesian.analysis import try_static_int
+
         for expr in acc.data_index:
+            if try_static_int(expr) is not None:
+                # static literal: python negative-index semantics
+                # (validated in range at build time)
+                out = out[:, :, :, try_static_int(expr)]
+                continue
             idx = np.asarray(self._eval(expr, ctx))
             if idx.ndim == 0:
-                out = out[:, :, :, int(idx)]
+                out = out[:, :, :, int(idx) % out.shape[3]]
                 continue
             # idx varies per grid point: broadcast over (ni, nj, nk) and
             # gather along the first remaining data axis
             if idx.ndim != 3:
                 raise NotImplementedError("Data index must be scalar or per-point")
             rem = out.ndim - 4
-            idx_exp = idx.astype(np.int64).reshape(idx.shape + (1,) * (rem + 1))
+            # dynamic indices wrap modulo the dimension size on EVERY
+            # backend (writes already did; unwrapped reads diverged:
+            # numpy raised, jax NaN-filled, pallas wrapped)
+            idx = idx.astype(np.int64) % out.shape[3]
+            idx_exp = idx.reshape(idx.shape + (1,) * (rem + 1))
             shape = np.broadcast_shapes(idx_exp.shape, out.shape[:3] + (1,) + out.shape[4:])
             g = np.take_along_axis(np.broadcast_to(out, shape[:3] + out.shape[3:]),
                                    np.broadcast_to(idx_exp, shape), axis=3)

@@ -120,6 +120,8 @@ class PallasBackend(JaxBackend):
 
             tail = "".join(traceback.format_exc().splitlines(True)[-6:])
             FALLBACK_EVENTS.append((self.analysis.stencil.name, tail))
+            if len(FALLBACK_EVENTS) > 1024:  # bounded: long-running sweeps
+                del FALLBACK_EVENTS[:512]
             if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
                 print(
                     f"[pallas] {self.analysis.stencil.name}: XLA fallback at\n" + tail,

@@ -76,28 +76,55 @@ class StencilBuilder:
 
     def _helper_sources(self):
         """Sources of every ``@gtscript.function`` reachable from the
-        definition's globals/closure/externals: inlined helper bodies are
+        definition (globals, closures, externals, module attributes, and
+        helpers' own callees -- transitively): inlined helper bodies are
         part of the stencil's semantics, so they must be part of the
         fingerprint (otherwise editing a helper serves stale cached IR
         across processes)."""
         import inspect
+        import types
 
         from gt4py_tpu.cartesian.gtscript import GTScriptFunction
 
-        values = list(getattr(self.definition, "__globals__", {}).items())
-        for cell in getattr(self.definition, "__closure__", None) or ():
-            try:
-                values.append(("<closure>", cell.cell_contents))
-            except ValueError:
-                pass
-        values.extend(self.externals.items())
-        out = {}
-        for name, v in values:
+        out: Dict[str, str] = {}
+        seen_fns: set = set()
+        seen_mods: set = set()
+
+        def scan_value(name, v, depth):
             if isinstance(v, GTScriptFunction):
+                if id(v) in seen_fns:
+                    return
+                seen_fns.add(id(v))
                 try:
-                    out[name] = inspect.getsource(v.definition)
+                    src = inspect.getsource(v.definition)
                 except (OSError, TypeError):
-                    out[name] = repr(v.definition)
+                    src = repr(v.definition)
+                out[f"{getattr(v.definition, '__module__', '?')}.{name}"] = src
+                scan_fn(v.definition, depth + 1)
+            elif isinstance(v, types.ModuleType) and depth <= 1:
+                # one level into directly-referenced modules: the parser
+                # resolves `helpers.fn(...)` attribute calls
+                if id(v) in seen_mods or v.__name__.startswith(("numpy", "jax")):
+                    return
+                seen_mods.add(id(v))
+                for n2, v2 in vars(v).items():
+                    if isinstance(v2, GTScriptFunction):
+                        scan_value(n2, v2, depth + 1)
+
+        def scan_fn(fn, depth):
+            if depth > 4:
+                return
+            for n, v in getattr(fn, "__globals__", {}).items():
+                scan_value(n, v, depth)
+            for cell in getattr(fn, "__closure__", None) or ():
+                try:
+                    scan_value("<closure>", cell.cell_contents, depth)
+                except ValueError:
+                    pass
+
+        scan_fn(self.definition, 0)
+        for n, v in self.externals.items():
+            scan_value(n, v, 0)
         return sorted(out.items())
 
     @property

@@ -24,6 +24,35 @@ def validate(stencil: ir.Stencil) -> None:
     _validate_parallel_k_races(stencil)
     _validate_api_write_extents(stencil)
     _validate_definitive_assignment(stencil)
+    _validate_data_indices(stencil)
+
+
+def _validate_data_indices(stencil: ir.Stencil) -> None:
+    """Data-dimension indices: arity must match the declared data_dims,
+    and static indices must lie in [-d, d) (python semantics; dynamic
+    per-point indices wrap modulo d on every backend)."""
+    from gt4py_tpu.cartesian.analysis import try_static_int
+
+    for node in ir.walk_values(stencil.vertical_loops):
+        if not isinstance(node, ir.FieldAccess):
+            continue
+        decl = stencil.decl(node.name)
+        if decl is None:
+            continue
+        # no data_index on a data-dims field = whole-vector access
+        # (vector assignment); otherwise the arity must match
+        if node.data_index and len(node.data_index) != len(decl.data_dims):
+            raise GTScriptValidationError(
+                f"Field '{node.name}' has {len(decl.data_dims)} data "
+                f"dimension(s) but is indexed with {len(node.data_index)}"
+            )
+        for e, d in zip(node.data_index, decl.data_dims):
+            v = try_static_int(e)
+            if v is not None and not (-d <= v < d):
+                raise GTScriptValidationError(
+                    f"Data index {v} out of range for dimension of size "
+                    f"{d} on field '{node.name}'"
+                )
 
 
 def _validate_lhs_offsets(stencil: ir.Stencil) -> None:

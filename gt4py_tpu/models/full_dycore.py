@@ -75,23 +75,44 @@ class FullDycore:
 
             state = dyn_step(state)
             q = fv_step(state["q"], state["cx"], state["cy"])
-            # semi-Lagrangian transport of qsl: one fused windowed-
-            # interpolation kernel, periodic wrap in the tile DMA.  The
-            # winds are u = cx/dt, so the displacement u*dt/dx is just
-            # cx -- pass the Courant fields directly with dtdx = 1
-            # (two full-array divisions saved; dt cancels exactly)
-            one = jnp.asarray(1.0, dtype=self.dtype)
-            qsl = sl_fn(
-                q=state["qsl"],
-                u=state["cx"],
-                v=state["cy"],
-                qout=jnp.zeros_like(state["qsl"]),
-                dtdx=one,
-                dtdy=one,
-            )["qout"]
+            if sl_fn is not None:
+                # semi-Lagrangian transport of qsl: one fused windowed-
+                # interpolation kernel, periodic wrap in the tile DMA.
+                # The winds are u = cx/dt, so the displacement u*dt/dx
+                # is just cx -- pass the Courant fields directly with
+                # dtdx = 1 (two full-array divisions saved; dt cancels)
+                one = jnp.asarray(1.0, dtype=self.dtype)
+                qsl = sl_fn(
+                    q=state["qsl"],
+                    u=state["cx"],
+                    v=state["cy"],
+                    qout=jnp.zeros_like(state["qsl"]),
+                    dtdx=one,
+                    dtdy=one,
+                )["qout"]
+            else:
+                # backend-agnostic fallback (e.g. the numpy oracle):
+                # windowed roll/select interpolation on the interior
+                interior = (slice(None), slice(oi, oi + ni), slice(oj, oj + nj))
+                qsl_int = semi_lagrangian_step(
+                    state["qsl"][interior],
+                    state["cx"][interior] / dt,
+                    state["cy"][interior] / dt,
+                    dt,
+                    max_shift=1,
+                )
+                qsl = state["qsl"].at[interior].set(qsl_int) if hasattr(
+                    state["qsl"], "at"
+                ) else _np_set(state["qsl"], interior, qsl_int)
             new = dict(state)
             new["q"] = q
             new["qsl"] = qsl
             return new
 
         return step
+
+
+def _np_set(arr, idx, value):
+    out = np.array(arr, copy=True)
+    out[idx] = np.asarray(value)
+    return out

@@ -62,6 +62,12 @@ def where(cond, a, b) -> Field:
     """Pointwise select.  Any operand (including the condition) may be a
     scalar (reference: fbuiltins.where over scalar/field mixes)."""
     if not any(isinstance(x, Field) for x in (cond, a, b)):
+        import jax
+
+        if any(isinstance(x, jax.Array) for x in (cond, a, b)):
+            # tracers/device scalars (jit-staged operators): np.where
+            # would raise TracerArrayConversionError
+            return jnp.where(cond, a, b)
         return np.where(cond, a, b)[()]
     dom = _merge_domains(cond, a, b)
     xp = _common_xp(cond, a, b)

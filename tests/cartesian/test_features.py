@@ -436,3 +436,36 @@ def test_gt_dims_axis_reordering():
 
     with pytest.raises(ArgumentError, match="__gt_dims__"):
         st(bad, out, origin=(1, 0, 0), domain=(4, 5, 4))
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax", "pallas"])
+def test_dynamic_data_index_out_of_range_wraps(backend):
+    """Out-of-range DYNAMIC indices wrap modulo the dimension size on
+    every backend (review fix: numpy raised, jax NaN-filled, pallas
+    wrapped -- three-way divergence)."""
+    IF = gtscript.Field[np.int64]
+
+    @gtscript.stencil(backend=backend)
+    def st(vec: gtscript.Field[(np.float64, (3,))], idx: IF, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = vec[0, 0, 0][idx]
+
+    rng = np.random.default_rng(2)
+    shape = (3, 4, 2)
+    vec = rng.random(shape + (3,))
+    idx = np.array([[-7, 5], [4, -1], [0, 9], [2, -4]] * 3).reshape(shape)
+    out = np.zeros(shape)
+    st(vec.copy(), idx.astype(np.int64), out, origin=(0, 0, 0), domain=shape)
+    expect = np.take_along_axis(vec, (idx % 3)[..., None], axis=3)[..., 0]
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_static_data_index_out_of_range_rejected():
+    from gt4py_tpu.cartesian.validation import GTScriptValidationError
+
+    with pytest.raises(GTScriptValidationError, match="out of range"):
+
+        @gtscript.stencil(backend="numpy")
+        def bad(vec: gtscript.Field[(np.float64, (3,))], out: Field3D):
+            with computation(PARALLEL), interval(...):
+                out = vec[0, 0, 0][5]

@@ -186,3 +186,18 @@ def test_semi_lagrangian_windowed_matches_gather():
     out_g3 = np.asarray(semi_lagrangian_step(q, u3, v, dt=1.0))
     out_w3 = np.asarray(semi_lagrangian_step(q, u3, v, dt=1.0, max_shift=3))
     np.testing.assert_array_equal(out_w3, out_g3)
+
+
+def test_full_dycore_numpy_backend_step():
+    """FullDycore with the numpy backend uses the backend-agnostic
+    windowed SL fallback (review fix: sl_fn=None crashed)."""
+    from gt4py_tpu.models.full_dycore import FullDycore
+
+    m = FullDycore(8, 8, 3, dtype=np.float64, backend="jax", aligned=False)
+    # simulate a backend without the stencil kernel path
+    m.sl_fn = None
+    import jax.numpy as jnp
+
+    state = {k: jnp.asarray(v) for k, v in m.init_state().items()}
+    out = m.step_fn()(state)
+    assert np.isfinite(np.asarray(out["qsl"])).all()

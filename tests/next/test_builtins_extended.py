@@ -208,3 +208,20 @@ def test_gamma_and_cbrt_builtins():
     np.testing.assert_allclose(
         op(f).asnumpy(), sps.gamma(vals) + np.cbrt(vals), rtol=1e-10
     )
+
+
+def test_where_scalar_operands_under_jit():
+    """where() on all-scalar operands must stage under jax.jit (review
+    fix: np.where raised TracerArrayConversionError on tracers)."""
+    import jax
+
+    from gt4py_tpu.next.builtins import where
+
+    assert where(np.bool_(True), 1.0, 2.0) == 1.0
+
+    @jax.jit
+    def f(s):
+        return where(s > 0.25, 1.0, 2.0)
+
+    assert float(f(0.5)) == 1.0
+    assert float(f(0.1)) == 2.0
