@@ -162,7 +162,10 @@ class Interpreter:
             and t.weak
             and not isinstance(v, Field)
         ):
-            return np.dtype(target).type(v)
+            if isinstance(v, (int, float, bool, complex, np.generic)):
+                return np.dtype(target).type(v)
+            # traced scalar (jit/vmap over a scalar argument): cast in-graph
+            return v.astype(np.dtype(target))
         return v
 
     def _call(self, node: fvir.Call):

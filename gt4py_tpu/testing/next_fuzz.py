@@ -94,7 +94,8 @@ class OperatorGenerator:
         return src
 
 
-def run_differential_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
+def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
+                          transforms: bool = False) -> None:
     import gt4py_tpu.next as gtx
     from gt4py_tpu.next import (
         Dimension,
@@ -174,3 +175,43 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         r_jx, r_np, rtol=rtol, atol=atol,
         err_msg=f"seed {seed}: values diverge\n{src}",
     )
+
+    if transforms:
+        _check_transform_invariance(
+            op, as_field, data_dims, a_np, b_np, s, r_np, d_np, dom_np,
+            seed, src, rtol, atol,
+        )
+
+
+def _check_transform_invariance(
+    op, as_field, data_dims, a_np, b_np, s, r_np, d_np, dom_np,
+    seed, src, rtol, atol,
+) -> None:
+    """The jax path must be invariant under jax transforms: jit (Fields are
+    pytrees; domains are static aux data) and vmap over scalar arguments
+    (the interpreter must be trace-polymorphic in scalars)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = as_field(data_dims, a_np.copy(), allocator="jax")
+    b = as_field(data_dims, b_np.copy(), allocator="jax")
+
+    jit_out = jax.jit(lambda x, y, z: op(x, y, z))(a, b, s)
+    assert jit_out.dims == d_np, f"seed {seed}: jit dims diverge\n{src}"
+    assert tuple(jit_out.domain.ranges) == dom_np, (
+        f"seed {seed}: jit domain diverges\n{src}"
+    )
+    np.testing.assert_allclose(
+        jit_out.asnumpy(), r_np, rtol=rtol, atol=atol,
+        err_msg=f"seed {seed}: jit values diverge from the numpy oracle\n{src}",
+    )
+
+    # vmap over the scalar parameter: row i must equal the eager run at s_i
+    svals = np.linspace(-1.0, 1.0, 3)
+    batched = jax.vmap(lambda z: op(a, b, z).ndarray)(jnp.asarray(svals))
+    for i, sv in enumerate(svals):
+        eager = op(a, b, float(sv))
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), eager.asnumpy(), rtol=rtol, atol=atol,
+            err_msg=f"seed {seed}: vmap row {i} diverges from eager\n{src}",
+        )

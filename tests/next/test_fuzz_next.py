@@ -10,3 +10,9 @@ from gt4py_tpu.testing.next_fuzz import run_differential_case
 @pytest.mark.parametrize("seed", range(60))
 def test_random_field_operator_parity(seed):
     run_differential_case(seed)
+
+
+@pytest.mark.parametrize("seed", range(60, 75))
+def test_random_field_operator_jit_vmap_invariance(seed):
+    """The jax path under jit and vmap must match the numpy oracle."""
+    run_differential_case(seed, transforms=True)
