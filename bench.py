@@ -210,9 +210,47 @@ def bench_tpu_fv_1024():
     return max((t2 - t1) / (i2 - i1), 1e-9)
 
 
+def _wait_for_tpu(max_wait_s: float = 2400.0) -> None:
+    """The shared-relay TPU backend intermittently blocks or raises
+    UNAVAILABLE at init for minutes at a time.  Probe it in a subprocess
+    (the in-process backend init cannot be timed out or retried once it
+    fails) and only proceed when a probe succeeds."""
+    import subprocess
+
+    probe = (
+        "from gt4py_tpu import config; config.ensure_jax_config();"
+        "import jax; print(jax.devices()[0].platform)"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=300,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if out.returncode == 0:
+                print(
+                    f"# tpu probe ok (attempt {attempt}): {out.stdout.strip()}",
+                    file=sys.stderr,
+                )
+                return
+            tail = (out.stderr or "").strip().splitlines()[-1:]
+            print(f"# tpu probe failed (attempt {attempt}): {tail}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# tpu probe timed out (attempt {attempt})", file=sys.stderr)
+        if time.monotonic() > deadline:
+            print("# tpu unavailable; proceeding anyway", file=sys.stderr)
+            return
+        time.sleep(30)
+
+
 def main():
     from gt4py_tpu import config
 
+    _wait_for_tpu()
     config.ensure_jax_config()
     import jax
 

@@ -272,6 +272,12 @@ class JaxTracer:
     axis_offset = (0, 0)  # global (I, J) offset of this trace's domain (tiles)
     no_scan = False  # disable the lax.scan fast path (inside pallas kernels)
     global_domain = None  # full-domain sizes for region masks (tiles)
+    #: circular-J mode (mode-A periodic-J pallas kernels): every value spans
+    #: exactly the J domain (the full periodic circle) and J offsets are
+    #: lane *rolls* instead of halo-extended slices -- no 128-lane padding
+    #: waste on the VPU and no halo lanes in the tile DMA
+    circular_j = False
+    pltpu_roll = False  # lower rolls with the Mosaic-native primitive
     #: mutable-reference mode (inside pallas kernels): env values are VMEM
     #: Refs mutated by stores, not functionally-updated arrays -- Mosaic has
     #: no dynamic_update_slice on values, and refs avoid copies anyway
@@ -297,6 +303,9 @@ class JaxTracer:
         # gtc/passes/oir_optimizations/{temporaries,caches}.py)
         for name, decl in self.stencil.temp_decls.items():
             ext = self.analysis.extents.alloc_extent(name)
+            if self.circular_j:
+                # the whole periodic circle is the temp's J footprint
+                ext = Extent(i=ext.i, j=(0, 0), k=ext.k)
             shape = (
                 self.domain[0] - ext.i[0] + ext.i[1],
                 self.domain[1] - ext.j[0] + ext.j[1],
@@ -336,6 +345,24 @@ class JaxTracer:
                     counts[n] = counts.get(n, 0) + 1
         return counts
 
+    def _stmt_ext(self, stmt) -> Extent:
+        """Statement compute extent; circular-J evaluation covers the whole
+        circle exactly once, so the J extent collapses to zero."""
+        ext = self.analysis.extents.stmt_extent(stmt)
+        if self.circular_j:
+            ext = Extent(i=ext.i, j=(0, 0), k=ext.k)
+        return ext
+
+    def _roll_j(self, x, dj: int):
+        """Periodic J offset as a lane roll: out[..., j] = x[..., (j+dj)%nj]."""
+        if self.pltpu_roll:
+            from jax.experimental.pallas import tpu as pltpu
+
+            return pltpu.roll(x, -dj, 2)
+        import jax.numpy as jnp
+
+        return jnp.roll(x, -dj, axis=2)
+
     def _temp_read_after(self, name: str, pos: Tuple[int, int]) -> bool:
         """Is the temporary read in any section at or after ``pos``
         *other than through the scan's own planes*?  (Used to elide dead
@@ -370,9 +397,7 @@ class JaxTracer:
                 continue
             if loop.loop_order == ir.LoopOrder.PARALLEL:
                 for stmt in section.body:
-                    ctx = _TraceCtx(
-                        self, self.analysis.extents.stmt_extent(stmt), kslice=(k0, k1)
-                    )
+                    ctx = _TraceCtx(self, self._stmt_ext(stmt), kslice=(k0, k1))
                     env = self._trace_stmt(env, stmt, ctx)
             else:
                 backward = loop.loop_order == ir.LoopOrder.BACKWARD
@@ -395,9 +420,7 @@ class JaxTracer:
                 def body(i, env, _k0=k0, _k1=k1, _bwd=backward, _section=section):
                     k = (_k1 - 1 - i) if _bwd else (_k0 + i)
                     for stmt in _section.body:
-                        ctx = _TraceCtx(
-                            self, self.analysis.extents.stmt_extent(stmt), klevel=k
-                        )
+                        ctx = _TraceCtx(self, self._stmt_ext(stmt), klevel=k)
                         env = self._trace_stmt(env, stmt, ctx)
                     return env
 
@@ -912,6 +935,11 @@ class JaxTracer:
                 raise NotImplementedError("Non-Cartesian write offsets")
             return self._read_nonuniform_k(env, acc, ctx), None
 
+        roll_j = 0
+        if self.circular_j and off.j and meta.shape[1] != 1:
+            roll_j = off.j  # periodic wrap: a roll of the whole circle
+            off = ir.CartesianOffset(i=off.i, j=0, k=off.k)
+
         (i0, j0, k0), (ni, nj, nk) = self._region_spec(meta, off, ctx)
         data_shape = meta.shape[3:]
 
@@ -933,6 +961,9 @@ class JaxTracer:
             starts = (k0, i0, j0) + (0,) * len(data_shape)
             sizes = (nk, ni, nj) + data_shape
             region = jax.lax.dynamic_slice(buf, starts, sizes)
+
+        if roll_j:
+            region = self._roll_j(region, roll_j)
 
         from gt4py_tpu.cartesian.analysis import try_static_int
 

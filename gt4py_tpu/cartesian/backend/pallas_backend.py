@@ -11,7 +11,12 @@ tiles with software-pipelined DMA:
 - **two tiling modes**:
   - *K-tiled rows* (all-PARALLEL stencils): tiles span the full physical J
     row, so lane-dim (128) DMA alignment never forces halo expansion, and
-    K is tiled to fit VMEM.  J halos cost zero extra traffic.
+    K is tiled to fit VMEM.  J halos cost zero extra traffic.  With
+    periodic J, eligible stencils switch to **circular-J mode**: the
+    window is exactly the J domain (the full periodic circle) and J
+    offsets become lane *rolls* -- values stay dJ lanes wide instead of
+    being padded to the next 128 multiple, cutting both VPU work and
+    read traffic (e.g. 512-wide instead of 640/768 at dJ=512).
   - *IJ tiles* (stencils with serial-K loops): the full K column per tile
     (sweep dependencies live in VMEM); I/J halos are expanded so DMA
     starts land on the (8, 128) tiling Mosaic requires.
@@ -55,6 +60,10 @@ class _PallasIneligible(Exception):
 #: tests asserting the kernel path covers the language (a bitwise-equal
 #: result alone cannot distinguish the paths)
 FALLBACK_EVENTS: list = []
+
+#: stencil_name -> last chosen tile plan (mode_a/circular/TI/TJ/TK) --
+#: lets tests assert WHICH kernel form ran, not just that results match
+LAST_PLAN: dict = {}
 
 
 _VMEM_BUDGET = 14 * 1024 * 1024  # scratch + value-stack, below the 16MB core
@@ -234,6 +243,43 @@ class PallasBackend(JaxBackend):
                     reads.add(acc.name)
         return reads
 
+    def _circular_ok(self, metas, domain, aligned: bool) -> bool:
+        """Can this mode-A periodic-J kernel run in circular-J (roll) mode?
+
+        Circular mode evaluates every value over exactly the J domain (the
+        full periodic circle) and turns J offsets into lane rolls: no
+        128-lane padding waste on the VPU, no J-halo lanes in the tile DMA.
+        Requires that periodic wrap fully defines every J-halo read:
+        read+written fields with J extents (their *output* halos must hold
+        filled values for oracle parity) and stencils whose semantics
+        depend on non-periodic global J coordinates (regions, AxisPosition
+        J: a temp's extended-J halo image is computed at the *unwrapped*
+        coordinate by the oracle) stay on the windowed path.
+        """
+        _dI, dJ, _dK = domain
+        ext = self.analysis.extents
+        for node in ir.walk_values(self.analysis.stencil.vertical_loops):
+            if isinstance(node, ir.HorizontalRestriction):
+                return False
+            if isinstance(node, ir.AxisPosition) and node.axis == "J":
+                return False
+        written = set(self.written)
+        for name, m in metas.items():
+            e = ext.field_extent(name)
+            hj = (-e.j[0], e.j[1])
+            if any(h > 0 for h in hj):
+                if name in written:
+                    return False
+                if dJ < max(hj):
+                    return False  # oracle raises here; keep parity via prefill
+            if m.shape[1] != 1:
+                oj = m.origin[1]
+                if oj + dJ > m.shape[1]:
+                    return False
+                if aligned and (oj % _LANE or dJ % _LANE):
+                    return False
+        return True
+
     def _all_parallel_full(self) -> bool:
         for vl in self.analysis.stencil.vertical_loops:
             if vl.loop_order != ir.LoopOrder.PARALLEL:
@@ -273,16 +319,17 @@ class PallasBackend(JaxBackend):
             halos[name] = (hi0, hi1, hj0, hj1)
         return halos
 
-    def _plan_rows(self, metas, domain, aligned: bool):
+    def _plan_rows(self, metas, domain, aligned: bool, circular: bool = False):
         """Mode A (all-PARALLEL): K-tiled full-J-row tiles.
 
-        Tile = (TK + k-halo, TI + i-halo, full physical J row).  Returns
-        (TK, TI, halos) or raises _PallasIneligible.
+        Tile = (TK + k-halo, TI + i-halo, full physical J row) -- or, in
+        circular-J mode, exactly the J domain (halo reads wrap as lane
+        rolls).  Returns (TK, TI, halos) or raises _PallasIneligible.
         """
         dI, dJ, dK = domain
         ext = self.analysis.extents
 
-        if aligned:
+        if aligned and not circular:
             # full-row tiles DMA the whole physical J axis: Mosaic needs
             # lane-dim slice sizes tiling-aligned even for full axes
             for m in metas.values():
@@ -290,6 +337,13 @@ class PallasBackend(JaxBackend):
                     raise _PallasIneligible()
 
         halos = self._halos_ij(metas, aligned, domain, expand_j=False)
+        if circular:
+            halos = {n: (h[0], h[1], 0, 0) for n, h in halos.items()}
+
+        def row_nj(m):
+            if m.shape[1] == 1:
+                return 1
+            return dJ if circular else m.shape[1]
 
         def vmem_bytes(tk, ti):
             total = 0
@@ -299,7 +353,7 @@ class PallasBackend(JaxBackend):
                 e = ext.alloc_extent(name)
                 sk = 1 if m.shape[2] == 1 else min(tk - e.k[0] + e.k[1], m.shape[2])
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
-                nj = m.shape[1]
+                nj = row_nj(m)
                 pi, pj = _pad_tile(ni, nj)
                 total += 2 * sk * pi * pj * m.dtype.itemsize  # double-buffered
                 if name in self.written:
@@ -308,7 +362,8 @@ class PallasBackend(JaxBackend):
                 max_val = max(max_val, sk * pi * pj * m.dtype.itemsize)
             for name, decl in self.analysis.stencil.temp_decls.items():
                 e = ext.alloc_extent(name)
-                pi, pj = _pad_tile(ti - e.i[0] + e.i[1], dJ - e.j[0] + e.j[1])
+                tnj = dJ if circular else dJ - e.j[0] + e.j[1]
+                pi, pj = _pad_tile(ti - e.i[0] + e.i[1], tnj)
                 total += (
                     (tk - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
@@ -333,7 +388,7 @@ class PallasBackend(JaxBackend):
                 else:
                     sk = m.shape[2]
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
-                nj = m.shape[1]
+                nj = row_nj(m)
                 per_tile += sk * ni * nj * m.dtype.itemsize
                 if name in self.written:
                     wk = 1 if m.shape[2] == 1 else (tk if k_t else m.shape[2])
@@ -463,12 +518,20 @@ class PallasBackend(JaxBackend):
         )
 
         mode_a = self._all_parallel_full() and not self._has_nonuniform_k()
+        # circular-J: periodic mode-A kernels window exactly the J domain
+        # and wrap J-offset reads as lane rolls (see _circular_ok)
+        circular = (
+            mode_a
+            and "J" in periodic
+            and self._circular_ok(metas, domain, aligned)
+        )
         if mode_a:
             try:
-                TK, TI, halos = self._plan_rows(metas, domain, aligned)
+                TK, TI, halos = self._plan_rows(metas, domain, aligned, circular)
                 TJ = dJ
             except _PallasIneligible:
                 mode_a = False
+                circular = False
         if not mode_a:
             TI, TJ, halos = self._plan_columns(metas, domain, aligned)
             TK = dK
@@ -489,7 +552,11 @@ class PallasBackend(JaxBackend):
                 rh_i = (-e.i[0], e.i[1])
                 rh_j = (-e.j[0], e.j[1])
                 need_i = "I" in periodic and m.shape[0] != 1 and any(rh_i)
-                need_j = "J" in periodic and m.shape[1] != 1 and any(rh_j)
+                # circular mode wraps all J reads as rolls -- nothing to fill
+                need_j = (
+                    "J" in periodic and m.shape[1] != 1 and any(rh_j)
+                    and not circular
+                )
                 if not (need_i or need_j):
                     continue
                 if name in read_written or not mode_a:
@@ -550,11 +617,19 @@ class PallasBackend(JaxBackend):
                     self._periodic_fill_env(metas, env, domain, periodic, prefill)
                 )
 
+        LAST_PLAN[self.analysis.stencil.name] = {
+            "mode_a": mode_a, "circular": circular,
+            "TI": TI, "TJ": TJ, "TK": TK,
+        }
+        if len(LAST_PLAN) > 1024:  # bounded: long-running sweeps
+            for k in list(LAST_PLAN)[:512]:
+                del LAST_PLAN[k]
+
         import os as _os
         if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
             print(
                 f"[pallas] {self.analysis.stencil.name}: mode_a={mode_a} "
-                f"TI={TI} TJ={TJ} TK={TK} halos={halos} "
+                f"circular={circular} TI={TI} TJ={TJ} TK={TK} halos={halos} "
                 f"origins={ {n: m.origin for n, m in metas.items()} }"
                 + (
                     f" periodic={sorted(periodic)} wrap_i={sorted(wrap_i)} "
@@ -596,7 +671,8 @@ class PallasBackend(JaxBackend):
             if m.shape[1] == 1:
                 nj, ojt = 1, 0
             elif mode_a:
-                nj, ojt = m.shape[1], m.origin[1]
+                # circular: the window is exactly the J domain (the circle)
+                nj, ojt = (dJ, 0) if circular else (m.shape[1], m.origin[1])
             else:
                 nj, ojt = TJ + hj0 + hj1, hj0
             if m.shape[2] == 1:
@@ -638,6 +714,9 @@ class PallasBackend(JaxBackend):
                 isegs = [("win", 0, ni)]
             if m.shape[1] == 1:
                 jsegs = [("all", 0, 0, 1)]
+            elif circular:
+                # one static interior segment: the whole periodic circle
+                jsegs = [("seg", 0, m.origin[1], nj)]
             elif name in wrap_j:
                 jsegs = [("seg", d, s, z) for (d, s, z) in wrap_j[name]]
             elif nj == m.shape[1]:
@@ -678,7 +757,7 @@ class PallasBackend(JaxBackend):
             temp_tile_shapes[name] = (
                 TK - e.k[0] + e.k[1],
                 TI - e.i[0] + e.i[1],
-                TJ - e.j[0] + e.j[1],
+                TJ if circular else TJ - e.j[0] + e.j[1],
             )
 
         def stage_shape(name):
@@ -916,6 +995,8 @@ class PallasBackend(JaxBackend):
             tracer = JaxTracer(analysis, dict(tile_metas), (TI, TJ, TK))
             tracer.no_scan = True  # serial K is an in-VMEM fori_loop here
             tracer.ref_env = True
+            tracer.circular_j = circular
+            tracer.pltpu_roll = circular and not interpret
             tracer.temp_refs = {
                 name: temp_scratch[i] for i, name in enumerate(temp_names)
             }
@@ -938,7 +1019,10 @@ class PallasBackend(JaxBackend):
                 sk, ni, nj = tile_shapes[name]
                 m = metas[name]
                 if mode_a and m.shape[1] != 1:
-                    j_int = slice(m.origin[1], m.origin[1] + TJ)
+                    j_int = (
+                        slice(0, TJ) if circular
+                        else slice(m.origin[1], m.origin[1] + TJ)
+                    )
                 else:
                     j_int = slice(hj0, hj0 + TJ) if nj > 1 else slice(None)
                 if k_tiled and m.shape[2] != 1:

@@ -21,7 +21,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("seed", range(10))
+#: corpus size is env-tunable: the persistent compile cache makes re-runs
+#: cheap, so sweeps can raise this well beyond the CI default
+N_CHIP_FUZZ_SEEDS = int(os.environ.get("GT4PY_TPU_CHIP_FUZZ_SEEDS", "16"))
+
+
+@pytest.mark.parametrize("seed", range(N_CHIP_FUZZ_SEEDS))
 def test_fuzz_on_chip(seed):
     from gt4py_tpu.testing.program_gen import run_differential_case
 
@@ -91,6 +96,11 @@ def test_fv_step_on_chip_matches_xla():
     np.testing.assert_allclose(
         np.asarray(q_p), np.asarray(q_j), rtol=2e-6, atol=2e-6
     )
+    # the fused periodic step must run the circular-J (lane roll) form
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    plan = pallas_backend.LAST_PLAN.get("fv_step_float32")
+    assert plan and plan["circular"], f"circular-J did not engage: {plan}"
 
 
 def test_native_coverage_on_chip():
