@@ -319,6 +319,7 @@ def run_differential_case(
     aligned=False,
     rtol=1e-12,
     atol=1e-12,
+    periodic=(),
 ) -> None:
     """Generate one program, run the numpy oracle vs each backend in
     ``backends`` ("jax", "pallas"), assert allclose.  On CPU the pallas
@@ -362,15 +363,38 @@ def run_differential_case(
     scalars = {"s0": nprng.uniform(-1, 1), "s1": nprng.uniform(-1, 1)}
 
     ref = {k: v.copy() for k, v in arrays.items()}
-    from_name("numpy")(an).run(ref, scalars, domain, origins)
+    try:
+        from_name("numpy")(an).run(ref, scalars, domain, origins, periodic=periodic)
+    except ValueError:
+        # read halo wider than the periodic domain: the oracle rejects;
+        # every backend must reject identically (no silent multi-wrap)
+        for backend in backends:
+            jx = {k: v.copy() for k, v in arrays.items()}
+            try:
+                from_name(backend)(an, {}).run(
+                    jx, scalars, domain, origins, periodic=periodic
+                )
+            except ValueError:
+                continue
+            raise AssertionError(
+                f"seed {seed}: oracle rejects periodic domain but "
+                f"'{backend}' accepted it\n" + _dump(stencil)
+            )
+        return
 
     for backend in backends:
         jx = {k: v.copy() for k, v in arrays.items()}
-        result = from_name(backend)(an, {}).run(jx, scalars, domain, origins)
+        result = from_name(backend)(an, {}).run(
+            jx, scalars, domain, origins, periodic=periodic
+        )
         for name, new in result.items():
             jx[name][...] = np.asarray(new)
 
-        for name in gen.outputs + gen.inputs:
+        # periodic fill mutates read-only inputs in place on the numpy
+        # oracle, but functional backends cannot return unwritten fields:
+        # compare written fields only (their halos DO carry fill parity)
+        names = gen.outputs if periodic else gen.outputs + gen.inputs
+        for name in names:
             np.testing.assert_allclose(
                 jx[name],
                 ref[name],

@@ -31,6 +31,29 @@ def test_random_program_pallas_f32_aligned(seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(30))
+def test_random_program_periodic_parity(seed):
+    """Periodic execution on random programs: jax pre-fill vs the oracle
+    fill, and the pallas wrap/circular-J kernel forms vs both.  Random
+    read extents also hit the halo-wider-than-domain rejection path."""
+    run_differential_case(seed, backends=("jax", "pallas"), periodic=("I", "J"))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_program_periodic_f32_aligned(seed):
+    """Aligned-geometry periodic leg: the circular-J (lane-roll) mode
+    engages here for eligible programs (dJ=128 with origin 128)."""
+    run_differential_case(
+        seed,
+        backends=("pallas",),
+        dtype=np.float32,
+        aligned=True,
+        periodic=("I", "J"),
+        rtol=3e-5,
+        atol=3e-6,
+    )
+
+
 @pytest.mark.parametrize("seed", [225, 513])
 def test_fuzz_regression_dead_temp_dynamic_k(seed):
     """Sweep-found crash: a dead-code read of an unwritten temporary at a
