@@ -345,7 +345,7 @@ class PallasBackend(JaxBackend):
                 return 1
             return dJ if circular else m.shape[1]
 
-        def vmem_bytes(tk, ti):
+        def vmem_bytes(tk, ti, slots=2):
             total = 0
             max_val = 0
             for name, m in metas.items():
@@ -355,10 +355,10 @@ class PallasBackend(JaxBackend):
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
                 nj = row_nj(m)
                 pi, pj = _pad_tile(ni, nj)
-                total += 2 * sk * pi * pj * m.dtype.itemsize  # double-buffered
+                total += slots * sk * pi * pj * m.dtype.itemsize  # buffering
                 if name in self.written:
                     si, sj = _pad_tile(1 if ni == 1 else ti, min(nj, dJ))
-                    total += 2 * sk * si * sj * m.dtype.itemsize  # staging
+                    total += slots * sk * si * sj * m.dtype.itemsize  # staging
                 max_val = max(max_val, sk * pi * pj * m.dtype.itemsize)
             for name, decl in self.analysis.stencil.temp_decls.items():
                 e = ext.alloc_extent(name)
@@ -414,18 +414,22 @@ class PallasBackend(JaxBackend):
             )
         if not ti_options:
             raise _PallasIneligible()
-        best = None
-        for tk in tk_options:
-            for ti in ti_options:
-                if vmem_bytes(tk, ti) <= _VMEM_BUDGET:
-                    # minimize estimated traffic (halo amplification +
-                    # per-tile overhead); tiebreak on fewer tiles
-                    score = (traffic_bytes(tk, ti), (dK // tk) * (dI // ti))
-                    if best is None or score < best[0]:
-                        best = (score, tk, ti)
-        if best is None:
-            raise _PallasIneligible()
-        return best[1], best[2], halos
+        # prefer double-buffered (pipelined) plans; a single-slot plan
+        # (inputs loaded at tile start, latency exposed) is the fallback
+        # that keeps VMEM-tight stencils on the kernel path at all
+        for slots in (2, 1):
+            best = None
+            for tk in tk_options:
+                for ti in ti_options:
+                    if vmem_bytes(tk, ti, slots) <= _VMEM_BUDGET:
+                        # minimize estimated traffic (halo amplification +
+                        # per-tile overhead); tiebreak on fewer tiles
+                        score = (traffic_bytes(tk, ti), (dK // tk) * (dI // ti))
+                        if best is None or score < best[0]:
+                            best = (score, tk, ti)
+            if best is not None:
+                return best[1], best[2], halos, slots
+        raise _PallasIneligible()
 
     def _plan_columns(self, metas, domain, aligned: bool):
         """Mode B (serial-K stencils): (TI, TJ) tiles with the full K
@@ -441,7 +445,7 @@ class PallasBackend(JaxBackend):
             for vl in self.analysis.stencil.vertical_loops
         )
 
-        def vmem_bytes(ti, tj):
+        def vmem_bytes(ti, tj, slots=2):
             total = 0
             max_val = 0
             for name, m in metas.items():
@@ -450,10 +454,10 @@ class PallasBackend(JaxBackend):
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
                 nj = 1 if m.shape[1] == 1 else tj + hj0 + hj1
                 pi, pj = _pad_tile(ni, nj)
-                total += 2 * sk * pi * pj * m.dtype.itemsize
+                total += slots * sk * pi * pj * m.dtype.itemsize
                 if name in self.written:
                     si, sj = _pad_tile(1 if ni == 1 else ti, 1 if nj == 1 else tj)
-                    total += 2 * sk * si * sj * m.dtype.itemsize
+                    total += slots * sk * si * sj * m.dtype.itemsize
                 skv = sk if has_parallel else min(sk, _SUBLANE)
                 max_val = max(max_val, skv * pi * pj * m.dtype.itemsize)
             for name, decl in self.analysis.stencil.temp_decls.items():
@@ -480,10 +484,11 @@ class PallasBackend(JaxBackend):
                 (d for d in _divisors(dI) if d >= min(8, dI)), reverse=True
             )
 
-        for tj in tj_options:
-            for ti in ti_options:
-                if vmem_bytes(ti, tj) <= _VMEM_BUDGET:
-                    return ti, tj, halos
+        for slots in (2, 1):
+            for tj in tj_options:
+                for ti in ti_options:
+                    if vmem_bytes(ti, tj, slots) <= _VMEM_BUDGET:
+                        return ti, tj, halos, slots
         raise _PallasIneligible()
 
     # ------------------------------------------------------------------ #
@@ -527,14 +532,19 @@ class PallasBackend(JaxBackend):
         )
         if mode_a:
             try:
-                TK, TI, halos = self._plan_rows(metas, domain, aligned, circular)
+                TK, TI, halos, slots = self._plan_rows(
+                    metas, domain, aligned, circular
+                )
                 TJ = dJ
             except _PallasIneligible:
                 mode_a = False
                 circular = False
         if not mode_a:
-            TI, TJ, halos = self._plan_columns(metas, domain, aligned)
+            TI, TJ, halos, slots = self._plan_columns(metas, domain, aligned)
             TK = dK
+        import os as _os
+        if _os.environ.get("GT4PY_TPU_PALLAS_SLOTS") == "1":
+            slots = 1  # force the unpipelined form (tests / experiments)
         # ---- periodic boundaries: wrapped-window DMA planning ---- #
         # In mode A the row window already fetches the padding/halo lanes,
         # so wrapping reads costs ZERO extra traffic: the window is split
@@ -619,7 +629,7 @@ class PallasBackend(JaxBackend):
 
         LAST_PLAN[self.analysis.stencil.name] = {
             "mode_a": mode_a, "circular": circular,
-            "TI": TI, "TJ": TJ, "TK": TK,
+            "TI": TI, "TJ": TJ, "TK": TK, "slots": slots,
         }
         if len(LAST_PLAN) > 1024:  # bounded: long-running sweeps
             for k in list(LAST_PLAN)[:512]:
@@ -629,7 +639,8 @@ class PallasBackend(JaxBackend):
         if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
             print(
                 f"[pallas] {self.analysis.stencil.name}: mode_a={mode_a} "
-                f"circular={circular} TI={TI} TJ={TJ} TK={TK} halos={halos} "
+                f"circular={circular} TI={TI} TJ={TJ} TK={TK} slots={slots} "
+                f"halos={halos} "
                 f"origins={ {n: m.origin for n, m in metas.items()} }"
                 + (
                     f" periodic={sorted(periodic)} wrap_i={sorted(wrap_i)} "
@@ -962,21 +973,27 @@ class PallasBackend(JaxBackend):
                     outsem.at[slot, jnp.int32(w_idx)],
                 )
 
-            slot = jax.lax.rem(t, jnp.int32(2))
-            nslot = jax.lax.rem(jax.lax.add(t, jnp.int32(1)), jnp.int32(2))
+            slot = jax.lax.rem(t, jnp.int32(slots))
+            nslot = jax.lax.rem(jax.lax.add(t, jnp.int32(1)), jnp.int32(slots))
 
-            # warm-up: the very first tile loads its own inputs
-            @pl.when(t == jnp.int32(0))
-            def _():
-                for f in range(n_fields):
-                    start_in(f, t, slot)
-
-            # prefetch tile t+1 into the other slot
-            if T > 1:
-                @pl.when(t < jnp.int32(T - 1))
+            if slots > 1:
+                # warm-up: the very first tile loads its own inputs
+                @pl.when(t == jnp.int32(0))
                 def _():
                     for f in range(n_fields):
-                        start_in(f, jax.lax.add(t, jnp.int32(1)), nslot)
+                        start_in(f, t, slot)
+
+                # prefetch tile t+1 into the other slot
+                if T > 1:
+                    @pl.when(t < jnp.int32(T - 1))
+                    def _():
+                        for f in range(n_fields):
+                            start_in(f, jax.lax.add(t, jnp.int32(1)), nslot)
+            else:
+                # single-slot (VMEM-tight) plan: every tile loads its own
+                # inputs up front -- DMA latency exposed, half the scratch
+                for f in range(n_fields):
+                    start_in(f, t, slot)
 
             # wait for our own inputs
             for f in range(n_fields):
@@ -1004,12 +1021,12 @@ class PallasBackend(JaxBackend):
             tracer.global_domain = (dI, dJ, dK)
             tracer.trace(tile_env, tile_scalars)
 
-            # drain the store of tile t-2 before reusing its stage slot
-            if T > 2:
-                @pl.when(t >= jnp.int32(2))
+            # drain the store of tile t-slots before reusing its stage slot
+            if T > slots:
+                @pl.when(t >= jnp.int32(slots))
                 def _():
                     for w in range(n_written):
-                        out_copy(w, jax.lax.sub(t, jnp.int32(2)), slot).wait()
+                        out_copy(w, jax.lax.sub(t, jnp.int32(slots)), slot).wait()
 
             # stage interiors and stream them out
             for w_idx, name in enumerate(written):
@@ -1035,10 +1052,11 @@ class PallasBackend(JaxBackend):
                 stage_refs[w_idx][slot] = scratch_refs[idx][slot, k_int, i_int, j_int]
                 out_copy(w_idx, t, slot).start()
 
-            # final tile drains every outstanding store
+            # final tile drains every outstanding store (with one slot,
+            # t-1 was already drained before staging)
             @pl.when(t == jnp.int32(T - 1))
             def _():
-                if T > 1:
+                if T > 1 and slots > 1:
                     for w in range(n_written):
                         out_copy(w, jax.lax.sub(t, jnp.int32(1)), nslot).wait()
                 for w in range(n_written):
@@ -1081,11 +1099,11 @@ class PallasBackend(JaxBackend):
         out_shape = tuple(out_struct(n) for n in written)
         scratch_shapes = (
             [
-                pltpu.VMEM((2,) + tile_shapes[n], metas[n].dtype)
+                pltpu.VMEM((slots,) + tile_shapes[n], metas[n].dtype)
                 for n in field_names
             ]
             + [
-                pltpu.VMEM((2,) + stage_shape(n), metas[n].dtype)
+                pltpu.VMEM((slots,) + stage_shape(n), metas[n].dtype)
                 for n in written
             ]
             + [
@@ -1093,8 +1111,8 @@ class PallasBackend(JaxBackend):
                 for n in temp_names
             ]
             + [
-                pltpu.SemaphoreType.DMA((2, n_fields, max_segs)),
-                pltpu.SemaphoreType.DMA((2, max(n_written, 1))),
+                pltpu.SemaphoreType.DMA((slots, n_fields, max_segs)),
+                pltpu.SemaphoreType.DMA((slots, max(n_written, 1))),
             ]
         )
 

@@ -171,3 +171,84 @@ def test_halo_wider_than_domain_matches_oracle_error():
     b = storage.zeros(shape, backend="numpy", aligned_index=(3, 3, 0))
     with pytest.raises(ValueError, match="periodic J domain"):
         st(a, b, domain=(4, 2, 3), periodic=("J",))
+
+
+def test_single_slot_execution(monkeypatch):
+    """The single-slot (unpipelined) kernel form computes identical
+    results across many tiles (store-drain ordering has no 2-slot slack
+    to hide bugs behind)."""
+
+    def two_stage(a: F, b: F):
+        with computation(PARALLEL), interval(...):
+            tmp = a[0, 1, 0] + a[0, -1, 0] + a[1, 0, 0]
+            b = tmp[0, -1, 0] + tmp[0, 1, 0] + tmp[-1, 0, 0]
+
+    rng = np.random.default_rng(21)
+    a0 = rng.random(SHAPE)
+    expect = _oracle(two_stage, a0)
+
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_SLOTS", "1")
+    got = _run_pallas(two_stage, a0, "circ_1slot")
+    plan = pallas_backend.LAST_PLAN["circ_1slot"]
+    assert plan["slots"] == 1, plan
+    assert np.array_equal(got[INTERIOR], expect[INTERIOR])
+
+
+def test_single_slot_serial_k(monkeypatch):
+    """Mode B (serial K) under the single-slot form."""
+
+    def serial(a: F, b: F):
+        with computation(FORWARD):
+            with interval(0, 1):
+                b = a[0, 1, 0]
+            with interval(1, None):
+                b = b[0, 0, -1] + a[0, -1, 0]
+
+    rng = np.random.default_rng(22)
+    a0 = rng.random(SHAPE)
+    expect = _oracle(serial, a0)
+
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_SLOTS", "1")
+    got = _run_pallas(serial, a0, "circ_1slot_serial")
+    plan = pallas_backend.LAST_PLAN["circ_1slot_serial"]
+    assert plan["slots"] == 1 and not plan["mode_a"], plan
+    assert np.array_equal(got[INTERIOR], expect[INTERIOR])
+
+
+def test_planner_single_slot_fallback():
+    """A VMEM budget below every 2-slot plan yields a 1-slot plan rather
+    than abandoning the kernel path."""
+    import gt4py_tpu.cartesian.backend.pallas_backend as pb
+
+    def lap(a: F, b: F):
+        with computation(PARALLEL), interval(...):
+            b = a[1, 0, 0] + a[0, 1, 0]
+
+    rng = np.random.default_rng(23)
+    a0 = rng.random(SHAPE)
+    _run_pallas(lap, a0, "circ_planner")
+    assert pb.LAST_PLAN["circ_planner"]["slots"] == 2
+
+    # shrink the budget until no 2-slot plan fits: the planner must
+    # degrade to slots=1 before abandoning the kernel path
+    orig = pb._VMEM_BUDGET
+    try:
+        budget = orig
+        seen_one_slot = False
+        for _ in range(200):
+            budget = int(budget * 0.9)  # fine steps: the 1-slot window
+            # between "2-slot impossible" and "nothing fits" is narrow
+            pb._VMEM_BUDGET = budget
+            name = f"circ_planner_b{budget}"
+            got = _run_pallas(lap, a0, name)
+            plan = pb.LAST_PLAN.get(name)
+            if plan is None:  # XLA fallback: budget below every plan
+                break
+            if plan["slots"] == 1:
+                seen_one_slot = True
+                expect = _oracle(lap, a0)
+                assert np.array_equal(got[INTERIOR], expect[INTERIOR])
+                break
+        assert seen_one_slot, "budget sweep never produced a 1-slot plan"
+    finally:
+        pb._VMEM_BUDGET = orig
