@@ -117,6 +117,57 @@ class PallasBackend(JaxBackend):
     storage_device = "tpu"
 
     def _trace_env(self, metas, env, scalars, domain, periodic=()):
+        """Kernel path under a custom VJP: ``pallas_call`` itself is not
+        differentiable, so the backward pass re-traces the stencil through
+        the XLA executor (identical numerics, jax_backend.py) and uses its
+        adjoint -- fast Mosaic forward, XLA-derived gradients.  Traced
+        scalar parameters participate in differentiation; python-scalar
+        parameters (incl. baked static bounds) are closed over as
+        constants.  Disable with ``GT4PY_TPU_PALLAS_AUTODIFF=0``."""
+        import os as _os
+
+        if _os.environ.get("GT4PY_TPU_PALLAS_AUTODIFF", "1") == "0":
+            return self._trace_env_kernel(metas, env, scalars, domain, periodic)
+
+        import jax
+
+        written = [n for n in self.written if n in env]
+        if not written:
+            return dict(env)
+
+        is_arr = lambda v: isinstance(v, jax.Array)  # tracers included
+        arr_scalars = {k: v for k, v in scalars.items() if is_arr(v)}
+        py_scalars = {k: v for k, v in scalars.items() if not is_arr(v)}
+
+        def pallas_out(env_in, sc):
+            out = self._trace_env_kernel(
+                metas, dict(env_in), {**py_scalars, **sc}, domain, periodic
+            )
+            return {n: out[n] for n in written}
+
+        def xla_out(env_in, sc):
+            out = JaxBackend._trace_env(
+                self, metas, dict(env_in), {**py_scalars, **sc}, domain, periodic
+            )
+            return {n: out[n] for n in written}
+
+        run = jax.custom_vjp(pallas_out)
+
+        def fwd(env_in, sc):
+            return pallas_out(env_in, sc), (env_in, sc)
+
+        def bwd(res, g):
+            env_in, sc = res
+            _, vjp = jax.vjp(xla_out, env_in, sc)
+            return vjp(g)
+
+        run.defvjp(fwd, bwd)
+        outs = run(env, arr_scalars)
+        new_env = dict(env)
+        new_env.update(outs)
+        return new_env
+
+    def _trace_env_kernel(self, metas, env, scalars, domain, periodic=()):
         if any(m.data_ndim for m in metas.values()):
             out = self._trace_split_data_dims(metas, env, scalars, domain, periodic)
             if out is not None:
