@@ -20,11 +20,23 @@ import enum
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Tuple
 
+import ml_dtypes
 import numpy as np
 
 from gt4py_tpu import config
 from gt4py_tpu.core.definitions import Boundary, Extent
 from gt4py_tpu.cartesian import ir
+
+#: TPU-native 16-bit float (numpy extension dtype from ml_dtypes; jax's
+#: jnp.bfloat16 is the same type).  Note its numpy ``kind`` is ``'V'``,
+#: so float-ness must be tested with :func:`is_float_dtype`, not ``kind``.
+BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
+
+
+def is_float_dtype(dt) -> bool:
+    """True for IEEE floats AND bfloat16 (whose numpy kind is 'V')."""
+    dt = np.dtype(dt)
+    return dt.kind == "f" or dt == BFLOAT16
 
 
 # --------------------------------------------------------------------------- #
@@ -42,7 +54,7 @@ _RANK = {
     np.dtype(np.uint32): 3,
     np.dtype(np.uint64): 4,
     np.dtype(np.float16): 5,
-    np.dtype(np.bfloat16) if hasattr(np, "bfloat16") else np.dtype(np.float16): 5,
+    BFLOAT16: 5,
     np.dtype(np.float32): 6,
     np.dtype(np.float64): 7,
 }
@@ -70,6 +82,14 @@ def promote_dtypes(*dtypes: np.dtype) -> np.dtype:
     for dt in dtypes[1:]:
         if _RANK.get(np.dtype(dt), 99) > _RANK.get(np.dtype(best), 99):
             best = dt
+        elif (
+            np.dtype(dt) != np.dtype(best)
+            and _RANK.get(np.dtype(dt)) == 5
+            and _RANK.get(np.dtype(best)) == 5
+        ):
+            # float16 vs bfloat16: neither holds the other -- promote to
+            # float32 (same rule as numpy/jax promotion lattices)
+            best = np.dtype(np.float32)
     return np.dtype(best)
 
 

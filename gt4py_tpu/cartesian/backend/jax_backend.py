@@ -29,6 +29,7 @@ from gt4py_tpu.cartesian.analysis import (
     StencilAnalysis,
     default_float_dtype,
     default_int_dtype,
+    is_float_dtype,
     promote_dtypes,
 )
 from gt4py_tpu.cartesian.backend import register
@@ -104,7 +105,9 @@ def _init_native_jnp():
     import jax.scipy.special as jsp
 
     def round_away_from_zero(x):
-        half = jnp.asarray(0.5, dtype=x.dtype if x.dtype.kind == "f" else jnp.float64)
+        half = jnp.asarray(
+            0.5, dtype=x.dtype if is_float_dtype(x.dtype) else jnp.float64
+        )
         return jnp.trunc(x + jnp.copysign(half, x))
 
     def gamma(x):

@@ -23,6 +23,7 @@ from gt4py_tpu.cartesian.analysis import (
     StencilAnalysis,
     default_float_dtype,
     default_int_dtype,
+    is_float_dtype,
     promote_dtypes,
 )
 from gt4py_tpu.cartesian.backend import register
@@ -31,7 +32,7 @@ from gt4py_tpu.core.definitions import Extent
 
 def _round_away_from_zero(x):
     x = np.asarray(x)
-    half = np.asarray(0.5, dtype=x.dtype if x.dtype.kind == "f" else np.float64)
+    half = np.asarray(0.5, dtype=x.dtype if is_float_dtype(x.dtype) else np.float64)
     return np.trunc(x + np.copysign(half, x))
 
 
@@ -492,10 +493,22 @@ class NumpyExecutor:
 
         if isinstance(expr, ir.NativeFuncCall):
             args = [np.asarray(self._eval(a, ctx)) for a in expr.args]
+            target = promote_dtypes(*[a.dtype for a in args])
             if len(args) > 1:
-                target = promote_dtypes(*[a.dtype for a in args])
                 args = [a.astype(target) if a.dtype != target else a for a in args]
-            return _NATIVE_IMPL[expr.func](*args)
+            res = np.asarray(_NATIVE_IMPL[expr.func](*args))
+            # sub-f32 float dtype discipline: numpy/scipy upcast some ufuncs
+            # on bfloat16/float16 (mod -> f32, erf/gamma -> f64); compute at
+            # the higher precision (a correctly-rounded oracle) but keep the
+            # promoted operand dtype, matching the jax executor's result dtype
+            if (
+                res.dtype != target
+                and res.dtype != _BOOL
+                and is_float_dtype(target)
+                and target.itemsize < 4
+            ):
+                res = res.astype(target)
+            return res
 
         raise TypeError(f"Cannot evaluate {type(expr).__name__}")
 

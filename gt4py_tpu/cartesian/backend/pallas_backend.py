@@ -556,12 +556,15 @@ class PallasBackend(JaxBackend):
         interpret = jax.devices()[0].platform != "tpu"
         aligned = not interpret
         if aligned:
-            # Mosaic has no 64-bit types; fall back to the XLA executor
+            # Mosaic has no 64-bit types; fall back to the XLA executor.
+            # 16-bit floats (bfloat16/float16) pack VMEM at (16, 128) --
+            # the planner below assumes the 4-byte (8, 128) tiling, so
+            # they fall back too until the planner is packing-aware.
             for m in metas.values():
-                if m.dtype.itemsize > 4:
+                if m.dtype.itemsize in (2, 8):
                     raise _PallasIneligible()
             for decl in self.analysis.stencil.temp_decls.values():
-                if np.dtype(decl.dtype).itemsize > 4:
+                if np.dtype(decl.dtype).itemsize in (2, 8):
                     raise _PallasIneligible()
 
         analysis = self.analysis
