@@ -72,6 +72,13 @@ _LANE = 128
 _LIVE_VALUES = 8  # conservative count of concurrently-live whole-tile values
 
 
+def _sublane(dtype) -> int:
+    """Mosaic packs VMEM at (32/itemsize * 8, 128): f32/i32 -> (8, 128),
+    bf16/f16 -> (16, 128), i8/bool -> (32, 128).  DMA slice starts and
+    sizes on the second-minor dim must be multiples of this."""
+    return _SUBLANE * max(1, 4 // np.dtype(dtype).itemsize)
+
+
 def _live_values(stencil: ir.Stencil) -> int:
     """Estimated concurrently-live whole-tile values on the Mosaic value
     stack.  Baseline 8; expression-heavy statements (e.g. the inlined
@@ -91,10 +98,10 @@ def _divisors(n: int):
     return [d for d in range(1, n + 1) if n % d == 0]
 
 
-def _pad_tile(ni: int, nj: int) -> Tuple[int, int]:
+def _pad_tile(ni: int, nj: int, sub: int = _SUBLANE) -> Tuple[int, int]:
     """Mosaic pads the two minor dims of every VMEM buffer/value to the
-    (8, 128) register tiling; account at the padded sizes."""
-    pi = ni if ni == 1 else -(-ni // _SUBLANE) * _SUBLANE
+    dtype's (sub, 128) register tiling; account at the padded sizes."""
+    pi = ni if ni == 1 else -(-ni // sub) * sub
     pj = nj if nj == 1 else -(-nj // _LANE) * _LANE
     return pi, pj
 
@@ -346,7 +353,7 @@ class PallasBackend(JaxBackend):
     def _halos_ij(self, metas, aligned: bool, domain, expand_j: bool):
         """Per-field (hi0, hi1, hj0, hj1) VMEM-tile halos; in aligned mode
         the I (and optionally J) halos are expanded so DMA slice starts and
-        sizes land on the (8, 128) tiling."""
+        sizes land on the dtype's (sub, 128) tiling."""
         dI, dJ, _ = domain
         ext = self.analysis.extents
         halos: Dict[str, Tuple[int, int, int, int]] = {}
@@ -355,10 +362,11 @@ class PallasBackend(JaxBackend):
             hi0, hi1 = -e.i[0], e.i[1]
             hj0, hj1 = -e.j[0], e.j[1]
             if aligned:
+                sub = _sublane(m.dtype)
                 oi, oj, _ = m.origin
-                hi0 += (oi - hi0) % _SUBLANE
+                hi0 += (oi - hi0) % sub
                 if m.shape[0] != 1:
-                    hi1 += (-(hi0 + hi1)) % _SUBLANE
+                    hi1 += (-(hi0 + hi1)) % sub
                     if oi + dI + hi1 > m.shape[0]:
                         raise _PallasIneligible()
                 if expand_j:
@@ -370,6 +378,11 @@ class PallasBackend(JaxBackend):
             halos[name] = (hi0, hi1, hj0, hj1)
         return halos
 
+    def _sub_max(self, metas) -> int:
+        """Tile I-sizes must satisfy every DMA'd buffer's sublane packing
+        (temps are VMEM-only scratch: no DMA constraint)."""
+        return max((_sublane(m.dtype) for m in metas.values()), default=_SUBLANE)
+
     def _plan_rows(self, metas, domain, aligned: bool, circular: bool = False):
         """Mode A (all-PARALLEL): K-tiled full-J-row tiles.
 
@@ -379,6 +392,7 @@ class PallasBackend(JaxBackend):
         """
         dI, dJ, dK = domain
         ext = self.analysis.extents
+        subx = self._sub_max(metas)
 
         if aligned and not circular:
             # full-row tiles DMA the whole physical J axis: Mosaic needs
@@ -405,16 +419,20 @@ class PallasBackend(JaxBackend):
                 sk = 1 if m.shape[2] == 1 else min(tk - e.k[0] + e.k[1], m.shape[2])
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
                 nj = row_nj(m)
-                pi, pj = _pad_tile(ni, nj)
+                pi, pj = _pad_tile(ni, nj, _sublane(m.dtype))
                 total += slots * sk * pi * pj * m.dtype.itemsize  # buffering
                 if name in self.written:
-                    si, sj = _pad_tile(1 if ni == 1 else ti, min(nj, dJ))
+                    si, sj = _pad_tile(
+                        1 if ni == 1 else ti, min(nj, dJ), _sublane(m.dtype)
+                    )
                     total += slots * sk * si * sj * m.dtype.itemsize  # staging
                 max_val = max(max_val, sk * pi * pj * m.dtype.itemsize)
             for name, decl in self.analysis.stencil.temp_decls.items():
                 e = ext.alloc_extent(name)
                 tnj = dJ if circular else dJ - e.j[0] + e.j[1]
-                pi, pj = _pad_tile(ti - e.i[0] + e.i[1], tnj)
+                pi, pj = _pad_tile(
+                    ti - e.i[0] + e.i[1], tnj, _sublane(decl.dtype)
+                )
                 total += (
                     (tk - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
@@ -457,7 +475,7 @@ class PallasBackend(JaxBackend):
         tk_options = sorted(_divisors(dK), reverse=True)
         if aligned:
             ti_options = [
-                t for t in sorted(_divisors(dI), reverse=True) if t % _SUBLANE == 0
+                t for t in sorted(_divisors(dI), reverse=True) if t % subx == 0
             ]
         else:
             ti_options = sorted(
@@ -487,6 +505,7 @@ class PallasBackend(JaxBackend):
         column resident in VMEM."""
         dI, dJ, dK = domain
         ext = self.analysis.extents
+        subx = self._sub_max(metas)
         halos = self._halos_ij(metas, aligned, domain, expand_j=True)
 
         # serial sections evaluate K planes; PARALLEL sections evaluate
@@ -504,16 +523,24 @@ class PallasBackend(JaxBackend):
                 sk = m.shape[2]
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
                 nj = 1 if m.shape[1] == 1 else tj + hj0 + hj1
-                pi, pj = _pad_tile(ni, nj)
+                pi, pj = _pad_tile(ni, nj, _sublane(m.dtype))
                 total += slots * sk * pi * pj * m.dtype.itemsize
                 if name in self.written:
-                    si, sj = _pad_tile(1 if ni == 1 else ti, 1 if nj == 1 else tj)
+                    si, sj = _pad_tile(
+                        1 if ni == 1 else ti,
+                        1 if nj == 1 else tj,
+                        _sublane(m.dtype),
+                    )
                     total += slots * sk * si * sj * m.dtype.itemsize
                 skv = sk if has_parallel else min(sk, _SUBLANE)
                 max_val = max(max_val, skv * pi * pj * m.dtype.itemsize)
             for name, decl in self.analysis.stencil.temp_decls.items():
                 e = ext.alloc_extent(name)
-                pi, pj = _pad_tile(ti - e.i[0] + e.i[1], tj - e.j[0] + e.j[1])
+                pi, pj = _pad_tile(
+                    ti - e.i[0] + e.i[1],
+                    tj - e.j[0] + e.j[1],
+                    _sublane(decl.dtype),
+                )
                 total += (
                     (dK - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
@@ -525,7 +552,7 @@ class PallasBackend(JaxBackend):
             ti_options = [
                 t
                 for t in sorted(_divisors(dI), reverse=True)
-                if t % _SUBLANE == 0 and t <= 512
+                if t % subx == 0 and t <= 512
             ]
         else:
             tj_options = sorted(
@@ -557,14 +584,13 @@ class PallasBackend(JaxBackend):
         aligned = not interpret
         if aligned:
             # Mosaic has no 64-bit types; fall back to the XLA executor.
-            # 16-bit floats (bfloat16/float16) pack VMEM at (16, 128) --
-            # the planner below assumes the 4-byte (8, 128) tiling, so
-            # they fall back too until the planner is packing-aware.
+            # 16-bit dtypes run in-kernel: the planner is packing-aware
+            # (bf16/f16 buffers DMA at the (16, 128) tiling).
             for m in metas.values():
-                if m.dtype.itemsize in (2, 8):
+                if m.dtype.itemsize > 4:
                     raise _PallasIneligible()
             for decl in self.analysis.stencil.temp_decls.values():
-                if np.dtype(decl.dtype).itemsize in (2, 8):
+                if np.dtype(decl.dtype).itemsize > 4:
                     raise _PallasIneligible()
 
         analysis = self.analysis
@@ -632,11 +658,17 @@ class PallasBackend(JaxBackend):
                 oi, oj, _ok = m.origin
                 ok_i = ok_j = True
                 if need_i:
+                    sub = _sublane(m.dtype)
                     ok_i = (
                         hi0 <= oi
                         and dI >= max(hi0, hi1)
                         and oi + dI + hi1 <= m.shape[0]
-                        and (not aligned or dI % _SUBLANE == 0)
+                        # wrapped segments DMA at in-tile starts hi0 /
+                        # ni-hi1: those must sit on the packing too
+                        and (
+                            not aligned
+                            or (dI % sub == 0 and hi0 % sub == 0 and hi1 % sub == 0)
+                        )
                     )
                 if need_j:
                     if aligned:
@@ -800,8 +832,9 @@ class PallasBackend(JaxBackend):
                 return False
             m = metas[name]
             if aligned:
+                sub = _sublane(m.dtype)
                 oi, oj, _ = m.origin
-                if m.shape[0] != 1 and (oi % _SUBLANE or TI % _SUBLANE):
+                if m.shape[0] != 1 and (oi % sub or TI % sub):
                     return False
                 if m.shape[1] != 1 and (oj % _LANE or (TJ % _LANE if not mode_a else dJ % _LANE)):
                     return False
@@ -1058,9 +1091,15 @@ class PallasBackend(JaxBackend):
                 name: scratch_refs[idx].at[slot]
                 for idx, name in enumerate(field_names)
             }
-            tile_scalars = {
-                name: scalar_refs[i][0, 0] for i, name in enumerate(scalar_names)
-            }
+            tile_scalars = {}
+            for i, name in enumerate(scalar_names):
+                val = scalar_refs[i][0, 0]
+                decl = analysis.stencil.scalar_decls.get(name)
+                if decl is not None and val.dtype != np.dtype(decl.dtype):
+                    # 16-bit scalars ride SMEM widened to 32 bits (exact);
+                    # restore the declared dtype for promotion semantics
+                    val = val.astype(decl.dtype)
+                tile_scalars[name] = val
 
             gk, gi, gj = coords(t)
             tracer = JaxTracer(analysis, dict(tile_metas), (TI, TJ, TK))
@@ -1125,6 +1164,11 @@ class PallasBackend(JaxBackend):
             v = jnp.asarray(scalars[n], dtype=decl.dtype if decl else None)
             if aligned and v.dtype.itemsize > 4:
                 raise _PallasIneligible()  # no 64-bit types in Mosaic
+            if aligned and v.dtype.itemsize == 2:
+                # SMEM holds 32-bit words: widen (exact), narrow in-kernel
+                from gt4py_tpu.cartesian.analysis import is_float_dtype
+
+                v = v.astype(jnp.float32 if is_float_dtype(v.dtype) else jnp.int32)
             return v.reshape(1, 1)
 
         scalar_ops = [scalar_op(n) for n in scalar_names]
