@@ -66,6 +66,7 @@ from .builtins import (  # noqa: F401
 )
 from .type_system import (  # noqa: F401
     Dims,
+    bfloat16,
     bool_,
     float32,
     float64,

@@ -16,7 +16,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
+import ml_dtypes
 import numpy as np
+
+#: bfloat16's numpy ``kind`` is 'V' (void), so kind-string arithmetic
+#: checks must special-case it
+_BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
 
 from .common import (
     Connectivity,
@@ -236,13 +241,14 @@ uint32 = np.uint32
 uint64 = np.uint64
 float32 = np.float32
 float64 = np.float64
+bfloat16 = ml_dtypes.bfloat16  # TPU-native (beyond the reference)
 
 _SCALAR_ALIASES: Dict[Any, np.dtype] = {
     t: np.dtype(t)
     for t in (
         bool, int, float,
         bool_, int8, int16, int32, int64,
-        uint8, uint16, uint32, uint64, float32, float64,
+        uint8, uint16, uint32, uint64, float32, float64, bfloat16,
     )
 }
 
@@ -314,7 +320,10 @@ def is_deferred(t: TypeSpec) -> bool:
 
 def is_arithmetic(t: TypeSpec) -> bool:
     dt = extract_dtype(t)
-    return dt is not None and np.dtype(dt.kind).kind in "iuf"
+    if dt is None:
+        return False
+    ndt = np.dtype(dt.kind)
+    return ndt.kind in "iuf" or ndt == _BFLOAT16
 
 
 def is_logical(t: TypeSpec) -> bool:
