@@ -31,6 +31,23 @@ def test_random_program_pallas_f32_aligned(seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(20))
+def test_random_program_bf16_parity(seed):
+    """bfloat16 leg: random programs in bf16 on jax + the interpret-mode
+    kernel path.  Pure arithmetic matches the oracle bitwise; the
+    tolerance covers transcendental chains (the oracle rounds once from
+    f64, XLA upcasts per op) and bf16 scan accumulation."""
+    import ml_dtypes
+
+    run_differential_case(
+        seed,
+        backends=("jax", "pallas"),
+        dtype=np.dtype(ml_dtypes.bfloat16),
+        rtol=0.02,
+        atol=0.01,
+    )
+
+
 @pytest.mark.parametrize("seed", range(30))
 def test_random_program_periodic_parity(seed):
     """Periodic execution on random programs: jax pre-fill vs the oracle
