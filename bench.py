@@ -60,11 +60,11 @@ def _timed_loop(step_fn, state, iters, repeats=2, sum_keys=("u",)):
     return best
 
 
-def bench_tpu_dycore():
+def bench_tpu_dycore(dtype=None):
     """Per-iteration time of the fused hdiff+vadv+update step on device."""
     from gt4py_tpu.models import MiniDycore
 
-    model = MiniDycore(NI, NJ, NK, dtype=DTYPE, backend="pallas")
+    model = MiniDycore(NI, NJ, NK, dtype=dtype or DTYPE, backend="pallas")
     step = model.step_fn()
     state = _build_state(model)
 
@@ -75,14 +75,14 @@ def bench_tpu_dycore():
     return per_iter
 
 
-def bench_tpu_fv():
+def bench_tpu_fv(dtype=None):
     """Per-iteration time of the FVTP2D advection step on device."""
     import jax
     import jax.numpy as jnp
 
     from gt4py_tpu.models import FvAdvection
 
-    model = FvAdvection(NI, NJ, NK, dtype=DTYPE, backend="pallas")
+    model = FvAdvection(NI, NJ, NK, dtype=dtype or DTYPE, backend="pallas")
     st = {k: jnp.asarray(v) for k, v in model.init_state(seed=4).items()}
     st["cx"], st["cy"] = model.fill_winds(st["cx"], st["cy"])
     fv_step = model.step_fn(winds_filled=True)
@@ -276,6 +276,16 @@ def main():
             extra["fv_1024_gpoints"] = round(1024 * 1024 * NK / fv_big / 1e9, 3)
         except Exception as e:
             print(f"# fv-1024 bench failed: {e}", file=sys.stderr)
+        try:
+            import ml_dtypes
+
+            bf = ml_dtypes.bfloat16
+            dy_bf = bench_tpu_dycore(dtype=bf)
+            fv_bf = bench_tpu_fv(dtype=bf)
+            extra["dycore_bf16_ms"] = round(dy_bf * 1e3, 2)
+            extra["fv_bf16_ms"] = round(fv_bf * 1e3, 2)
+        except Exception as e:
+            print(f"# bf16 bench failed: {e}", file=sys.stderr)
 
     # combined BASELINE metric: total points processed per second across
     # the hdiff+vadv dycore step and the FVTP2D advection step
