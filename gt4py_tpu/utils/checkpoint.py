@@ -15,13 +15,24 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
+#: numpy extension dtypes (ml_dtypes) round-trip .npz as raw void ("|V2");
+#: store them as same-width uint views plus a dtype tag in the metadata
+_EXTENSION_DTYPES = ("bfloat16", "float8_e4m3fn", "float8_e5m2")
+
 
 def save_checkpoint(path: str, state: Dict[str, Any], *, step: int = 0,
                     metadata: Optional[Dict[str, Any]] = None) -> str:
     """Write a state dict (name -> array) plus metadata; atomic rename."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     arrays = {k: np.asarray(v) for k, v in state.items()}
+    ext_dtypes = {}
+    for k, v in arrays.items():
+        if v.dtype.kind == "V" and v.dtype.name in _EXTENSION_DTYPES:
+            ext_dtypes[k] = v.dtype.name
+            arrays[k] = v.view(f"u{v.dtype.itemsize}")
     meta = {"step": int(step), "keys": sorted(arrays), **(metadata or {})}
+    if ext_dtypes:
+        meta["__ext_dtypes__"] = ext_dtypes
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -32,9 +43,13 @@ def save_checkpoint(path: str, state: Dict[str, Any], *, step: int = 0,
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     """Read back (state, metadata)."""
+    import ml_dtypes  # registers the extension dtype names with numpy
+
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         state = {k: data[k] for k in data.files if k != "__meta__"}
+    for k, name in meta.pop("__ext_dtypes__", {}).items():
+        state[k] = state[k].view(np.dtype(name))
     return state, meta
 
 

@@ -73,6 +73,30 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["v"], state["v"])
 
 
+def test_checkpoint_roundtrip_bfloat16(tmp_path):
+    """Extension dtypes (.npz loads them as raw void): stored as uint16
+    views + a dtype tag, restored exactly."""
+    import ml_dtypes
+
+    from gt4py_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    bf = ml_dtypes.bfloat16
+    state = {
+        "q": np.random.default_rng(1).random((3, 4)).astype(bf),
+        "u": np.ones((2, 2), dtype=np.float32),
+    }
+    path = str(tmp_path / "bf.npz")
+    save_checkpoint(path, state, step=7)
+    loaded, meta = load_checkpoint(path)
+    assert meta["step"] == 7
+    assert "__ext_dtypes__" not in meta  # consumed by the loader
+    assert loaded["q"].dtype == np.dtype(bf)
+    np.testing.assert_array_equal(
+        loaded["q"].view(np.uint16), state["q"].view(np.uint16)
+    )
+    assert loaded["u"].dtype == np.float32
+
+
 def test_checkpoint_restore_to_device(tmp_path):
     import jax.numpy as jnp
 

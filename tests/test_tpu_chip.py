@@ -218,3 +218,141 @@ def test_dynamic_data_index_on_chip():
     st_n(vn, idx0.copy(), a0.copy(), on, origin=origin, domain=dom)
     np.testing.assert_array_equal(op, on)
     np.testing.assert_array_equal(vp, vn)
+
+
+def test_bf16_mode_a_kernel_on_chip():
+    """bf16 buffers DMA at the (16, 128) packing: the planner expands
+    halos/tiles to 16-row multiples.  Origin 8 exercises the halo
+    expansion (window start 0), origin 16 the natural alignment."""
+    import ml_dtypes
+
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, bfloat16, computation, interval
+
+    BF = gtscript.Field[bfloat16]
+
+    @gtscript.stencil(backend="pallas")
+    def lap_p(a: BF, out: BF, *, w: bfloat16):
+        with computation(PARALLEL), interval(...):
+            out = a - w * (a[1, 0, 0] + a[-1, 0, 0] + a[0, 1, 0] + a[0, -1, 0] - 4.0 * a)
+
+    @gtscript.stencil(backend="jax")
+    def lap_j(a: BF, out: BF, *, w: bfloat16):
+        with computation(PARALLEL), interval(...):
+            out = a - w * (a[1, 0, 0] + a[-1, 0, 0] + a[0, 1, 0] + a[0, -1, 0] - 4.0 * a)
+
+    rng = np.random.default_rng(11)
+    for oi, dI in ((8, 32), (16, 32)):
+        shape = (oi + dI + 16, 128 + 256 + 128, 8)
+        origin = (oi, 128, 0)
+        dom = (dI, 256, 8)
+        a = rng.random(shape).astype(ml_dtypes.bfloat16)
+        op = np.zeros(shape, ml_dtypes.bfloat16)
+        oj = np.zeros(shape, ml_dtypes.bfloat16)
+        w = ml_dtypes.bfloat16(0.12)
+        _no_new_fallbacks(lambda: lap_p(a.copy(), op, w=w, origin=origin, domain=dom))
+        lap_j(a.copy(), oj, w=w, origin=origin, domain=dom)
+        # XLA may fuse the bf16 chain with excess precision; allow 2 ulps
+        np.testing.assert_allclose(
+            np.asarray(op, np.float32), np.asarray(oj, np.float32),
+            rtol=2 ** -7, atol=2 ** -7, err_msg=f"origin {oi}",
+        )
+
+
+def test_bf16_scan_and_mixed_dtype_on_chip():
+    """bf16 serial-K scan (mode B, full column in VMEM) and a mixed
+    f32+bf16 stencil (stencil-wide 16-row packing) on real Mosaic."""
+    import ml_dtypes
+
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import FORWARD, PARALLEL, bfloat16, computation, interval
+
+    BF = gtscript.Field[bfloat16]
+    F32 = gtscript.Field[np.float32]
+
+    @gtscript.stencil(backend="pallas")
+    def scan_p(a: BF, out: BF):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = a
+            with interval(1, None):
+                out = out[0, 0, -1] + a
+
+    @gtscript.stencil(backend="jax")
+    def scan_j(a: BF, out: BF):
+        with computation(FORWARD):
+            with interval(0, 1):
+                out = a
+            with interval(1, None):
+                out = out[0, 0, -1] + a
+
+    shape = (16 + 32, 128 + 256 + 128, 8)
+    origin = (16, 128, 0)
+    dom = (32, 256, 8)
+    rng = np.random.default_rng(12)
+    a = rng.random(shape).astype(ml_dtypes.bfloat16)
+    op = np.zeros(shape, ml_dtypes.bfloat16)
+    oj = np.zeros(shape, ml_dtypes.bfloat16)
+    _no_new_fallbacks(lambda: scan_p(a.copy(), op, origin=origin, domain=dom))
+    scan_j(a.copy(), oj, origin=origin, domain=dom)
+    # both accumulate in bf16 step order: bitwise
+    np.testing.assert_array_equal(np.asarray(op, np.float32), np.asarray(oj, np.float32))
+
+    @gtscript.stencil(backend="pallas")
+    def mixed_p(a: BF, c: F32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a[1, 0, 0] * c + a[-1, 0, 0]
+
+    @gtscript.stencil(backend="jax")
+    def mixed_j(a: BF, c: F32, out: F32):
+        with computation(PARALLEL), interval(...):
+            out = a[1, 0, 0] * c + a[-1, 0, 0]
+
+    c = rng.random(shape, dtype=np.float32)
+    mp = np.zeros(shape, np.float32)
+    mj = np.zeros(shape, np.float32)
+    _no_new_fallbacks(lambda: mixed_p(a.copy(), c.copy(), mp, origin=origin, domain=dom))
+    mixed_j(a.copy(), c.copy(), mj, origin=origin, domain=dom)
+    np.testing.assert_allclose(mp, mj, rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_autodiff_on_chip():
+    """jax.grad through the pallas functional path on chip: the custom
+    VJP runs the Mosaic kernel forward and the XLA executor backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval
+
+    F32 = gtscript.Field[np.float32]
+
+    def defn(a: F32, out: F32, *, w: np.float32):
+        with computation(PARALLEL), interval(...):
+            out = a - w * (a[1, 0, 0] + a[-1, 0, 0] - 2.0 * a)
+
+    shape = (16 + 16, 128 + 256 + 128, 8)
+    origin = (8, 128, 0)
+    dom = (16, 256, 8)
+    fns = {
+        be: gtscript.stencil(backend=be, name=f"chip_ad_{be}")(defn).functional(
+            origin=origin, domain=dom
+        )
+        for be in ("jax", "pallas")
+    }
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random(shape, dtype=np.float32))
+    w0 = jnp.float32(0.2)
+
+    def loss(fn, a, w):
+        return jnp.sum(fn(a=a, out=jnp.zeros_like(a), w=w)["out"] ** 2)
+
+    for argnum in (0, 1):
+        gj = jax.jit(jax.grad(lambda a, w: loss(fns["jax"], a, w), argnum))(x, w0)
+        gp = _no_new_fallbacks(
+            lambda: jax.jit(jax.grad(lambda a, w: loss(fns["pallas"], a, w), argnum))(x, w0)
+        )
+        gj64 = np.asarray(gj, np.float64)
+        gp64 = np.asarray(gp, np.float64)
+        np.testing.assert_allclose(gp64, gj64, rtol=2e-5, atol=1e-6)
+        assert np.abs(gj64).max() > 0
