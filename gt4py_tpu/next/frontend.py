@@ -737,7 +737,9 @@ class TypeDeduction:
         node.operand_kind = kind
         dims = promote_dims(ts.extract_dims(lt), ts.extract_dims(rt))
         if isinstance(lt, ts.FieldType) or isinstance(rt, ts.FieldType):
-            return ts.FieldType(dims, ts.ScalarType(kind))
+            # weak survives only all-weak operands (e.g. two where()s of
+            # literals); any concrete operand fixes the dtype
+            return ts.FieldType(dims, ts.ScalarType(kind, weak=weak))
         return ts.ScalarType(kind, weak=weak)
 
     # -- calls -- #
@@ -799,6 +801,8 @@ def _is_scalar_bool(t: ts.TypeSpec) -> bool:
 def _strip_weak(t: ts.TypeSpec) -> ts.TypeSpec:
     if isinstance(t, ts.ScalarType) and t.weak:
         return ts.ScalarType(t.kind)
+    if isinstance(t, ts.FieldType) and t.dtype.weak:
+        return ts.FieldType(t.dims, ts.ScalarType(t.dtype.kind))
     if isinstance(t, ts.TupleType):
         return ts.TupleType(tuple(_strip_weak(x) for x in t.types))
     return t
@@ -924,7 +928,11 @@ def _rule_where(self, node, argts, kwargts):
     dims = promote_dims(ts.extract_dims(c), ts.extract_dims(merged))
     dt = ts.extract_dtype(merged)
     if dims:
-        return ts.FieldType(dims, ts.ScalarType(np.dtype(dt.kind)))
+        # weak branches (both literals) keep adapting downstream, jax-style:
+        # where(cond, 0.5, 1.0) + bf16_field stays bf16
+        return ts.FieldType(
+            dims, ts.ScalarType(np.dtype(dt.kind), weak=getattr(dt, "weak", False))
+        )
     return merged
 
 
@@ -949,7 +957,9 @@ def _rule_concat_where(self, node, argts, kwargts):
     merged = self._binop_type(node, a, b, compare=True)
     dims = promote_dims(ts.extract_dims(merged), d.dims)
     dt = ts.extract_dtype(merged)
-    return ts.FieldType(dims, ts.ScalarType(np.dtype(dt.kind)))
+    return ts.FieldType(
+        dims, ts.ScalarType(np.dtype(dt.kind), weak=getattr(dt, "weak", False))
+    )
 
 
 def _rule_broadcast(self, node, argts, kwargts):
@@ -972,7 +982,9 @@ def _rule_broadcast(self, node, argts, kwargts):
     dt = ts.extract_dtype(v)
     if dt is None:
         raise _err(f"cannot broadcast a value of type {v}", node)
-    return ts.FieldType(dims, ts.ScalarType(np.dtype(dt.kind)))
+    return ts.FieldType(
+        dims, ts.ScalarType(np.dtype(dt.kind), weak=getattr(dt, "weak", False))
+    )
 
 
 def _rule_astype(self, node, argts, kwargts):

@@ -152,16 +152,19 @@ class Interpreter:
         raise _err(f"cannot evaluate {type(node).__name__}", node)
 
     def _cast_operand(self, opnode: fvir.Expr, target):
-        """Evaluate an operand; weak scalars are cast to the operation's
-        deduced operand dtype so oracle and product agree bitwise."""
+        """Evaluate an operand; weak scalars (and weak fields: where()/
+        broadcast() of literals) are cast to the operation's deduced
+        operand dtype so oracle and product agree bitwise."""
         v = self.eval(opnode)
         t = opnode.type
-        if (
-            target is not None
-            and isinstance(t, ts.ScalarType)
-            and t.weak
-            and not isinstance(v, Field)
-        ):
+        if target is None:
+            return v
+        if isinstance(t, ts.FieldType) and t.dtype.weak and isinstance(v, Field):
+            dt = np.dtype(target)
+            if np.dtype(v.dtype) != dt:
+                return Field(v.domain, v.data.astype(dt))
+            return v
+        if isinstance(t, ts.ScalarType) and t.weak and not isinstance(v, Field):
             if isinstance(v, (int, float, bool, complex, np.generic)):
                 return np.dtype(target).type(v)
             # traced scalar (jit/vmap over a scalar argument): cast in-graph

@@ -95,7 +95,7 @@ class OperatorGenerator:
 
 
 def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
-                          transforms: bool = False) -> None:
+                          transforms: bool = False, dtype=np.float64) -> None:
     import gt4py_tpu.next as gtx
     from gt4py_tpu.next import (
         Dimension,
@@ -129,20 +129,23 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
             n = nprng.integers(1, width + 1)
             table[v, :n] = nprng.integers(0, ne, n)
         V2E = as_connectivity(table, source=Vertex, codomain=Edge)
-        FT = Field[Dims[Edge], np.float64]
-        RT = Field[Dims[Vertex], np.float64]
+        FT = Field[Dims[Edge], dtype]
+        RT = Field[Dims[Vertex], dtype]
         data_dims, shape = (Edge,), (ne,)
     else:
         V2E = None
-        FT = Field[Dims[I, J], np.float64]
-        RT = Field[Dims[I, J], np.float64]
+        FT = Field[Dims[I, J], dtype]
+        RT = Field[Dims[I, J], dtype]
         data_dims, shape = (I, J), (10, 9)
 
     gen = OperatorGenerator(rng, with_unstructured=unstructured)
     src = gen.generate()
 
+    # the generated source annotates ``s: float64``; binding the name to
+    # the case dtype keeps the scalar's concrete type equal to the fields'
+    # (the type system correctly rejects mixed concrete dtypes)
     ns = dict(
-        FT=FT, RT=RT, float64=np.float64, where=where, minimum=minimum,
+        FT=FT, RT=RT, float64=dtype, where=where, minimum=minimum,
         maximum=maximum, neighbor_sum=neighbor_sum, Ioff=Ioff, Joff=Joff,
         V2E=V2E,
     )
@@ -156,9 +159,9 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     exec(code, ns)
     op = field_operator(ns["op"])
 
-    a_np = nprng.random(shape)
-    b_np = nprng.random(shape)
-    s = float(nprng.uniform(-1, 1))
+    a_np = nprng.random(shape).astype(dtype)
+    b_np = nprng.random(shape).astype(dtype)
+    s = np.dtype(dtype).type(nprng.uniform(-1, 1))
 
     results = {}
     for alloc in ("numpy", "jax"):

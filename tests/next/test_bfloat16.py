@@ -91,6 +91,25 @@ def test_bf16_scan_operator():
     )
 
 
+def test_bf16_weak_field_from_where_adapts():
+    """where() of two literals over a field condition produces a WEAK
+    field (jax-style): combining it with a bf16 field stays bf16 instead
+    of erroring on a concrete f64."""
+    from gt4py_tpu.next import where
+
+    @field_operator
+    def fo(a: BFField) -> BFField:
+        sel = where(a > 0.5, 1.0, 0.25)
+        return a * sel
+
+    a = as_field((I, J), _bf(7, (4, 5)))
+    out = fo(a)
+    assert np.dtype(out.dtype) == np.dtype(ml_dtypes.bfloat16)
+    an = np.asarray(a.data, np.float32)
+    expect = an * np.where(an > 0.5, 1.0, 0.25).astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(out.data, np.float32), expect.astype(ml_dtypes.bfloat16).astype(np.float32))
+
+
 def test_bf16_astype_boundary():
     @field_operator
     def fo(a: Field[Dims[I, J], np.float32]) -> BFField:

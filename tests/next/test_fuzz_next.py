@@ -16,3 +16,13 @@ def test_random_field_operator_parity(seed):
 def test_random_field_operator_jit_vmap_invariance(seed):
     """The jax path under jit and vmap must match the numpy oracle."""
     run_differential_case(seed, transforms=True)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_field_operator_bf16(seed):
+    """bfloat16 leg: the same generated operators with bf16 fields and
+    scalars.  Exercises weak-literal adaptation into bf16 (incl. weak
+    fields from where() of literals) and bf16 reductions."""
+    import ml_dtypes
+
+    run_differential_case(seed, dtype=ml_dtypes.bfloat16, rtol=0.02, atol=0.01)
