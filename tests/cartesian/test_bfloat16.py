@@ -187,6 +187,44 @@ def test_bf16_storage_and_arg_validation():
         st(wrong, np.zeros((4, 4, 2), dtype=bfloat16))
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_f16_arith_parity_bitwise(backend):
+    """float16 rides the same sub-f32 machinery as bfloat16 (its numpy
+    kind IS 'f', so it exercises the non-'V' half of the code paths)."""
+    Field16 = gtscript.Field[np.float16]
+
+    def defn_f16(inp: Field16, out: Field16):
+        with computation(PARALLEL), interval(...):
+            out = inp[1, 0, 0] + inp[-1, 0, 0] - 2.0 * inp
+
+    fields = {
+        "inp": _mk(8, (8, 8, 3), np.float16),
+        "out": np.zeros((8, 8, 3), dtype=np.float16),
+    }
+    ora = _run(defn_f16, "numpy", fields, origin=(1, 0, 0), domain=(6, 8, 3))
+    res = _run(defn_f16, backend, fields, origin=(1, 0, 0), domain=(6, 8, 3))
+    np.testing.assert_array_equal(res["out"], ora["out"])
+
+
+def test_dtypes_mapping_to_bfloat16():
+    """``dtypes={float: bfloat16}``: stencils written against generic
+    ``float`` annotations rebind to bf16 at build time (reference
+    dtypes= mechanism, gtscript.py stencil kwargs)."""
+
+    def defn(inp: gtscript.Field[float], out: gtscript.Field[float]):
+        with computation(PARALLEL), interval(...):
+            out = inp * 2.0
+
+    st = gtscript.stencil(
+        backend="numpy", name="bf16_dtypes_map", dtypes={float: bfloat16}
+    )(defn)
+    inp = _mk(9, (4, 4, 2))
+    out = np.zeros_like(inp)
+    st(inp, out)
+    assert out.dtype == BFLOAT16
+    np.testing.assert_array_equal(out, (inp.astype(np.float32) * 2.0).astype(bfloat16))
+
+
 def test_bf16_pallas_falls_back_on_chip_geometry():
     """On real TPU the pallas planner (4-byte tiling) must route bf16
     stencils to the XLA executor, not crash in Mosaic.  On CPU interpret
