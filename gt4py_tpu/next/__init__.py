@@ -25,6 +25,7 @@ from .common import (  # noqa: F401
 )
 from .constructors import as_connectivity, as_field, empty, full, ones, zeros  # noqa: F401
 from .ffront import field_operator, program, scan_operator  # noqa: F401
+from . import backends  # noqa: F401  (numpy_oracle / jax_eager / jax_jit)
 from .builtins import (  # noqa: F401
     abs,  # noqa: A004
     arccos,

@@ -124,6 +124,8 @@ class FieldOperator:
 
     # -- execution -- #
 
+    _backend = None  # None = embedded: follow the arguments' namespace
+
     def __call__(self, *args, out: Optional[Field] = None,
                  domain: Optional[Domain] = None, offset_provider=None, **kwargs):
         if kwargs:
@@ -131,10 +133,14 @@ class FieldOperator:
                 f"'{self.__name__}' takes positional arguments only "
                 f"(got keywords {sorted(kwargs)})"
             )
-        typed, _ = self._typed_for(tuple(_value_type(a) for a in args))
-        env = {p.name: a for p, a in zip(typed.params, args)}
-        env.update(typed.closure)
-        result = Interpreter(typed, env).run()
+        if self._backend is not None:
+            args = tuple(self._backend.convert(a) for a in args)
+            if self._backend.jit:
+                result = self._jit_run(args)
+            else:
+                result = self._run_typed(args)
+        else:
+            result = self._run_typed(args)
         if out is None:
             return result
         if isinstance(result, tuple):
@@ -144,8 +150,32 @@ class FieldOperator:
             _write_out(result, out, domain)
         return None
 
-    def with_backend(self, backend):  # API parity; embedded-on-jax only
-        return self
+    def _run_typed(self, args):
+        typed, _ = self._typed_for(tuple(_value_type(a) for a in args))
+        env = {p.name: a for p, a in zip(typed.params, args)}
+        env.update(typed.closure)
+        return Interpreter(typed, env).run()
+
+    def _jit_run(self, args):
+        """Stage the embedded run under jax.jit (Fields are pytrees, so
+        jit caches per domain/shape/dtype structure)."""
+        import jax
+
+        if "_jit_fn" not in self.__dict__:
+            self._jit_fn = jax.jit(self._run_typed)
+        return self._jit_fn(args)
+
+    def with_backend(self, backend) -> "FieldOperator":
+        """Pick the executor (next/backends.py: numpy_oracle / jax_eager /
+        jax_jit or their reference-name aliases); None = embedded."""
+        import copy
+
+        from . import backends
+
+        new = copy.copy(self)
+        new.__dict__.pop("_jit_fn", None)
+        new._backend = backends.resolve(backend)
+        return new
 
     def with_grid_type(self, grid_type):  # API parity
         return self
@@ -187,6 +217,10 @@ class ScanOperator(FieldOperator):
 
     def __call__(self, *args, out: Optional[Field] = None,
                  domain: Optional[Domain] = None, offset_provider=None):
+        if self._backend is not None:
+            # scans run lax.scan / the column loop directly; the backend
+            # picks the namespace (jit staging applies to whole programs)
+            args = tuple(self._backend.convert(a) for a in args)
         fields = [a for a in args if isinstance(a, Field)]
         if not fields:
             raise TypeError("scan_operator needs at least one Field argument")
@@ -304,6 +338,8 @@ class Program:
         (no retrace); uncompiled Programs execute embedded.
     """
 
+    _backend = None  # None = embedded (see next/backends.py)
+
     def __init__(self, definition: Callable, *, static_params: Tuple[str, ...] = (),
                  bound_args: Optional[Dict[str, Any]] = None):
         self.definition = definition
@@ -370,6 +406,21 @@ class Program:
 
     def __call__(self, *args, offset_provider=None, **kwargs):
         merged = self._bind(args, kwargs)
+        if self._backend is not None:
+            # convert non-out inputs; out params keep the caller's buffers
+            # (results are written back into them)
+            merged = [
+                a
+                if p.name in self._out_params
+                else self._backend.convert(a)
+                for p, a in zip(self.ir.params, merged)
+            ]
+            if self._backend.jit and self._pool is None:
+                from .compiled_program import CompiledProgramsPool
+
+                self._pool = CompiledProgramsPool(
+                    self._functional(), static_params=self._static_params
+                )
         if self._pool is not None:
             return self._dispatch_compiled(merged)
         self._run_embedded(merged)
@@ -458,7 +509,16 @@ class Program:
         )
 
     def with_backend(self, backend) -> "Program":
-        return self
+        """Pick the executor (next/backends.py); jit backends compile the
+        whole program through the AOT pool on first call."""
+        import copy
+
+        from . import backends
+
+        new = copy.copy(self)
+        new._backend = backends.resolve(backend)
+        new._pool = None  # each backend keeps its own compiled variants
+        return new
 
     def _functional(self):
         """Pure function (param datas in -> out datas) for jit/AOT."""
