@@ -80,6 +80,41 @@ def _value_type(v) -> ts.TypeSpec:
         return ts.DeferredType()
 
 
+def _canon_value(v, backend=None):
+    """Flatten named-collection instances (NamedTuple/dataclass) to plain
+    tuples for the interpreter -- member Fields stay the SAME objects, so
+    in-place out= writes reach the caller's collections -- and move Fields
+    into the backend's namespace when one is set."""
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(v) and not isinstance(v, type):
+        return tuple(
+            _canon_value(getattr(v, f.name), backend) for f in _dc.fields(v)
+        )
+    if isinstance(v, tuple):
+        return tuple(_canon_value(x, backend) for x in v)
+    return backend.convert(v) if backend is not None else v
+
+
+def _rebuild_collections(t: ts.TypeSpec, v):
+    """Reconstruct named-collection instances on operator results, per the
+    deduced return type's origin class."""
+    if isinstance(t, ts.TupleType) and isinstance(v, tuple):
+        parts = tuple(_rebuild_collections(x, y) for x, y in zip(t.types, v))
+        if t.origin is not None and t.names is not None:
+            return t.origin(**dict(zip(t.names, parts)))
+        return parts
+    return v
+
+
+def _write_out_any(result, out, domain) -> None:
+    if isinstance(result, tuple):
+        for r, o in zip(result, out):
+            _write_out_any(r, o, domain)
+    else:
+        _write_out(result, out, domain)
+
+
 class FieldOperator:
     """Callable wrapper over a parsed+typed operator definition
     (reference: decorator.FieldOperator :558)."""
@@ -99,7 +134,10 @@ class FieldOperator:
     # -- typing -- #
 
     def _typed_for(self, arg_types: Tuple[ts.TypeSpec, ...]):
-        key = arg_types
+        # names/origin don't participate in TupleType equality (structural
+        # typing) but DO change attribute resolution: key on the rendered
+        # form too so named and plain tuples get separate deductions
+        key = (arg_types, tuple(str(t) for t in arg_types))
         hit = self._typed_cache.get(key)
         if hit is None:
             hit = frontend.deduce(self.ir, list(arg_types))
@@ -133,37 +171,35 @@ class FieldOperator:
                 f"'{self.__name__}' takes positional arguments only "
                 f"(got keywords {sorted(kwargs)})"
             )
-        if self._backend is not None:
-            args = tuple(self._backend.convert(a) for a in args)
-            if self._backend.jit:
-                result = self._jit_run(args)
-            else:
-                result = self._run_typed(args)
+        # deduce from the ORIGINAL args (named-collection instances carry
+        # their member names), execute on the flattened canonical values
+        arg_types = tuple(_value_type(a) for a in args)
+        canon = tuple(_canon_value(a, self._backend) for a in args)
+        if self._backend is not None and self._backend.jit:
+            result = self._jit_run(canon, arg_types)
         else:
-            result = self._run_typed(args)
+            result = self._run_typed(canon, arg_types)
         if out is None:
-            return result
-        if isinstance(result, tuple):
-            for r, o in zip(result, out):
-                _write_out(r, o, domain)
-        else:
-            _write_out(result, out, domain)
+            _, ret_t = self._typed_for(arg_types)
+            return _rebuild_collections(ret_t, result)
+        _write_out_any(result, _canon_value(out), domain)
         return None
 
-    def _run_typed(self, args):
-        typed, _ = self._typed_for(tuple(_value_type(a) for a in args))
+    def _run_typed(self, args, arg_types):
+        typed, _ = self._typed_for(arg_types)
         env = {p.name: a for p, a in zip(typed.params, args)}
         env.update(typed.closure)
         return Interpreter(typed, env).run()
 
-    def _jit_run(self, args):
+    def _jit_run(self, args, arg_types):
         """Stage the embedded run under jax.jit (Fields are pytrees, so
         jit caches per domain/shape/dtype structure)."""
         import jax
+        from functools import partial
 
         if "_jit_fn" not in self.__dict__:
-            self._jit_fn = jax.jit(self._run_typed)
-        return self._jit_fn(args)
+            self._jit_fn = jax.jit(self._run_typed, static_argnums=(1,))
+        return self._jit_fn(args, arg_types)
 
     def with_backend(self, backend) -> "FieldOperator":
         """Pick the executor (next/backends.py: numpy_oracle / jax_eager /
@@ -406,15 +442,19 @@ class Program:
 
     def __call__(self, *args, offset_provider=None, **kwargs):
         merged = self._bind(args, kwargs)
+        # flatten named-collection instances (member Fields stay shared, so
+        # out= writes reach the caller); convert non-out inputs to the
+        # backend's namespace -- out params keep the caller's buffers
+        merged = [
+            _canon_value(
+                a,
+                None
+                if self._backend is None or p.name in self._out_params
+                else self._backend,
+            )
+            for p, a in zip(self.ir.params, merged)
+        ]
         if self._backend is not None:
-            # convert non-out inputs; out params keep the caller's buffers
-            # (results are written back into them)
-            merged = [
-                a
-                if p.name in self._out_params
-                else self._backend.convert(a)
-                for p, a in zip(self.ir.params, merged)
-            ]
             if self._backend.jit and self._pool is None:
                 from .compiled_program import CompiledProgramsPool
 

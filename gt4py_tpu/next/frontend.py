@@ -401,9 +401,10 @@ class _Parser(ast.NodeVisitor):
                     mangled = cur.id + "." + ".".join(reversed(chain))
                     self.used_closure[mangled] = value
                     return fvir.Name(loc, id=mangled)
-            raise _err(
-                "attribute access is not allowed in field-view code "
-                "(bind the value to a name outside the operator)", loc
+            # member access on a local value (named-collection parameters /
+            # temporaries); type deduction validates the member name
+            return fvir.AttrGet(
+                loc, value=self._expr(node.value), attr=node.attr
             )
         raise _err(
             f"unsupported expression '{type(node).__name__}' in field-view code", loc
@@ -454,6 +455,10 @@ def external_type(value, loc=None) -> ts.TypeSpec:
         return ts.OperatorType(op=value)
     if isinstance(value, type) and value in ts._SCALAR_ALIASES:
         return ts.CastType(ts._SCALAR_ALIASES[value])
+    if isinstance(value, type) and ts.collection_fields(value) is not None:
+        # NamedTuple / dataclass class used as an in-operator constructor
+        tt = ts.from_annotation(value)
+        return ts.CollectionCtorType(tuple_type=tt)
     if callable(value) and value in _BUILTIN_RULES:
         return ts.BuiltinType(fn=value)
     try:
@@ -695,6 +700,23 @@ class TypeDeduction:
             if ts.is_deferred(tt) or ts.is_deferred(ft):
                 return ts.DeferredType()
             return self._binop_type(node, tt, ft, compare=True)
+        if isinstance(node, fvir.AttrGet):
+            vt = self.expr(node.value)
+            if ts.is_deferred(vt):
+                return ts.DeferredType()
+            if isinstance(vt, ts.TupleType) and vt.names:
+                if node.attr not in vt.names:
+                    raise _err(
+                        f"'{node.attr}' is not a member of {vt} "
+                        f"(members: {', '.join(vt.names)})", node
+                    )
+                node.index = vt.names.index(node.attr)
+                return vt.types[node.index]
+            raise _err(
+                f"cannot access attribute '{node.attr}' on a value of type "
+                f"{vt} (only NamedTuple/dataclass collections have members)",
+                node,
+            )
         if isinstance(node, fvir.Subscript):
             vt = self.expr(node.value)
             if isinstance(vt, ts.OffsetType):
@@ -780,6 +802,43 @@ class TypeDeduction:
 
         if isinstance(ft, ts.CastType):
             raise _err("type constructors are only valid as astype(x, T)", node)
+
+        if isinstance(ft, ts.CollectionCtorType):
+            # Vel(u=..., v=...) or Vel(a, b): a named-collection literal --
+            # lowered to an ordered tuple; reconstruction to the class
+            # happens at the operator boundary
+            tt = ft.tuple_type
+            names = tt.names or ()
+            members: dict = {}
+            for name, at in zip(names, argts):
+                members[name] = at
+            for k, at in kwargts.items():
+                if k not in names:
+                    raise _err(
+                        f"'{k}' is not a member of {tt} "
+                        f"(members: {', '.join(names)})", node
+                    )
+                if k in members:
+                    raise _err(f"duplicate member '{k}'", node)
+                members[k] = at
+            missing = [n for n in names if n not in members]
+            if len(argts) > len(names) or missing:
+                raise _err(
+                    f"constructor of {tt} needs exactly its members "
+                    f"({', '.join(names)}); missing: {missing}", node
+                )
+            for n, declared in zip(names, tt.types):
+                got = members[n]
+                if not ts.is_deferred(declared) and not ts.accepts(
+                    declared, _strip_weak(got)
+                ):
+                    raise _err(
+                        f"member '{n}' expects {declared}, got {got}", node
+                    )
+            node.collection_order = tuple(names)
+            return ts.TupleType(
+                tuple(members[n] for n in names), names=tt.names, origin=tt.origin
+            )
 
         if isinstance(ft, ts.BuiltinType):
             rule = _BUILTIN_RULES[ft.fn]

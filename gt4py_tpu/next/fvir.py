@@ -111,6 +111,16 @@ class Subscript(Expr):
 
 
 @dataclasses.dataclass
+class AttrGet(Expr):
+    """``vel.u`` -- member access on a named collection (NamedTuple /
+    dataclass typed value); type deduction resolves ``index``."""
+
+    value: Expr = None
+    attr: str = ""
+    index: int = -1  # filled by type deduction
+
+
+@dataclasses.dataclass
 class TupleExpr(Expr):
     elts: List[Expr] = dataclasses.field(default_factory=list)
 

@@ -147,6 +147,9 @@ class Interpreter:
         if isinstance(node, fvir.Subscript):
             v = self.eval(node.value)
             return v[node.index]
+        if isinstance(node, fvir.AttrGet):
+            v = self.eval(node.value)
+            return v[node.index]  # index resolved by type deduction
         if isinstance(node, fvir.Call):
             return self._call(node)
         raise _err(f"cannot evaluate {type(node).__name__}", node)
@@ -172,6 +175,15 @@ class Interpreter:
         return v
 
     def _call(self, node: fvir.Call):
+        order = getattr(node, "collection_order", None)
+        if order is not None:
+            # named-collection constructor: ordered plain tuple in-IR
+            members = {}
+            for name, a in zip(order, node.args):
+                members[name] = self.eval(a)
+            for k, v in node.kwargs.items():
+                members[k] = self.eval(v)
+            return tuple(members[n] for n in order)
         fn = self.eval(node.func)
         args = [self.eval(a) for a in node.args]
         kwargs = {k: self.eval(v) for k, v in node.kwargs.items()}

@@ -87,9 +87,20 @@ class FieldType(TypeSpec):
 
 @dataclasses.dataclass(frozen=True)
 class TupleType(TypeSpec):
+    """Tuple of types; optionally a NAMED collection (reference: NamedTuple
+    / dataclass parameters, tests/next_tests/.../test_named_collections.py).
+    ``names``/``origin`` don't participate in equality: named collections
+    are structurally compatible with plain tuples of the same types."""
+
     types: Tuple[TypeSpec, ...]
+    names: Optional[Tuple[str, ...]] = dataclasses.field(default=None, compare=False)
+    origin: Any = dataclasses.field(default=None, compare=False)
 
     def __str__(self):
+        if self.names:
+            inner = ", ".join(f"{n}: {t}" for n, t in zip(self.names, self.types))
+            cls = getattr(self.origin, "__name__", "namedtuple")
+            return f"{cls}[{inner}]"
         return f"tuple[{', '.join(map(str, self.types))}]"
 
     def __iter__(self):
@@ -186,6 +197,17 @@ class BuiltinType(TypeSpec):
         return f"builtin[{getattr(self.fn, '__name__', '?')}]"
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class CollectionCtorType(TypeSpec):
+    """A NamedTuple/dataclass class used as a constructor inside an
+    operator (``Vel(u=..., v=...)``)."""
+
+    tuple_type: TupleType
+
+    def __str__(self):
+        return f"constructor[{self.tuple_type}]"
+
+
 # --------------------------------------------------------------------- #
 # annotation surface:  Field[Dims[I, J], float64]
 # --------------------------------------------------------------------- #
@@ -253,6 +275,40 @@ _SCALAR_ALIASES: Dict[Any, np.dtype] = {
 }
 
 
+def collection_fields(obj) -> Optional[Tuple[Tuple[str, ...], Tuple[Any, ...]]]:
+    """(member names, member annotations) for a NamedTuple class or a
+    dataclass (class or instance); None for anything else."""
+    cls = obj if isinstance(obj, type) else type(obj)
+    if issubclass(cls, tuple) and hasattr(cls, "_fields"):
+        ann = _resolved_annotations(cls)
+        return tuple(cls._fields), tuple(ann.get(n) for n in cls._fields)
+    if dataclasses.is_dataclass(cls):
+        ann = _resolved_annotations(cls)
+        names = tuple(f.name for f in dataclasses.fields(cls))
+        return names, tuple(ann.get(n, f.type) for n, f in zip(
+            names, dataclasses.fields(cls)
+        ))
+    return None
+
+
+def _resolved_annotations(cls) -> Dict[str, Any]:
+    """__annotations__ with string entries (PEP 563) evaluated against the
+    class's module globals; unresolvable entries stay as strings (they fail
+    later in from_annotation with a clear error)."""
+    import sys
+
+    ann = dict(getattr(cls, "__annotations__", {}))
+    mod = sys.modules.get(getattr(cls, "__module__", ""), None)
+    g = getattr(mod, "__dict__", {})
+    for k, v in ann.items():
+        if isinstance(v, str):
+            try:
+                ann[k] = eval(v, g)  # noqa: S307 -- annotation strings
+            except Exception:
+                pass
+    return ann
+
+
 def from_annotation(hint) -> TypeSpec:
     """Translate a parameter annotation into a TypeSpec."""
     if hint is None or hint is dataclasses.MISSING:
@@ -261,6 +317,12 @@ def from_annotation(hint) -> TypeSpec:
         return hint
     if hint is Field:
         return DeferredType(constraint="field")
+    fields = collection_fields(hint) if isinstance(hint, type) else None
+    if fields is not None:
+        names, anns = fields
+        return TupleType(
+            tuple(from_annotation(a) for a in anns), names=names, origin=hint
+        )
     if hint in _SCALAR_ALIASES:
         return ScalarType(_SCALAR_ALIASES[hint])
     if isinstance(hint, tuple):
@@ -279,6 +341,12 @@ def from_value(value) -> TypeSpec:
     """Type of a concrete runtime value."""
     if isinstance(value, Field):
         return FieldType(dims=value.dims, dtype=ScalarType(value.dtype))
+    if isinstance(value, tuple) and hasattr(value, "_fields"):  # NamedTuple
+        return TupleType(
+            tuple(from_value(v) for v in value),
+            names=tuple(value._fields),
+            origin=type(value),
+        )
     if isinstance(value, tuple):
         return TupleType(tuple(from_value(v) for v in value))
     if isinstance(value, Dimension):
@@ -302,6 +370,15 @@ def from_value(value) -> TypeSpec:
         return ScalarType(np.dtype(type(value)) if isinstance(value, np.floating) else np.dtype(np.float64))
     if hasattr(value, "dtype") and np.ndim(value) == 0:
         return ScalarType(np.dtype(value.dtype))
+    # user named collections LAST: framework types (FieldOffset, Domain,
+    # ...) are dataclasses themselves and must hit their branches above
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        fs = dataclasses.fields(value)
+        return TupleType(
+            tuple(from_value(getattr(value, f.name)) for f in fs),
+            names=tuple(f.name for f in fs),
+            origin=type(value),
+        )
     raise TypeError(f"Cannot type value of kind {type(value).__name__}")
 
 

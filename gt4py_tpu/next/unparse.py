@@ -59,6 +59,8 @@ def _expr(e: fvir.Expr) -> str:
         return f"{_expr(e.func)}({', '.join(args)})"
     if isinstance(e, fvir.Subscript):
         return f"{_expr(e.value)}[{e.index}]"
+    if isinstance(e, fvir.AttrGet):
+        return f"{_expr(e.value)}.{e.attr}"
     if isinstance(e, fvir.TupleExpr):
         inner = ", ".join(_expr(x) for x in e.elts)
         return f"({inner},)" if len(e.elts) == 1 else f"({inner})"

@@ -86,8 +86,9 @@ def test_attribute_access_constant_inlined_or_rejected():
     r = ok(as_field((I,), np.zeros(2)))
     np.testing.assert_allclose(r.asnumpy(), [np.pi, np.pi])
 
-    # attribute access on runtime values is outside the DSL
-    with pytest.raises(FieldViewError, match="attribute access"):
+    # attribute access on non-collection runtime values is outside the DSL
+    # (named collections DO have members -- see test_named_collections.py)
+    with pytest.raises(FieldViewError, match="cannot access attribute"):
         @field_operator
         def bad(f: IField) -> IField:
             return f + f.data

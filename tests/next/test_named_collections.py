@@ -1,0 +1,155 @@
+"""Named collections: NamedTuple / dataclass types as operator and program
+parameters, member access, in-operator construction, and collection
+returns (reference:
+tests/next_tests/integration_tests/feature_tests/ffront_tests/test_named_collections.py).
+
+In-IR, a named collection is an ordered tuple; the class identity lives on
+the TupleType (``names``/``origin``) and instances are reconstructed at
+the operator boundary."""
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import pytest
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.next import (
+    Dimension,
+    Field,
+    as_field,
+    backends,
+    field_operator,
+    program,
+    zeros,
+)
+from gt4py_tpu.next.frontend import FieldViewError
+from gt4py_tpu.next.type_system import Dims
+
+I = Dimension("I")
+J = Dimension("J")
+F = Field[Dims[I, J], np.float32]
+
+
+class VelNT(NamedTuple):
+    u: F
+    v: F
+
+
+@dataclasses.dataclass
+class VelDC:
+    u: F
+    v: F
+
+
+def _uv(seed=0):
+    rng = np.random.default_rng(seed)
+    u = as_field((I, J), rng.random((4, 5), dtype=np.float32))
+    v = as_field((I, J), rng.random((4, 5), dtype=np.float32))
+    return u, v
+
+
+@pytest.mark.parametrize("cls", [VelNT, VelDC])
+def test_member_access_on_parameter(cls):
+    @field_operator
+    def mag(vel: cls) -> F:  # type: ignore[valid-type]
+        return vel.u + vel.v
+
+    u, v = _uv()
+    r = mag(cls(u=u, v=v))
+    np.testing.assert_array_equal(r.asnumpy(), u.asnumpy() + v.asnumpy())
+
+
+@pytest.mark.parametrize("cls", [VelNT, VelDC])
+def test_construct_inside_and_instance_return(cls):
+    @field_operator
+    def make(a: F, b: F) -> cls:  # type: ignore[valid-type]
+        return cls(u=a + b, v=a - b)
+
+    u, v = _uv(1)
+    out = make(u, v)
+    assert isinstance(out, cls)
+    np.testing.assert_array_equal(out.u.asnumpy(), u.asnumpy() + v.asnumpy())
+    np.testing.assert_array_equal(out.v.asnumpy(), u.asnumpy() - v.asnumpy())
+
+
+def test_positional_construction():
+    @field_operator
+    def make(a: F, b: F) -> VelNT:
+        return VelNT(a, b)
+
+    u, v = _uv(2)
+    out = make(u, v)
+    assert isinstance(out, VelNT)
+    np.testing.assert_array_equal(out.u.asnumpy(), u.asnumpy())
+
+
+@pytest.mark.parametrize("cls", [VelNT, VelDC])
+def test_program_with_collection_in_and_out(cls):
+    @field_operator
+    def make(a: F, b: F) -> cls:  # type: ignore[valid-type]
+        return cls(u=a + b, v=a - b)
+
+    @program
+    def prog(vel: cls, out: cls):  # type: ignore[valid-type]
+        make(vel.u, vel.v, out=out)
+
+    u, v = _uv(3)
+    o = cls(
+        u=zeros({I: 4, J: 5}, np.float32), v=zeros({I: 4, J: 5}, np.float32)
+    )
+    prog(cls(u=u, v=v), o)
+    # member Fields are shared objects: the write reaches the caller's
+    # collection in place
+    np.testing.assert_array_equal(o.u.asnumpy(), u.asnumpy() + v.asnumpy())
+    np.testing.assert_array_equal(o.v.asnumpy(), u.asnumpy() - v.asnumpy())
+
+
+def test_nested_mixed_collections():
+    class Pair(NamedTuple):
+        a: F
+        vel: VelNT
+
+    @field_operator
+    def nested(p: Pair) -> F:
+        return p.vel.u + p.a
+
+    u, v = _uv(4)
+    r = nested(Pair(a=u, vel=VelNT(u=v, v=u)))
+    np.testing.assert_array_equal(r.asnumpy(), v.asnumpy() + u.asnumpy())
+
+
+def test_collection_with_jit_backend():
+    @field_operator
+    def mag(vel: VelNT) -> F:
+        return vel.u + vel.v
+
+    u, v = _uv(5)
+    r = mag.with_backend(backends.jax_jit)(VelNT(u=u, v=v))
+    np.testing.assert_array_equal(np.asarray(r.data), u.asnumpy() + v.asnumpy())
+
+
+def test_unknown_member_rejected():
+    with pytest.raises(FieldViewError, match="not a member"):
+
+        @field_operator
+        def bad(vel: VelNT) -> F:
+            return vel.w
+
+
+def test_missing_member_in_ctor_rejected():
+    with pytest.raises(FieldViewError, match="missing"):
+
+        @field_operator
+        def bad(a: F) -> VelNT:
+            return VelNT(u=a)
+
+
+def test_wrong_member_dtype_rejected():
+    F64 = Field[Dims[I, J], np.float64]
+
+    with pytest.raises(FieldViewError, match="member 'u' expects"):
+
+        @field_operator
+        def bad(a: F64) -> VelNT:
+            return VelNT(u=a, v=a)
