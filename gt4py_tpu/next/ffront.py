@@ -107,6 +107,31 @@ def _rebuild_collections(t: ts.TypeSpec, v):
     return v
 
 
+def _bind_call_args(params, args, kwargs, name):
+    """Arbitrary positional/keyword mixes, like a plain Python call
+    (reference: test_arg_call_interface.py permutation tests)."""
+    if not kwargs:
+        return tuple(args)
+    unknown = set(kwargs) - set(params)
+    if unknown:
+        raise TypeError(
+            f"'{name}' got unexpected keyword arguments {sorted(unknown)}"
+        )
+    if len(args) > len(params):
+        raise TypeError(
+            f"'{name}' takes {len(params)} arguments, got {len(args)} positional"
+        )
+    bound = dict(zip(params, args))
+    for k, v in kwargs.items():
+        if k in bound:
+            raise TypeError(f"'{name}' got multiple values for argument '{k}'")
+        bound[k] = v
+    missing = [p for p in params if p not in bound]
+    if missing:
+        raise TypeError(f"'{name}' missing arguments: {missing}")
+    return tuple(bound[p] for p in params)
+
+
 def _write_out_any(result, out, domain) -> None:
     if isinstance(result, tuple):
         for r, o in zip(result, out):
@@ -166,11 +191,9 @@ class FieldOperator:
 
     def __call__(self, *args, out: Optional[Field] = None,
                  domain: Optional[Domain] = None, offset_provider=None, **kwargs):
-        if kwargs:
-            raise TypeError(
-                f"'{self.__name__}' takes positional arguments only "
-                f"(got keywords {sorted(kwargs)})"
-            )
+        args = _bind_call_args(
+            [p.name for p in self.ir.params], args, kwargs, self.__name__
+        )
         # deduce from the ORIGINAL args (named-collection instances carry
         # their member names), execute on the flattened canonical values
         arg_types = tuple(_value_type(a) for a in args)
@@ -252,7 +275,11 @@ class ScanOperator(FieldOperator):
             )
 
     def __call__(self, *args, out: Optional[Field] = None,
-                 domain: Optional[Domain] = None, offset_provider=None):
+                 domain: Optional[Domain] = None, offset_provider=None, **kwargs):
+        # the first parameter is the carry: callers bind the rest
+        args = _bind_call_args(
+            [p.name for p in self.ir.params[1:]], args, kwargs, self.__name__
+        )
         if self._backend is not None:
             # scans run lax.scan / the column loop directly; the backend
             # picks the namespace (jit staging applies to whole programs)

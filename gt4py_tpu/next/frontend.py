@@ -887,10 +887,30 @@ def _operator_return_type(op, argts, kwargts, node) -> ts.TypeSpec:
     out_t = kwargts.pop("out", None)
     dom_t = kwargts.pop("domain", None)
     if kwargts:
-        raise _err(
-            f"unsupported keyword arguments {sorted(kwargts)} in operator call",
-            node,
-        )
+        # bind remaining keywords to the callee's parameters (scan: the
+        # carry is implicit) -- mirrors the runtime _bind_call_args
+        names = [p.name for p in op.ir.params]
+        if isinstance(op, ffront.ScanOperator):
+            names = names[1:]
+        unknown = set(kwargts) - set(names)
+        if unknown:
+            raise _err(
+                f"unsupported keyword arguments {sorted(unknown)} in call "
+                f"to '{op.__name__}'", node
+            )
+        bound = dict(zip(names, argts))
+        for k, t in kwargts.items():
+            if k in bound:
+                raise _err(
+                    f"'{op.__name__}' got multiple values for '{k}'", node
+                )
+            bound[k] = t
+        missing = [n for n in names if n not in bound]
+        if missing:
+            raise _err(
+                f"call to '{op.__name__}' missing arguments: {missing}", node
+            )
+        argts = [bound[n] for n in names]
     if dom_t is not None and not isinstance(dom_t, (ts.DomainType, ts.DeferredType)):
         raise _err(f"domain= expects a Domain, got {dom_t}", node)
     if isinstance(op, ffront.ScanOperator):
