@@ -124,13 +124,16 @@ class PallasBackend(JaxBackend):
     storage_device = "tpu"
 
     def _trace_env(self, metas, env, scalars, domain, periodic=()):
-        """Kernel path under a custom VJP: ``pallas_call`` itself is not
-        differentiable, so the backward pass re-traces the stencil through
-        the XLA executor (identical numerics, jax_backend.py) and uses its
-        adjoint -- fast Mosaic forward, XLA-derived gradients.  Traced
-        scalar parameters participate in differentiation; python-scalar
-        parameters (incl. baked static bounds) are closed over as
-        constants.  Disable with ``GT4PY_TPU_PALLAS_AUTODIFF=0``."""
+        """Kernel path under a custom JVP: ``pallas_call`` itself is not
+        differentiable, so tangents re-trace the stencil through the XLA
+        executor (identical numerics, jax_backend.py).  custom_jvp (not
+        custom_vjp) supports BOTH autodiff modes: jax.grad linearizes the
+        jvp rule and transposes its (pure-XLA) tangent graph, so reverse
+        mode gets XLA-derived adjoints while jvp/jacfwd work too -- fast
+        Mosaic forward either way.  Traced scalar parameters participate
+        in differentiation; python-scalar parameters (incl. baked static
+        bounds) are closed over as constants.  Disable with
+        ``GT4PY_TPU_PALLAS_AUTODIFF=0``."""
         import os as _os
 
         if _os.environ.get("GT4PY_TPU_PALLAS_AUTODIFF", "1") == "0":
@@ -158,17 +161,16 @@ class PallasBackend(JaxBackend):
             )
             return {n: out[n] for n in written}
 
-        run = jax.custom_vjp(pallas_out)
+        run = jax.custom_jvp(pallas_out)
 
-        def fwd(env_in, sc):
-            return pallas_out(env_in, sc), (env_in, sc)
+        @run.defjvp
+        def _run_jvp(primals, tangents):
+            # primal via the Mosaic kernel; tangent via the XLA executor
+            # (its unused primal outputs are dead-code-eliminated)
+            out = pallas_out(*primals)
+            _, tang = jax.jvp(xla_out, primals, tangents)
+            return out, tang
 
-        def bwd(res, g):
-            env_in, sc = res
-            _, vjp = jax.vjp(xla_out, env_in, sc)
-            return vjp(g)
-
-        run.defvjp(fwd, bwd)
         outs = run(env, arr_scalars)
         new_env = dict(env)
         new_env.update(outs)

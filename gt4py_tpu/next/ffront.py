@@ -80,17 +80,38 @@ def _value_type(v) -> ts.TypeSpec:
         return ts.DeferredType()
 
 
+_SYNTH_NT: Dict[type, type] = {}
+
+
+def _synth_namedtuple(cls: type) -> type:
+    """A namedtuple mirror of a dataclass: tuple-indexable for the
+    interpreter while keeping member NAMES visible to type deduction
+    (nested unannotated callees resolve vel.u from the value type)."""
+    import collections
+    import dataclasses as _dc
+
+    nt = _SYNTH_NT.get(cls)
+    if nt is None:
+        nt = _SYNTH_NT[cls] = collections.namedtuple(
+            cls.__name__, [f.name for f in _dc.fields(cls)]
+        )
+    return nt
+
+
 def _canon_value(v, backend=None):
-    """Flatten named-collection instances (NamedTuple/dataclass) to plain
-    tuples for the interpreter -- member Fields stay the SAME objects, so
-    in-place out= writes reach the caller's collections -- and move Fields
-    into the backend's namespace when one is set."""
+    """Canonicalize named-collection instances for the interpreter:
+    NamedTuples stay NamedTuples, dataclasses become namedtuple mirrors
+    (both tuple-indexable AND name-carrying) -- member Fields stay the
+    SAME objects, so in-place out= writes reach the caller's collections
+    -- and Fields move into the backend's namespace when one is set."""
     import dataclasses as _dc
 
     if _dc.is_dataclass(v) and not isinstance(v, type):
-        return tuple(
-            _canon_value(getattr(v, f.name), backend) for f in _dc.fields(v)
+        return _synth_namedtuple(type(v))(
+            *(_canon_value(getattr(v, f.name), backend) for f in _dc.fields(v))
         )
+    if isinstance(v, tuple) and hasattr(v, "_fields"):
+        return type(v)(*(_canon_value(x, backend) for x in v))
     if isinstance(v, tuple):
         return tuple(_canon_value(x, backend) for x in v)
     return backend.convert(v) if backend is not None else v
@@ -208,7 +229,7 @@ class FieldOperator:
         _write_out_any(result, _canon_value(out), domain)
         return None
 
-    def _run_typed(self, args, arg_types):
+    def _run_typed(self, args, arg_types=None):
         typed, _ = self._typed_for(arg_types)
         env = {p.name: a for p, a in zip(typed.params, args)}
         env.update(typed.closure)
@@ -216,13 +237,23 @@ class FieldOperator:
 
     def _jit_run(self, args, arg_types):
         """Stage the embedded run under jax.jit (Fields are pytrees, so
-        jit caches per domain/shape/dtype structure)."""
-        import jax
-        from functools import partial
+        jit caches per domain/shape/dtype structure).  Keyed on the
+        RENDERED types too: TupleType equality ignores names/origin
+        (structural typing), but member resolution depends on them --
+        two collections with the same member types must not share a
+        trace."""
+        import functools
 
-        if "_jit_fn" not in self.__dict__:
-            self._jit_fn = jax.jit(self._run_typed, static_argnums=(1,))
-        return self._jit_fn(args, arg_types)
+        import jax
+
+        key = (arg_types, tuple(str(t) for t in arg_types))
+        fns = self.__dict__.setdefault("_jit_fns", {})
+        fn = fns.get(key)
+        if fn is None:
+            fn = fns[key] = jax.jit(
+                functools.partial(self._run_typed, arg_types=arg_types)
+            )
+        return fn(args)
 
     def with_backend(self, backend) -> "FieldOperator":
         """Pick the executor (next/backends.py: numpy_oracle / jax_eager /
@@ -232,7 +263,7 @@ class FieldOperator:
         from . import backends
 
         new = copy.copy(self)
-        new.__dict__.pop("_jit_fn", None)
+        new.__dict__.pop("_jit_fns", None)
         new._backend = backends.resolve(backend)
         return new
 
@@ -419,17 +450,25 @@ class Program:
 
     def _find_out_params(self) -> Tuple[str, ...]:
         names = []
+
+        def root_names(e):
+            # out= targets: names, tuples of targets, collection members
+            # (vel.u) and tuple elements (t[0]) -- the written param is
+            # the expression's root name
+            if isinstance(e, fvir.Name):
+                yield e.id
+            elif isinstance(e, fvir.TupleExpr):
+                for x in e.elts:
+                    yield from root_names(x)
+            elif isinstance(e, (fvir.AttrGet, fvir.Subscript)):
+                yield from root_names(e.value)
+
         for st in self.ir.body:
             call = st.value
             if isinstance(call, fvir.Call):
-                o = call.kwargs.get("out")
-                for n in ([o] if isinstance(o, fvir.Name) else []):
-                    if n.id not in names:
-                        names.append(n.id)
-                if isinstance(o, fvir.TupleExpr):
-                    for e in o.elts:
-                        if isinstance(e, fvir.Name) and e.id not in names:
-                            names.append(e.id)
+                for n in root_names(call.kwargs.get("out")):
+                    if n not in names:
+                        names.append(n)
         return tuple(names)
 
     def _typed_for(self, arg_types: Tuple[ts.TypeSpec, ...]) -> fvir.OperatorIR:
@@ -594,6 +633,21 @@ class Program:
 
         bound = dict(self._bound_args)
 
+        def fresh_holders(a):
+            # fresh Field holders per trace (collections recursively):
+            # _write_out mutates holders, which must never leak tracers
+            # into caller-visible objects
+            if isinstance(a, Field):
+                return Field(a.domain, a.data)
+            if isinstance(a, tuple):
+                return tuple(fresh_holders(x) for x in a)
+            return a
+
+        def out_datas(v):
+            if isinstance(v, tuple):
+                return tuple(out_datas(x) for x in v)
+            return v.data
+
         def fn(*call_args, **static_kwargs):
             it = iter(call_args)
             merged = [
@@ -604,12 +658,9 @@ class Program:
                 else next(it)
                 for name in params
             ]
-            fresh = [
-                Field(a.domain, a.data) if isinstance(a, Field) else a
-                for a in merged
-            ]
+            fresh = [fresh_holders(a) for a in merged]
             self._run_embedded(fresh)
-            return tuple(fresh[i].data for i in out_idx)
+            return tuple(out_datas(fresh[i]) for i in out_idx)
 
         functools.update_wrapper(fn, self.definition)
         return fn
@@ -640,9 +691,16 @@ class Program:
             if n not in self._static_params and n not in self._bound_args
         ]
         outs = self._pool(*dyn, **static_kw)
+
+        def set_datas(target, data):
+            if isinstance(target, tuple):
+                for t, d in zip(target, data):
+                    set_datas(t, d)
+            else:
+                target.data = data
+
         for name, data in zip(self._out_params, outs):
-            target = merged[params.index(name)]
-            target.data = data
+            set_datas(merged[params.index(name)], data)
         return None
 
     def wait_for_compilation(self) -> None:

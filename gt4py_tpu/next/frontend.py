@@ -829,8 +829,10 @@ class TypeDeduction:
                 )
             for n, declared in zip(names, tt.types):
                 got = members[n]
-                if not ts.is_deferred(declared) and not ts.accepts(
-                    declared, _strip_weak(got)
+                if (
+                    not ts.is_deferred(declared)
+                    and not ts.is_deferred(got)  # unannotated params: checked at call
+                    and not ts.accepts(declared, _strip_weak(got))
                 ):
                     raise _err(
                         f"member '{n}' expects {declared}, got {got}", node
@@ -863,7 +865,11 @@ def _strip_weak(t: ts.TypeSpec) -> ts.TypeSpec:
     if isinstance(t, ts.FieldType) and t.dtype.weak:
         return ts.FieldType(t.dims, ts.ScalarType(t.dtype.kind))
     if isinstance(t, ts.TupleType):
-        return ts.TupleType(tuple(_strip_weak(x) for x in t.types))
+        return ts.TupleType(
+            tuple(_strip_weak(x) for x in t.types),
+            names=t.names,  # keep collection identity: member access in
+            origin=t.origin,  # unannotated callees relies on it
+        )
     return t
 
 
@@ -888,29 +894,16 @@ def _operator_return_type(op, argts, kwargts, node) -> ts.TypeSpec:
     dom_t = kwargts.pop("domain", None)
     if kwargts:
         # bind remaining keywords to the callee's parameters (scan: the
-        # carry is implicit) -- mirrors the runtime _bind_call_args
+        # carry is implicit) -- the SAME binder the runtime call uses
         names = [p.name for p in op.ir.params]
         if isinstance(op, ffront.ScanOperator):
             names = names[1:]
-        unknown = set(kwargts) - set(names)
-        if unknown:
-            raise _err(
-                f"unsupported keyword arguments {sorted(unknown)} in call "
-                f"to '{op.__name__}'", node
+        try:
+            argts = list(
+                ffront._bind_call_args(names, argts, kwargts, op.__name__)
             )
-        bound = dict(zip(names, argts))
-        for k, t in kwargts.items():
-            if k in bound:
-                raise _err(
-                    f"'{op.__name__}' got multiple values for '{k}'", node
-                )
-            bound[k] = t
-        missing = [n for n in names if n not in bound]
-        if missing:
-            raise _err(
-                f"call to '{op.__name__}' missing arguments: {missing}", node
-            )
-        argts = [bound[n] for n in names]
+        except TypeError as e:
+            raise _err(str(e), node) from None
     if dom_t is not None and not isinstance(dom_t, (ts.DomainType, ts.DeferredType)):
         raise _err(f"domain= expects a Domain, got {dom_t}", node)
     if isinstance(op, ffront.ScanOperator):

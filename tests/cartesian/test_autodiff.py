@@ -110,6 +110,39 @@ def test_grad_through_dycore_step():
     np.testing.assert_allclose(float(dot), float(fd), rtol=1e-4)
 
 
+def test_jvp_through_pallas_backend():
+    """Forward-mode autodiff works through the kernel path too: the
+    custom_jvp routes tangents through the XLA executor, so jvp/jacfwd
+    match the jax backend exactly (a custom_vjp would forbid jvp)."""
+    import jax
+    import jax.numpy as jnp
+
+    def defn(inp: Field3D, out: Field3D):
+        with computation(PARALLEL), interval(...):
+            out = inp[1, 0, 0] * inp
+
+    fns = {
+        be: gtscript.stencil(backend=be, name=f"jvp_{be}")(defn).functional(
+            origin=(0, 0, 0), domain=(4, 5, 2)
+        )
+        for be in ("jax", "pallas")
+    }
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((5, 5, 2)))
+    t = jnp.asarray(rng.random((5, 5, 2)))
+    res = {}
+    for be, fn in fns.items():
+        f = lambda a, fn=fn: fn(inp=a, out=jnp.zeros_like(a))["out"]
+        res[be] = jax.jvp(f, (x,), (t,))
+    np.testing.assert_allclose(
+        np.asarray(res["pallas"][0]), np.asarray(res["jax"][0]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["pallas"][1]), np.asarray(res["jax"][1]), rtol=1e-12
+    )
+    assert float(jnp.abs(res["pallas"][1]).max()) > 0
+
+
 def test_grad_through_pallas_backend():
     """The pallas kernel path is differentiable: the custom VJP routes the
     backward pass through the XLA executor (identical numerics), so grads

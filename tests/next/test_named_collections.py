@@ -129,6 +129,107 @@ def test_collection_with_jit_backend():
     np.testing.assert_array_equal(np.asarray(r.data), u.asnumpy() + v.asnumpy())
 
 
+def test_jit_cache_distinguishes_same_shaped_collections():
+    """TupleType equality is structural (names excluded), but the jit
+    trace cache must key on names: an unannotated operator traced for one
+    collection class must not silently reuse the trace for another."""
+
+    class A(NamedTuple):
+        u: F
+        v: F
+
+    class B(NamedTuple):
+        x: F
+        y: F
+
+    @field_operator
+    def mag(vel):
+        return vel.u + vel.v
+
+    u, v = _uv(6)
+    mj = mag.with_backend(backends.jax_jit)
+    r = mj(A(u=u, v=v))
+    np.testing.assert_array_equal(np.asarray(r.data), u.asnumpy() + v.asnumpy())
+    with pytest.raises(FieldViewError, match="not a member"):
+        mj(B(x=u, y=v))
+
+
+def test_unannotated_operator_constructs_collection():
+    @field_operator
+    def make(a, b):
+        return VelNT(u=a, v=b)
+
+    u, v = _uv(7)
+    out = make(u, v)
+    assert isinstance(out, VelNT)
+
+
+def test_collection_flows_into_unannotated_callee():
+    """Member names survive into nested unannotated operators (both at
+    deduction -- _strip_weak keeps names -- and at runtime: dataclass
+    instances canonicalize to name-carrying namedtuple mirrors)."""
+
+    @field_operator
+    def mag(vel):
+        return vel.u + vel.v
+
+    @field_operator
+    def outer_nt(vel: VelNT) -> F:
+        return mag(vel)
+
+    @field_operator
+    def outer_dc(vel: VelDC) -> F:
+        return mag(vel)
+
+    u, v = _uv(8)
+    np.testing.assert_array_equal(
+        outer_nt(VelNT(u=u, v=v)).asnumpy(), u.asnumpy() + v.asnumpy()
+    )
+    np.testing.assert_array_equal(
+        outer_dc(VelDC(u=u, v=v)).asnumpy(), u.asnumpy() + v.asnumpy()
+    )
+
+
+def test_member_out_target_under_backend():
+    """out=vel.u (a collection member) classifies the collection param as
+    an output: backends must not convert its Fields to copies."""
+
+    @field_operator
+    def add(a: F, b: F) -> F:
+        return a + b
+
+    @program
+    def prog(a: F, b: F, vel_out: VelNT):
+        add(a, b, out=vel_out.u)
+        add(a, a, out=vel_out.v)
+
+    u, v = _uv(9)
+    o = VelNT(
+        u=zeros({I: 4, J: 5}, np.float32), v=zeros({I: 4, J: 5}, np.float32)
+    )
+    prog.with_backend(backends.jax_eager)(u, v, o)
+    np.testing.assert_array_equal(np.asarray(o.u.data), u.asnumpy() + v.asnumpy())
+    np.testing.assert_array_equal(np.asarray(o.v.data), 2 * u.asnumpy())
+
+
+def test_program_jit_with_collection_out():
+    @field_operator
+    def make(a: F, b: F) -> VelNT:
+        return VelNT(u=a + b, v=a - b)
+
+    @program
+    def prog(vel: VelNT, out: VelNT):
+        make(vel.u, vel.v, out=out)
+
+    u, v = _uv(10)
+    o = VelNT(
+        u=zeros({I: 4, J: 5}, np.float32), v=zeros({I: 4, J: 5}, np.float32)
+    )
+    prog.with_backend(backends.jax_jit)(VelNT(u=u, v=v), o)
+    np.testing.assert_array_equal(np.asarray(o.u.data), u.asnumpy() + v.asnumpy())
+    np.testing.assert_array_equal(np.asarray(o.v.data), u.asnumpy() - v.asnumpy())
+
+
 def test_unknown_member_rejected():
     with pytest.raises(FieldViewError, match="not a member"):
 
