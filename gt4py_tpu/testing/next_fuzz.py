@@ -21,9 +21,11 @@ import numpy as np
 class OperatorGenerator:
     """Builds one random field-operator source string + its closure."""
 
-    def __init__(self, rng: random.Random, with_unstructured: bool = False):
+    def __init__(self, rng: random.Random, with_unstructured: bool = False,
+                 with_collection: bool = False):
         self.rng = rng
         self.with_unstructured = with_unstructured
+        self.with_collection = with_collection
         self.lines: List[str] = []
         self.n_tmp = 0
 
@@ -70,6 +72,10 @@ class OperatorGenerator:
         self.field_names = {"a", "b"}
         names = ["a", "b"]
         body = []
+        if self.with_collection:
+            # params arrive as a named collection: member access + (maybe)
+            # an in-operator constructor round-trip
+            body += ["a = pair.a", "b = pair.b"]
         for _ in range(self.rng.randint(1, 3)):
             t = f"t{self.n_tmp}"
             self.n_tmp += 1
@@ -78,6 +84,15 @@ class OperatorGenerator:
             if self._is_field_expr(e):
                 self.field_names.add(t)
             names.append(t)
+        if self.with_collection and self.rng.random() < 0.6:
+            # both member exprs anchored to the field dtype: the ctor
+            # type-checks members against the declared (field) types
+            ea = f"({self._expr(names)}) + 0.0 * a"
+            eb = f"({self._expr(names)}) + 0.0 * b"
+            body.append(f"col = PT(a={ea}, b={eb})")
+            body.append("ca = col.a")
+            self.field_names.add("ca")
+            names.append("ca")
         if self.with_unstructured:
             e = self._expr(names)
             if not self._is_field_expr(e):
@@ -88,7 +103,12 @@ class OperatorGenerator:
             ret = self._expr(names)
             if not self._is_field_expr(ret):
                 ret = f"({ret}) + 0.0 * a"
-        src = "def op(a: FT, b: FT, s: float64) -> RT:\n" + textwrap.indent(
+        sig = (
+            "def op(pair: PT, s: float64) -> RT:"
+            if self.with_collection
+            else "def op(a: FT, b: FT, s: float64) -> RT:"
+        )
+        src = sig + "\n" + textwrap.indent(
             "\n".join(body + [f"return {ret}"]), "    "
         )
         return src
@@ -113,6 +133,7 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
 
     rng = random.Random(seed)
     unstructured = rng.random() < 0.3
+    collection = not unstructured and rng.random() < 0.35
 
     I = Dimension("I")
     J = Dimension("J")
@@ -138,14 +159,20 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
         RT = Field[Dims[I, J], dtype]
         data_dims, shape = (I, J), (10, 9)
 
-    gen = OperatorGenerator(rng, with_unstructured=unstructured)
+    gen = OperatorGenerator(
+        rng, with_unstructured=unstructured, with_collection=collection
+    )
     src = gen.generate()
+
+    from typing import NamedTuple as _NamedTuple
+
+    PT = _NamedTuple("PT", [("a", FT), ("b", FT)])
 
     # the generated source annotates ``s: float64``; binding the name to
     # the case dtype keeps the scalar's concrete type equal to the fields'
     # (the type system correctly rejects mixed concrete dtypes)
     ns = dict(
-        FT=FT, RT=RT, float64=dtype, where=where, minimum=minimum,
+        FT=FT, RT=RT, PT=PT, float64=dtype, where=where, minimum=minimum,
         maximum=maximum, neighbor_sum=neighbor_sum, Ioff=Ioff, Joff=Joff,
         V2E=V2E,
     )
@@ -163,11 +190,19 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     b_np = nprng.random(shape).astype(dtype)
     s = np.dtype(dtype).type(nprng.uniform(-1, 1))
 
+    by_kw = collection and rng.random() < 0.5
     results = {}
     for alloc in ("numpy", "jax"):
         a = as_field(data_dims, a_np.copy(), allocator=alloc)
         b = as_field(data_dims, b_np.copy(), allocator=alloc)
-        out = op(a, b, s)
+        if collection:
+            # sometimes by keyword: the call-interface binder is in play
+            if by_kw:
+                out = op(pair=PT(a=a, b=b), s=s)
+            else:
+                out = op(PT(a=a, b=b), s)
+        else:
+            out = op(a, b, s)
         results[alloc] = (out.asnumpy(), out.dims, tuple(out.domain.ranges))
 
     r_np, d_np, dom_np = results["numpy"]
@@ -180,14 +215,18 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     )
 
     if transforms:
+        call = (
+            (lambda x, y, z: op(PT(a=x, b=y), z)) if collection
+            else (lambda x, y, z: op(x, y, z))
+        )
         _check_transform_invariance(
-            op, as_field, data_dims, a_np, b_np, s, r_np, d_np, dom_np,
+            call, as_field, data_dims, a_np, b_np, s, r_np, d_np, dom_np,
             seed, src, rtol, atol,
         )
 
 
 def _check_transform_invariance(
-    op, as_field, data_dims, a_np, b_np, s, r_np, d_np, dom_np,
+    call, as_field, data_dims, a_np, b_np, s, r_np, d_np, dom_np,
     seed, src, rtol, atol,
 ) -> None:
     """The jax path must be invariant under jax transforms: jit (Fields are
@@ -199,7 +238,7 @@ def _check_transform_invariance(
     a = as_field(data_dims, a_np.copy(), allocator="jax")
     b = as_field(data_dims, b_np.copy(), allocator="jax")
 
-    jit_out = jax.jit(lambda x, y, z: op(x, y, z))(a, b, s)
+    jit_out = jax.jit(lambda x, y, z: call(x, y, z))(a, b, s)
     assert jit_out.dims == d_np, f"seed {seed}: jit dims diverge\n{src}"
     assert tuple(jit_out.domain.ranges) == dom_np, (
         f"seed {seed}: jit domain diverges\n{src}"
@@ -211,9 +250,9 @@ def _check_transform_invariance(
 
     # vmap over the scalar parameter: row i must equal the eager run at s_i
     svals = np.linspace(-1.0, 1.0, 3)
-    batched = jax.vmap(lambda z: op(a, b, z).ndarray)(jnp.asarray(svals))
+    batched = jax.vmap(lambda z: call(a, b, z).ndarray)(jnp.asarray(svals))
     for i, sv in enumerate(svals):
-        eager = op(a, b, float(sv))
+        eager = call(a, b, float(sv))
         np.testing.assert_allclose(
             np.asarray(batched[i]), eager.asnumpy(), rtol=rtol, atol=atol,
             err_msg=f"seed {seed}: vmap row {i} diverges from eager\n{src}",
