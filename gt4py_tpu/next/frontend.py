@@ -1222,9 +1222,13 @@ _BUILTIN_RULES = _make_builtin_rules()
 def deduce(ir: fvir.OperatorIR, param_types=None) -> Tuple[fvir.OperatorIR, ts.TypeSpec]:
     """Type-annotate a fresh copy of ``ir`` (so per-signature typings do
     not interfere) and return (typed_ir, return_type)."""
-    typed = copy.deepcopy(ir)
-    # deepcopy would duplicate closure values (operators, connectivities);
-    # restore shared references
+    # closure values (operators, connectivities, collection classes) must
+    # stay SHARED, not copied -- pre-seeding the memo also keeps deepcopy
+    # from walking their mutable caches, which a background AOT-pool
+    # compile thread may be writing concurrently ("dictionary changed
+    # size during iteration")
+    memo: dict = {id(v): v for v in ir.closure.values()}
+    typed = copy.deepcopy(ir, memo)
     typed.closure = dict(ir.closure)
     ret = TypeDeduction(typed).run(param_types)
     return typed, ret
