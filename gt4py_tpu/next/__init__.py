@@ -37,11 +37,13 @@ from .builtins import (  # noqa: F401
     as_offset,
     astype,
     broadcast,
+    cbrt,
     ceil,
     concat_where,
     cos,
     cosh,
     exp,
+    gamma,
     floor,
     fmod,
     isfinite,
