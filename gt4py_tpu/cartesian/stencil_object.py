@@ -105,6 +105,17 @@ class StencilObject:
         t1 = time.perf_counter()
         if exec_info is not None:
             exec_info["call_run_end_time"] = t1
+            # '__aggregate_data' magic key: per-stencil cumulative stats
+            # (reference: backend/templates/stencil_module.py.in:125-158)
+            if exec_info.setdefault("__aggregate_data", False):
+                agg = exec_info.setdefault(self.name, {})
+                agg["call_time"] = t1 - t0
+                agg["total_call_time"] = agg.get("total_call_time", 0.0) + (t1 - t0)
+                agg["ncalls"] = agg.get("ncalls", 0) + 1
+                if "run_end_time" in exec_info:
+                    rt = exec_info["run_end_time"] - exec_info["run_start_time"]
+                    agg["run_time"] = rt
+                    agg["total_run_time"] = agg.get("total_run_time", 0.0) + rt
 
         from gt4py_tpu.instrumentation import MetricLevel, collect_sample
 

@@ -260,6 +260,15 @@ def test_exec_info_and_build_info():
     assert exec_info["call_run_end_time"] >= exec_info["call_run_start_time"]
     assert exec_info["run_end_time"] >= exec_info["run_start_time"]
 
+    # '__aggregate_data' magic key: cumulative per-stencil stats
+    agg_info = {"__aggregate_data": True}
+    st(a, b, origin=(0, 0, 0), exec_info=agg_info)
+    st(a, b, origin=(0, 0, 0), exec_info=agg_info)
+    stats = agg_info["st"]
+    assert stats["ncalls"] == 2
+    assert stats["total_call_time"] >= stats["call_time"] > 0
+    assert stats["total_run_time"] >= stats["run_time"] > 0
+
 
 def test_frozen_stencil_and_run():
     @gtscript.stencil(backend="numpy")
