@@ -335,10 +335,13 @@ def run_differential_case(
     from gt4py_tpu.cartesian.backend import from_name
 
     rng = random.Random(seed)
+    # 16-bit dtypes pack VMEM at (16, 128): aligned geometry follows the
+    # dtype's sublane multiple so the Mosaic kernel path stays eligible
+    sub = 16 if np.dtype(dtype).itemsize == 2 else 8
     if domain is None:
         if aligned:
-            # I on the sublane (8) grid, J on the lane (128) grid
-            domain = (8 * rng.randint(1, 3), 128, rng.randint(1, 7))
+            # I on the sublane grid, J on the lane (128) grid
+            domain = (sub * rng.randint(1, 3), 128, rng.randint(1, 7))
         else:
             # vary the domain shape per seed: exercises extent clipping,
             # single-plane K, and non-square IJ paths
@@ -349,8 +352,8 @@ def run_differential_case(
 
     nprng = np.random.default_rng(seed)
     if aligned:
-        shape = (8 + domain[0] + 8, 128 + domain[1] + 128, domain[2] + 2)
-        origin = (8, 128, 1)
+        shape = (sub + domain[0] + sub, 128 + domain[1] + 128, domain[2] + 2)
+        origin = (sub, 128, 1)
     else:
         shape = (domain[0] + 2 * halo, domain[1] + 2 * halo, domain[2] + 2)
         origin = (halo, halo, 1)

@@ -48,6 +48,23 @@ def test_random_program_bf16_parity(seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_random_program_bf16_aligned(seed):
+    """Mosaic-eligible bf16 geometry ((16, 128) packing: origin 16, I on
+    the 16 grid).  Interpret mode on CPU; the same cases run on real
+    Mosaic via tests/test_tpu_chip.py."""
+    import ml_dtypes
+
+    run_differential_case(
+        seed,
+        backends=("pallas",),
+        dtype=np.dtype(ml_dtypes.bfloat16),
+        aligned=True,
+        rtol=0.02,
+        atol=0.01,
+    )
+
+
 @pytest.mark.parametrize("seed", range(30))
 def test_random_program_periodic_parity(seed):
     """Periodic execution on random programs: jax pre-fill vs the oracle

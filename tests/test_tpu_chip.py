@@ -44,6 +44,24 @@ def test_fuzz_on_chip(seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(int(os.environ.get("GT4PY_TPU_CHIP_BF16_SEEDS", "6"))))
+def test_bf16_fuzz_on_chip(seed):
+    """bf16 random programs at the (16, 128)-packed aligned geometry on
+    real Mosaic."""
+    import ml_dtypes
+
+    from gt4py_tpu.testing.program_gen import run_differential_case
+
+    run_differential_case(
+        seed,
+        backends=("pallas",),
+        dtype=np.dtype(ml_dtypes.bfloat16),
+        aligned=True,
+        rtol=0.02,
+        atol=0.01,
+    )
+
+
 def _no_new_fallbacks(fn):
     from gt4py_tpu.cartesian.backend import pallas_backend
 
