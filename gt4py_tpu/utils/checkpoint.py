@@ -62,3 +62,159 @@ def restore_to_device(state: Dict[str, np.ndarray], sharding=None) -> Dict[str, 
 
         return {k: jnp.asarray(v) for k, v in state.items()}
     return {k: jax.device_put(v, sharding) for k, v in state.items()}
+
+
+# --------------------------------------------------------------------------- #
+# sharded checkpointing: per-device shard files, no gather (orbax-style)
+# --------------------------------------------------------------------------- #
+
+
+def _np_view(arr: np.ndarray) -> Tuple[np.ndarray, str]:
+    """(storable array, dtype name): extension dtypes ride as uint views."""
+    if arr.dtype.kind == "V" and arr.dtype.name in _EXTENSION_DTYPES:
+        return arr.view(f"u{arr.dtype.itemsize}"), arr.dtype.name
+    return arr, arr.dtype.name
+
+
+class CheckpointHandle:
+    """Async save handle: ``wait()`` blocks until all shard files and the
+    manifest are durably in place."""
+
+    def __init__(self, future):
+        self._future = future
+
+    def wait(self) -> str:
+        return self._future.result()
+
+    result = wait
+
+
+def save_checkpoint_sharded(
+    directory: str,
+    state: Dict[str, Any],
+    *,
+    step: int = 0,
+    metadata: Optional[Dict[str, Any]] = None,
+    wait: bool = True,
+):
+    """Write each array's ADDRESSABLE shards as separate ``.npy`` files --
+    no gather, no cross-host traffic; every process stores only its own
+    shards (multi-host: point every process at the same shared directory).
+    Device->host copies happen before returning, so the training loop may
+    keep mutating ``state``; with ``wait=False`` the file IO runs on a
+    background thread and the returned :class:`CheckpointHandle` must be
+    waited on before relying on the checkpoint.  The ``manifest.json``
+    written LAST marks the checkpoint complete (crash-consistent)."""
+    import concurrent.futures
+
+    import jax
+
+    os.makedirs(directory, exist_ok=True)
+    manifest: Dict[str, Any] = {
+        "step": int(step),
+        "metadata": metadata or {},
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "arrays": {},
+    }
+    to_write = []  # (path, numpy array)
+    for name, arr in state.items():
+        if "/" in name or "\\" in name:
+            raise ValueError(f"checkpoint key '{name}' must not contain path separators")
+        entry: Dict[str, Any] = {"shards": {}}
+        if isinstance(arr, jax.Array):
+            entry["shape"] = list(arr.shape)
+            host_shards = []
+            for shard in arr.addressable_shards:
+                data = np.asarray(shard.data)  # device->host now
+                host_shards.append((shard.device.id, shard.index, data))
+            for dev_id, index, data in host_shards:
+                stored, dtname = _np_view(data)
+                entry["dtype"] = dtname
+                fname = f"{name}.d{dev_id}.npy"
+                entry["shards"][str(dev_id)] = {
+                    "file": fname,
+                    "index": [
+                        [sl.start, sl.stop] if isinstance(sl, slice) else [sl, sl + 1]
+                        for sl in index
+                    ],
+                }
+                to_write.append((os.path.join(directory, fname), stored))
+        else:
+            data = np.asarray(arr)
+            stored, dtname = _np_view(data)
+            entry["shape"] = list(data.shape)
+            entry["dtype"] = dtname
+            fname = f"{name}.full.npy"
+            entry["shards"]["full"] = {
+                "file": fname,
+                "index": [[0, s] for s in data.shape],
+            }
+            to_write.append((os.path.join(directory, fname), stored))
+        manifest["arrays"][name] = entry
+
+    def finalize() -> str:
+        for path, data in to_write:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, data)
+            os.replace(tmp, path)
+        mpath = os.path.join(
+            directory, f"manifest.p{manifest['process_index']}.json"
+        )
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        return directory
+
+    if wait:
+        return finalize()
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(finalize)
+    pool.shutdown(wait=False)
+    return CheckpointHandle(fut)
+
+
+def load_checkpoint_sharded(
+    directory: str, *, shardings: Optional[Dict[str, Any]] = None
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reassemble arrays from all processes' shard files (shared
+    filesystem) and return ``(state, metadata)``.  With ``shardings``
+    (name -> jax Sharding), arrays go back on device re-sharded;
+    otherwise they come back as numpy."""
+    import glob
+
+    import ml_dtypes  # noqa: F401  (registers extension dtype names)
+
+    manifests = sorted(glob.glob(os.path.join(directory, "manifest.p*.json")))
+    if not manifests:
+        raise FileNotFoundError(f"no checkpoint manifest in {directory}")
+    arrays: Dict[str, Any] = {}
+    dtypes: Dict[str, np.dtype] = {}
+    meta: Dict[str, Any] = {}
+    for mpath in manifests:
+        with open(mpath) as f:
+            m = json.load(f)
+        meta = {"step": m["step"], **m["metadata"]}
+        for name, entry in m["arrays"].items():
+            dt = np.dtype(entry["dtype"])
+            dtypes[name] = dt
+            stored_dt = np.dtype(f"u{dt.itemsize}") if dt.kind == "V" else dt
+            out = arrays.get(name)
+            if out is None:
+                out = arrays[name] = np.empty(entry["shape"], dtype=stored_dt)
+            for shard in entry["shards"].values():
+                data = np.load(os.path.join(directory, shard["file"]))
+                idx = tuple(slice(a, b) for a, b in shard["index"])
+                out[idx] = data
+    state: Dict[str, Any] = {}
+    for name, arr in arrays.items():
+        if dtypes[name].kind == "V":
+            arr = arr.view(dtypes[name])
+        if shardings and name in shardings:
+            import jax
+
+            arr = jax.device_put(arr, shardings[name])
+        state[name] = arr
+    return state, meta
