@@ -394,6 +394,55 @@ class StencilObject:
 
         return fn
 
+    def lowered(self, *, domain=(8, 8, 4), format="jaxpr", origin=None):  # noqa: A002
+        """The compiled program's text WITHOUT executing (reference: the
+        program-formatters registry, program_processors/program_formatter.py
+        -- "dump backend source without running").
+
+        ``format``: ``"ir"`` (GTScript-like stencil IR, any backend),
+        ``"jaxpr"`` (the traced program), or ``"hlo"`` (StableHLO as XLA
+        receives it).  Shapes come from ``domain`` plus each field's halo
+        boundary; dtypes/data-dims from the signature.
+        """
+        if format == "ir":
+            return self.pretty_ir()
+        if not hasattr(self.backend, "apply"):
+            raise TypeError(
+                f"Backend '{self.backend_name}' has no lowered form; "
+                "use format='ir' or the 'jax'/'pallas' backend."
+            )
+        import jax
+        import jax.numpy as jnp
+
+        domain = tuple(domain)
+        if origin is None:
+            origin = {
+                name: info.boundary.lower_indices
+                for name, info in self.field_info.items()
+            }
+        origin_map = self._normalize_origin_arg(origin)
+        args = {}
+        for name, info in self.field_info.items():
+            og = self._field_origin(name, origin_map, None)
+            uppers = info.boundary.upper_indices
+            shape = []
+            for ax, present in enumerate(info.dimensions):
+                if not present:
+                    continue
+                lo = og[len(shape)]
+                shape.append(lo + domain[ax] + uppers[ax])
+            shape += list(info.data_dims)
+            args[name] = jnp.zeros(tuple(shape), dtype=info.dtype)
+        for name, pinfo in self.parameter_info.items():
+            args[name] = jnp.zeros((), dtype=pinfo.dtype)
+        fn = self.functional(origin=origin, domain=domain)
+        lowered = jax.jit(lambda kw: fn(**kw)).lower(args)
+        if format == "jaxpr":
+            return str(jax.make_jaxpr(lambda kw: fn(**kw))(args))
+        if format == "hlo":
+            return lowered.as_text()
+        raise ValueError(f"unknown format '{format}' (ir | jaxpr | hlo)")
+
     def pretty_ir(self) -> str:
         """The lowered stencil IR as GTScript-like text (inspection parity
         with the reference's ``Program.gtir`` property)."""

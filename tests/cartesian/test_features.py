@@ -270,6 +270,33 @@ def test_exec_info_and_build_info():
     assert stats["total_run_time"] >= stats["run_time"] > 0
 
 
+def test_lowered_formats():
+    """stencil.lowered(): program text without executing (reference:
+    program formatters)."""
+
+    @gtscript.stencil(backend="jax")
+    def st(a: Field3D, b: Field3D, *, w: np.float64):
+        with computation(PARALLEL), interval(...):
+            b = a[1, 0, 0] + w * a
+
+    assert "computation(PARALLEL)" in st.lowered(format="ir")
+    assert "f64" in st.lowered(format="jaxpr")
+    assert "stablehlo" in st.lowered(format="hlo")
+
+    @gtscript.stencil(backend="numpy")
+    def nb(a: Field3D, b: Field3D):
+        with computation(PARALLEL), interval(...):
+            b = a
+
+    assert "stencil" in nb.lowered(format="ir")
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="no lowered form"):
+        nb.lowered(format="hlo")
+    with _pytest.raises(ValueError, match="unknown format"):
+        st.lowered(format="ptx")
+
+
 def test_frozen_stencil_and_run():
     @gtscript.stencil(backend="numpy")
     def st(a: Field3D, b: Field3D, *, f: float):
