@@ -58,6 +58,24 @@ ENABLE_X64: bool = _env_bool("GT4PY_TPU_ENABLE_X64", True)
 #: src/gt4py/cartesian/caching.py).
 PERSISTENT_CACHE: bool = _env_bool("GT4PY_TPU_PERSISTENT_CACHE", True)
 
+#: Work around an XLA:CPU compiler crash (SIGSEGV in the MLIR fusion
+#: emitters) on certain bfloat16 fusions that mix sequential-K scans with
+#: variable-/absolute-K gathers (found by the differential fuzzer, seed
+#: 107 of the cart-bf16 leg).  The flag is CPU-specific and inert for the
+#: TPU compiler; it must reach XLA before the CPU client is created, so it
+#: is applied at import time below.
+CPU_FUSION_EMITTER_WORKAROUND: bool = _env_bool(
+    "GT4PY_TPU_CPU_FUSION_EMITTER_WORKAROUND", True
+)
+
+if (
+    CPU_FUSION_EMITTER_WORKAROUND
+    and "xla_cpu_use_fusion_emitters" not in os.environ.get("XLA_FLAGS", "")
+):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_use_fusion_emitters=false"
+    ).strip()
+
 _x64_applied = False
 
 

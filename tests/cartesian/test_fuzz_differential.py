@@ -94,3 +94,21 @@ def test_fuzz_regression_dead_temp_dynamic_k(seed):
     dynamic K position indexed a synthetic zeros VALUE with ref-style
     pl.ds slices inside the kernel trace (IndexError at trace time)."""
     run_differential_case(seed, backends=("pallas",))
+
+
+def test_fuzz_regression_bf16_fusion_emitter_crash():
+    """Sweep-found XLA:CPU COMPILER segfault (not a numerics bug): a bf16
+    program mixing sequential-K loops with variable-/absolute-K gathers
+    crashed LLVM inside XLA's MLIR fusion emitters.  config.py now exports
+    ``--xla_cpu_use_fusion_emitters=false`` at import time
+    (GT4PY_TPU_CPU_FUSION_EMITTER_WORKAROUND); this pins the crashing
+    seed so a jax upgrade that drops the workaround gets caught."""
+    import ml_dtypes
+
+    run_differential_case(
+        107,
+        backends=("jax", "pallas"),
+        dtype=np.dtype(ml_dtypes.bfloat16),
+        rtol=0.02,
+        atol=0.01,
+    )
