@@ -210,16 +210,24 @@ def bench_tpu_fv_1024():
     return max((t2 - t1) / (i2 - i1), 1e-9)
 
 
-def _wait_for_tpu(max_wait_s: float = 2400.0) -> None:
+def _wait_for_tpu(max_wait_s: float = None) -> bool:
     """The shared-relay TPU backend intermittently blocks or raises
-    UNAVAILABLE at init for minutes at a time.  Probe it in a subprocess
-    (the in-process backend init cannot be timed out or retried once it
-    fails) and only proceed when a probe succeeds."""
+    UNAVAILABLE at init for minutes at a time (outages of 2+ hours have
+    been observed).  Probe it in a subprocess (the in-process backend
+    init cannot be timed out or retried once it fails) and only proceed
+    when a probe succeeds.  Returns False when the deadline passes with
+    the chip still unreachable; the caller must then pin the CPU
+    platform BEFORE any in-process jax use, or backend init can hang
+    the whole benchmark forever."""
     import subprocess
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("GT4PY_TPU_BENCH_TPU_WAIT_S", "2400"))
     probe = (
         "from gt4py_tpu import config; config.ensure_jax_config();"
-        "import jax; print(jax.devices()[0].platform)"
+        "import jax; d = jax.devices()[0];"
+        "import jax.numpy as jnp;"
+        "print(d.platform, float(jnp.ones((8, 128)).sum()))"
     )
     deadline = time.monotonic() + max_wait_s
     attempt = 0
@@ -236,21 +244,29 @@ def _wait_for_tpu(max_wait_s: float = 2400.0) -> None:
                     f"# tpu probe ok (attempt {attempt}): {out.stdout.strip()}",
                     file=sys.stderr,
                 )
-                return
+                return True
             tail = (out.stderr or "").strip().splitlines()[-1:]
             print(f"# tpu probe failed (attempt {attempt}): {tail}", file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"# tpu probe timed out (attempt {attempt})", file=sys.stderr)
         if time.monotonic() > deadline:
-            print("# tpu unavailable; proceeding anyway", file=sys.stderr)
-            return
+            print("# tpu unavailable after deadline", file=sys.stderr)
+            return False
         time.sleep(30)
 
 
 def main():
     from gt4py_tpu import config
 
-    _wait_for_tpu()
+    tpu_ok = _wait_for_tpu()
+    if not tpu_ok:
+        # Relay outage: the axon in-process backend init can hang forever,
+        # so pin CPU explicitly and label the emitted metric honestly
+        # rather than hanging or silently timing a dead backend.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("# FALLBACK: timing on CPU (tpu relay down)", file=sys.stderr)
     config.ensure_jax_config()
     import jax
 
@@ -298,6 +314,8 @@ def main():
         "unit": "Gpoint/s",
         "vs_baseline": round(gps / oracle_gps, 2),
     }
+    if not tpu_ok:
+        result["note"] = "CPU fallback: tpu relay unreachable; not a chip number"
     if extra:
         result["extra"] = extra
     print(
