@@ -239,14 +239,23 @@ def _wait_for_tpu(max_wait_s: float = None) -> bool:
                 capture_output=True, text=True, timeout=300,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            if out.returncode == 0:
+            probed = (out.stdout or "").strip().split()
+            if out.returncode == 0 and probed and probed[0].lower() not in ("cpu",):
                 print(
                     f"# tpu probe ok (attempt {attempt}): {out.stdout.strip()}",
                     file=sys.stderr,
                 )
                 return True
-            tail = (out.stderr or "").strip().splitlines()[-1:]
-            print(f"# tpu probe failed (attempt {attempt}): {tail}", file=sys.stderr)
+            if out.returncode == 0:
+                # jax silently fell back to CPU inside the probe: that is
+                # NOT a chip; do not let it masquerade as one
+                print(
+                    f"# tpu probe got platform {probed[:1]} (attempt {attempt})",
+                    file=sys.stderr,
+                )
+            else:
+                tail = (out.stderr or "").strip().splitlines()[-1:]
+                print(f"# tpu probe failed (attempt {attempt}): {tail}", file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"# tpu probe timed out (attempt {attempt})", file=sys.stderr)
         if time.monotonic() > deadline:

@@ -107,7 +107,7 @@ class StencilObject:
             exec_info["call_run_end_time"] = t1
             # '__aggregate_data' magic key: per-stencil cumulative stats
             # (reference: backend/templates/stencil_module.py.in:125-158)
-            if exec_info.setdefault("__aggregate_data", False):
+            if exec_info.get("__aggregate_data", False):
                 agg = exec_info.setdefault(self.name, {})
                 agg["call_time"] = t1 - t0
                 agg["total_call_time"] = agg.get("total_call_time", 0.0) + (t1 - t0)
@@ -411,8 +411,9 @@ class StencilObject:
                 f"Backend '{self.backend_name}' has no lowered form; "
                 "use format='ir' or the 'jax'/'pallas' backend."
             )
+        if format not in ("jaxpr", "hlo"):
+            raise ValueError(f"unknown format '{format}' (ir | jaxpr | hlo)")
         import jax
-        import jax.numpy as jnp
 
         domain = tuple(domain)
         if origin is None:
@@ -421,6 +422,8 @@ class StencilObject:
                 for name, info in self.field_info.items()
             }
         origin_map = self._normalize_origin_arg(origin)
+        # abstract ShapeDtypeStruct args: inspection never allocates device
+        # buffers (important behind a flaky remote backend) and traces once
         args = {}
         for name, info in self.field_info.items():
             og = self._field_origin(name, origin_map, None)
@@ -432,16 +435,13 @@ class StencilObject:
                 lo = og[len(shape)]
                 shape.append(lo + domain[ax] + uppers[ax])
             shape += list(info.data_dims)
-            args[name] = jnp.zeros(tuple(shape), dtype=info.dtype)
+            args[name] = jax.ShapeDtypeStruct(tuple(shape), info.dtype)
         for name, pinfo in self.parameter_info.items():
-            args[name] = jnp.zeros((), dtype=pinfo.dtype)
+            args[name] = jax.ShapeDtypeStruct((), pinfo.dtype)
         fn = self.functional(origin=origin, domain=domain)
-        lowered = jax.jit(lambda kw: fn(**kw)).lower(args)
         if format == "jaxpr":
             return str(jax.make_jaxpr(lambda kw: fn(**kw))(args))
-        if format == "hlo":
-            return lowered.as_text()
-        raise ValueError(f"unknown format '{format}' (ir | jaxpr | hlo)")
+        return jax.jit(lambda kw: fn(**kw)).lower(args).as_text()
 
     def pretty_ir(self) -> str:
         """The lowered stencil IR as GTScript-like text (inspection parity

@@ -126,6 +126,11 @@ def save_checkpoint_sharded(
             entry["shape"] = list(arr.shape)
             host_shards = []
             for shard in arr.addressable_shards:
+                if getattr(shard, "replica_id", 0):
+                    # replicated copies: store replica 0 only (orbax
+                    # convention) -- a fully-replicated array costs one
+                    # file, not one per device
+                    continue
                 data = np.asarray(shard.data)  # device->host now
                 host_shards.append((shard.device.id, shard.index, data))
             for dev_id, index, data in host_shards:
@@ -150,18 +155,28 @@ def save_checkpoint_sharded(
                 "file": fname,
                 "index": [[0, s] for s in data.shape],
             }
-            to_write.append((os.path.join(directory, fname), stored))
+            # unsharded arrays are identical on every process: only
+            # process 0 writes the file (all manifests may reference it);
+            # concurrent writers to one shared path would race
+            if manifest["process_index"] == 0:
+                to_write.append((os.path.join(directory, fname), stored))
         manifest["arrays"][name] = entry
 
+    mpath = os.path.join(directory, f"manifest.p{manifest['process_index']}.json")
+
     def finalize() -> str:
+        # overwriting an existing checkpoint: drop our manifest FIRST so a
+        # crash mid-rewrite leaves the directory visibly incomplete instead
+        # of an old manifest blessing a mix of old and new shard files
+        try:
+            os.remove(mpath)
+        except FileNotFoundError:
+            pass
         for path, data in to_write:
-            tmp = path + ".tmp"
+            tmp = f"{path}.tmp.p{manifest['process_index']}"
             with open(tmp, "wb") as f:
                 np.save(f, data)
             os.replace(tmp, path)
-        mpath = os.path.join(
-            directory, f"manifest.p{manifest['process_index']}.json"
-        )
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -176,13 +191,32 @@ def save_checkpoint_sharded(
     return CheckpointHandle(fut)
 
 
+def is_checkpoint_complete(directory: str) -> bool:
+    """True when every participating process's manifest is present (each
+    manifest records the save-time ``process_count``; the one written
+    LAST per process marks that process's shards durable)."""
+    import glob
+
+    manifests = sorted(glob.glob(os.path.join(directory, "manifest.p*.json")))
+    if not manifests:
+        return False
+    try:
+        with open(manifests[0]) as f:
+            expected = int(json.load(f).get("process_count", 1))
+    except (OSError, ValueError):
+        return False
+    return len(manifests) >= expected
+
+
 def load_checkpoint_sharded(
     directory: str, *, shardings: Optional[Dict[str, Any]] = None
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Reassemble arrays from all processes' shard files (shared
     filesystem) and return ``(state, metadata)``.  With ``shardings``
     (name -> jax Sharding), arrays go back on device re-sharded;
-    otherwise they come back as numpy."""
+    otherwise they come back as numpy.  Raises if any process's manifest
+    is missing (partial multi-host save) or a shard region is absent --
+    never returns silently-uninitialized memory."""
     import glob
 
     import ml_dtypes  # noqa: F401  (registers extension dtype names)
@@ -192,22 +226,40 @@ def load_checkpoint_sharded(
         raise FileNotFoundError(f"no checkpoint manifest in {directory}")
     arrays: Dict[str, Any] = {}
     dtypes: Dict[str, np.dtype] = {}
+    covered: Dict[str, int] = {}  # elements written per array
     meta: Dict[str, Any] = {}
+    expected_procs = None
     for mpath in manifests:
         with open(mpath) as f:
             m = json.load(f)
         meta = {"step": m["step"], **m["metadata"]}
+        pc = int(m.get("process_count", 1))
+        if expected_procs is None:
+            expected_procs = pc
+        if len(manifests) < pc:
+            raise FileNotFoundError(
+                f"incomplete checkpoint in {directory}: "
+                f"{len(manifests)} of {pc} process manifests present"
+            )
         for name, entry in m["arrays"].items():
             dt = np.dtype(entry["dtype"])
             dtypes[name] = dt
             stored_dt = np.dtype(f"u{dt.itemsize}") if dt.kind == "V" else dt
             out = arrays.get(name)
             if out is None:
-                out = arrays[name] = np.empty(entry["shape"], dtype=stored_dt)
+                out = arrays[name] = np.zeros(entry["shape"], dtype=stored_dt)
+                covered[name] = 0
             for shard in entry["shards"].values():
                 data = np.load(os.path.join(directory, shard["file"]))
                 idx = tuple(slice(a, b) for a, b in shard["index"])
                 out[idx] = data
+                covered[name] += int(data.size)
+    for name, arr in arrays.items():
+        if covered[name] < arr.size:
+            raise ValueError(
+                f"checkpoint array '{name}' in {directory} is only "
+                f"{covered[name]}/{arr.size} elements covered by shards"
+            )
     state: Dict[str, Any] = {}
     for name, arr in arrays.items():
         if dtypes[name].kind == "V":

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
 
 from gt4py_tpu.utils.checkpoint import (
+    is_checkpoint_complete,
     load_checkpoint_sharded,
     save_checkpoint_sharded,
 )
@@ -75,14 +76,29 @@ def run_resilient(
     pending = None  # async CheckpointHandle
     keep = 2  # retained complete checkpoints (older pruned after a new one)
 
-    def restore():
+    def _live_shardings(st):
+        """Rollback must restore arrays with their CURRENT shardings, not
+        host numpy: derive them from the live state, caller overrides win."""
+        try:
+            import jax
+        except ImportError:  # pragma: no cover
+            return shardings
+        derived = {
+            k: v.sharding
+            for k, v in (st or {}).items()
+            if isinstance(v, jax.Array)
+        }
+        derived.update(shardings or {})
+        return derived or None
+
+    def restore(sh):
         last = _latest_checkpoint(directory)
-        loaded, meta = load_checkpoint_sharded(last, shardings=shardings)
+        loaded, meta = load_checkpoint_sharded(last, shardings=sh)
         return loaded, int(meta["step"])
 
     if state is None:
         if _latest_checkpoint(directory) is not None:
-            state, start_step = restore()
+            state, start_step = restore(shardings)
             report.resumed_from = start_step
         elif init_fn is not None:
             state = init_fn()
@@ -91,6 +107,9 @@ def run_resilient(
                 "state is None, no checkpoint to resume from and no init_fn"
             )
 
+    # kept for durable-checkpoint-free rollback: step_fn is functional
+    # (returns a fresh dict), so holding the start-of-run state is free
+    initial_state = state
     step = start_step
     while step < n_steps:
         try:
@@ -104,10 +123,12 @@ def run_resilient(
                 pending.wait()
                 pending = None
             if _latest_checkpoint(directory) is not None:
-                state, step = restore()
+                state, step = restore(_live_shardings(state))
             else:
-                # nothing durable yet: retry from the initial state
-                step = start_step
+                # nothing durable yet: roll STATE and step back together
+                # (resetting only the counter would re-apply completed
+                # steps on top of the advanced state)
+                state, step = initial_state, start_step
             continue
         state = new_state
         step += 1
@@ -137,7 +158,7 @@ def _checkpoint_dirs(directory: str):
     out = []
     for m in glob.glob(os.path.join(directory, "step_*", "manifest.p*.json")):
         d = os.path.dirname(m)
-        if d not in out:
+        if d not in out and is_checkpoint_complete(d):
             out.append(d)
     return sorted(out)
 

@@ -105,6 +105,76 @@ def test_max_restarts_exhausted(tmp_path, cmesh):
         )
 
 
+def test_rollback_without_durable_checkpoint_restores_state(tmp_path, cmesh):
+    """A transient failure BEFORE any checkpoint rolls the STATE back with
+    the step counter -- resetting only the counter would re-apply completed
+    steps on top of the already-advanced state."""
+    init, _ = _sharded_init(cmesh)
+    boom = {"fired": False}
+
+    def step(state):
+        if float(np.asarray(state["u"])[0, 0, 0]) == 2 and not boom["fired"]:
+            boom["fired"] = True
+            raise RuntimeError("UNAVAILABLE: injected")
+        return _step(state)
+
+    state, report = run_resilient(
+        step, None, n_steps=4, directory=str(tmp_path),
+        checkpoint_every=0, init_fn=init,
+    )
+    assert report.restarts == 1
+    assert float(np.asarray(state["u"])[0, 0, 0]) == 4.0  # not 6.0
+
+
+def test_rollback_preserves_live_sharding(tmp_path, cmesh):
+    """Rollback without an explicit shardings arg keeps arrays sharded as
+    they were (derived from the live state), not host numpy."""
+    import jax
+
+    init, sh = _sharded_init(cmesh)
+    boom = {"fired": False}
+
+    def step(state):
+        assert isinstance(state["u"], jax.Array) and state["u"].sharding == sh
+        if float(np.asarray(state["u"])[0, 0, 0]) == 3 and not boom["fired"]:
+            boom["fired"] = True
+            raise RuntimeError("UNAVAILABLE: injected")
+        return _step(state)
+
+    state, report = run_resilient(
+        step, None, n_steps=5, directory=str(tmp_path),
+        checkpoint_every=2, init_fn=init,
+    )
+    assert report.restarts == 1
+    assert state["u"].sharding == sh
+    assert float(np.asarray(state["u"])[0, 0, 0]) == 5.0
+
+
+def test_incomplete_checkpoint_dir_skipped_on_resume(tmp_path, cmesh):
+    """Resume ignores a checkpoint directory whose manifest set is
+    incomplete (multi-host crash mid-save)."""
+    import glob
+    import json
+
+    init, sh = _sharded_init(cmesh)
+    run_resilient(_step, None, n_steps=4, directory=str(tmp_path),
+                  checkpoint_every=2, init_fn=init)
+    # corrupt the LATEST checkpoint into a partial 2-process save
+    latest = sorted(glob.glob(os.path.join(str(tmp_path), "step_*")))[-1]
+    (mpath,) = glob.glob(os.path.join(latest, "manifest.p*.json"))
+    with open(mpath) as f:
+        m = json.load(f)
+    m["process_count"] = 2
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    state, report = run_resilient(
+        _step, None, n_steps=6, directory=str(tmp_path),
+        checkpoint_every=0, shardings={"u": sh},
+    )
+    assert report.resumed_from == 2  # step_4 skipped as incomplete
+    assert float(np.asarray(state["u"])[0, 0, 0]) == 6.0
+
+
 def test_cross_process_resume(tmp_path, cmesh):
     """A fresh invocation pointed at the same directory resumes from the
     last COMPLETE checkpoint (process-restart recovery)."""

@@ -105,6 +105,60 @@ def test_incomplete_checkpoint_rejected(tmp_path, cmesh):
         load_checkpoint_sharded(d)
 
 
+def test_replicated_array_stores_one_file(tmp_path, cmesh):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(cmesh.mesh, P())  # fully replicated on all 8
+    raw = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint_sharded(d, {"r": jax.device_put(raw, rep)})
+    files = sorted(os.listdir(d))
+    assert sum(f.startswith("r.d") for f in files) == 1  # replica 0 only
+    loaded, _ = load_checkpoint_sharded(d)
+    np.testing.assert_array_equal(loaded["r"], raw)
+
+
+def test_incomplete_multiprocess_checkpoint_rejected(tmp_path, cmesh):
+    import glob
+    import json
+
+    from gt4py_tpu.utils.checkpoint import is_checkpoint_complete
+
+    state, _, _ = _sharded_state(cmesh)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint_sharded(d, state)
+    assert is_checkpoint_complete(d)
+    # simulate a 2-process save of which only this manifest landed
+    (mpath,) = glob.glob(os.path.join(d, "manifest.p*.json"))
+    with open(mpath) as f:
+        m = json.load(f)
+    m["process_count"] = 2
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    assert not is_checkpoint_complete(d)
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        load_checkpoint_sharded(d)
+
+
+def test_partial_shard_coverage_rejected(tmp_path, cmesh):
+    import glob
+    import json
+
+    state, _, _ = _sharded_state(cmesh)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint_sharded(d, state)
+    (mpath,) = glob.glob(os.path.join(d, "manifest.p*.json"))
+    with open(mpath) as f:
+        m = json.load(f)
+    # drop one recorded shard of 'u': its region would stay zero-filled
+    m["arrays"]["u"]["shards"].popitem()
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="covered"):
+        load_checkpoint_sharded(d)
+
+
 def test_path_separator_key_rejected(tmp_path, cmesh):
     with pytest.raises(ValueError, match="path separators"):
         save_checkpoint_sharded(
