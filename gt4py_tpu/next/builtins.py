@@ -30,6 +30,7 @@ from .common import (
     UnitRange,
     _expand,
     _xp,
+    current_offset_provider,
 )
 
 
@@ -284,6 +285,22 @@ def _reduce(field: Field, conn_or_dim, opname, init):
     else:
         dim = conn_or_dim
         skip_table = None
+        # reference semantics: reducing over a LOCAL dim is skip-aware
+        # when the call-time offset_provider holds the connectivity that
+        # produced it (ITIR reduce knows the neighbor table of the shift)
+        prov = current_offset_provider()
+        if prov:
+            for v in prov.values():
+                if (
+                    isinstance(v, Connectivity)
+                    and v.has_local_dim
+                    and v.local_dim == dim
+                    and v.skip_value is not None
+                    and v.source in field.dims
+                ):
+                    conn_or_dim = v
+                    skip_table = v.table
+                    break
     ax = field.dims.index(dim)
     data = field.data
     if skip_table is not None and conn_or_dim.skip_value is not None:

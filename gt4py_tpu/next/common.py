@@ -15,6 +15,8 @@ domain/broadcast/offset logic, so backend semantics cannot fork.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import dataclasses
 import enum
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
@@ -280,6 +282,85 @@ class Connectivity:
         return self.table.ndim == 2 and self.local_dim is not None
 
 
+#: call-time offset provider (reference: embedded/context.py + the
+#: ``offset_provider=`` argument threaded through every runner): maps an
+#: offset NAME to the Connectivity (neighbor table) or Dimension
+#: (cartesian shift axis) it stands for during the current operator call
+_OFFSET_PROVIDER: contextvars.ContextVar = contextvars.ContextVar(
+    "offset_provider", default=None
+)
+
+
+@contextlib.contextmanager
+def offset_provider_context(provider):
+    """Install ``provider`` (name -> Connectivity | Dimension) for the
+    duration of an operator/program call; :class:`FieldOffset`
+    applications resolve through it (reference:
+    fbuiltins.FieldOffset.__getitem__ :481-496)."""
+    if not provider:
+        yield
+        return
+    token = _OFFSET_PROVIDER.set(dict(provider))
+    try:
+        yield
+    finally:
+        _OFFSET_PROVIDER.reset(token)
+
+
+def current_offset_provider() -> Optional[Dict[str, Any]]:
+    return _OFFSET_PROVIDER.get()
+
+
+def provider_fingerprint(provider) -> Optional[tuple]:
+    """Hashable identity of an offset provider for jit/AOT cache keys:
+    a jit trace bakes the neighbor tables in as constants, so two calls
+    with different providers must not share a trace."""
+    if not provider:
+        return None
+    items = []
+    for k in sorted(provider):
+        v = provider[k]
+        if isinstance(v, Connectivity):
+            items.append((
+                k, "conn", v.source.value, v.codomain.value,
+                getattr(v.local_dim, "value", None), v.skip_value,
+                tuple(v.table.shape), str(np.dtype(v.table.dtype)),
+                id(v.table),
+            ))
+        elif isinstance(v, Dimension):
+            items.append((k, "dim", v.value, v.kind.value))
+        else:
+            items.append((k, type(v).__name__, id(v)))
+    return tuple(items)
+
+
+def _provider_lookup(name: str):
+    prov = _OFFSET_PROVIDER.get()
+    return None if prov is None else prov.get(name)
+
+
+def _check_offset_connectivity(off: "FieldOffset", conn: Connectivity) -> None:
+    """The provider entry must agree with the offset's declared dims:
+    the field carries ``off.source`` (= the table's codomain) and the
+    result carries ``off.target`` (= table source [, local dim])."""
+    expected = (conn.source,) + (
+        (conn.local_dim,) if conn.has_local_dim else ()
+    )
+    ok = (
+        off.source.value == conn.codomain.value
+        and len(off.target) == len(expected)
+        and all(a.value == b.value for a, b in zip(off.target, expected))
+    )
+    if not ok:
+        decl = ", ".join(d.value for d in off.target)
+        got = ", ".join(d.value for d in expected)
+        raise TypeError(
+            f"offset_provider['{off.value}'] maps {conn.codomain.value} -> "
+            f"({got}) but the offset declares source={off.source.value}, "
+            f"target=({decl})"
+        )
+
+
 #: types accepted anywhere a "field or scalar" is expected
 Scalar = (int, float, bool, np.generic)
 
@@ -424,12 +505,54 @@ class Field:
         if isinstance(off, Connectivity):
             return self.remap(off)
         if isinstance(off, FieldOffset):
+            # reference-style named offsets: the table arrives at call
+            # time via offset_provider (fbuiltins.py:481-496)
+            prov = _provider_lookup(off.value)
+            if isinstance(prov, Connectivity):
+                _check_offset_connectivity(off, prov)
+                return self.remap(prov)
+            if len(off.target) == 2:
+                raise TypeError(
+                    f"offset '{off.value}' names a neighbor connectivity; "
+                    f"pass offset_provider={{'{off.value}': <Connectivity>}} "
+                    "at the call"
+                )
             raise TypeError(
                 f"Offset '{off.value}' needs an index (e.g. {off.value}[1]) "
                 "or pass a Connectivity"
             )
-        dim = off.offset.source
-        ax = self.dims.index(dim)
+        prov = _provider_lookup(off.offset.value)
+        if isinstance(prov, Connectivity):
+            # V2E[k]: select the k-th neighbor column (reference:
+            # offset_definition[NamedIndex(target[-1], k)])
+            _check_offset_connectivity(off.offset, prov)
+            if prov.table.ndim != 2:
+                raise TypeError(
+                    f"offset_provider['{off.offset.value}'] is a 1D "
+                    "mapping; apply the offset without an index"
+                )
+            nb = prov.table.shape[1]
+            if not (-nb <= off.index < nb):
+                raise IndexError(
+                    f"neighbor index {off.index} out of range for "
+                    f"'{off.offset.value}' with {nb} neighbors"
+                )
+            column = Connectivity(
+                prov.table[:, off.index],
+                source=prov.source,
+                codomain=prov.codomain,
+                local_dim=None,
+                skip_value=prov.skip_value,
+            )
+            return self.remap(column)
+        dim = prov if isinstance(prov, Dimension) else off.offset.source
+        try:
+            ax = [d.value for d in self.dims].index(dim.value)
+        except ValueError:
+            raise TypeError(
+                f"field with dims ({', '.join(d.value for d in self.dims)}) "
+                f"has no dimension {dim.value} to shift along"
+            ) from None
         ranges = list(self.domain.ranges)
         ranges[ax] = ranges[ax].shift(-off.index)
         return Field(Domain(self.dims, tuple(ranges)), self.data)

@@ -166,19 +166,32 @@ class _ExtentAnalysis:
         arg0_t = node.args[0].type if node.args else None
         if isinstance(ft, ts.FieldType) or (
             isinstance(ft, ts.DeferredType)
-            and isinstance(arg0_t, (ts.OffsetIndexType, ts.ConnectivityType))
+            and isinstance(
+                arg0_t,
+                (ts.OffsetIndexType, ts.ConnectivityType, ts.OffsetType),
+            )
         ):
             m = self.eval(node.func)
             if m is None:
                 return None
             at = node.args[0].type if node.args else None
             if isinstance(at, ts.OffsetIndexType):
+                unstructured = (
+                    len(at.target) != 1
+                    or at.target[0].value != at.source.value
+                )
+                if unstructured:
+                    # neighbor selection: data-dependent over source dim
+                    return _full(m, at.source)
                 if isinstance(node.args[0], fvir.Subscript):
                     # literal subscript: Ioff[k]
                     return _shift(m, at.source, node.args[0].index)
                 return _full(m, at.source)  # offset held in a variable
             if isinstance(at, ts.ConnectivityType):
                 return _full(m, at.codomain)
+            if isinstance(at, ts.OffsetType):
+                # provider-resolved remap: data-dependent gather
+                return _full(m, at.source)
             return m
 
         if isinstance(ft, ts.OperatorType):

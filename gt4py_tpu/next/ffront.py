@@ -29,7 +29,17 @@ import jax
 import jax.numpy as jnp
 
 from . import frontend, fvir, type_system as ts
-from .common import Dimension, Domain, Field, UnitRange, _expand, domain_like
+from .common import (
+    Dimension,
+    Domain,
+    Field,
+    UnitRange,
+    _expand,
+    current_offset_provider,
+    domain_like,
+    offset_provider_context,
+    provider_fingerprint,
+)
 from .frontend import FieldViewError
 from .interpreter import Interpreter
 
@@ -215,18 +225,19 @@ class FieldOperator:
         args = _bind_call_args(
             [p.name for p in self.ir.params], args, kwargs, self.__name__
         )
-        # deduce from the ORIGINAL args (named-collection instances carry
-        # their member names), execute on the flattened canonical values
-        arg_types = tuple(_value_type(a) for a in args)
-        canon = tuple(_canon_value(a, self._backend) for a in args)
-        if self._backend is not None and self._backend.jit:
-            result = self._jit_run(canon, arg_types)
-        else:
-            result = self._run_typed(canon, arg_types)
-        if out is None:
-            _, ret_t = self._typed_for(arg_types)
-            return _rebuild_collections(ret_t, result)
-        _write_out_any(result, _canon_value(out), domain)
+        with offset_provider_context(offset_provider):
+            # deduce from the ORIGINAL args (named-collection instances
+            # carry their member names), execute on the flattened values
+            arg_types = tuple(_value_type(a) for a in args)
+            canon = tuple(_canon_value(a, self._backend) for a in args)
+            if self._backend is not None and self._backend.jit:
+                result = self._jit_run(canon, arg_types)
+            else:
+                result = self._run_typed(canon, arg_types)
+            if out is None:
+                _, ret_t = self._typed_for(arg_types)
+                return _rebuild_collections(ret_t, result)
+            _write_out_any(result, _canon_value(out), domain)
         return None
 
     def _run_typed(self, args, arg_types=None):
@@ -246,7 +257,13 @@ class FieldOperator:
 
         import jax
 
-        key = (arg_types, tuple(str(t) for t in arg_types))
+        # provider tables are baked into the trace as constants: a
+        # different provider must not reuse the cached executable
+        key = (
+            arg_types,
+            tuple(str(t) for t in arg_types),
+            provider_fingerprint(current_offset_provider()),
+        )
         fns = self.__dict__.setdefault("_jit_fns", {})
         fn = fns.get(key)
         if fn is None:
@@ -307,6 +324,11 @@ class ScanOperator(FieldOperator):
 
     def __call__(self, *args, out: Optional[Field] = None,
                  domain: Optional[Domain] = None, offset_provider=None, **kwargs):
+        with offset_provider_context(offset_provider):
+            return self._scan_impl(*args, out=out, domain=domain, **kwargs)
+
+    def _scan_impl(self, *args, out: Optional[Field] = None,
+                   domain: Optional[Domain] = None, **kwargs):
         # the first parameter is the carry: callers bind the rest
         args = _bind_call_args(
             [p.name for p in self.ir.params[1:]], args, kwargs, self.__name__
@@ -443,7 +465,9 @@ class Program:
         self._typed_cache: Dict[Tuple, fvir.OperatorIR] = {}
         self._static_params = tuple(static_params)
         self._bound_args = dict(bound_args or {})
-        self._pool = None
+        # AOT pools keyed by offset-provider fingerprint: provider tables
+        # are trace constants, so each provider owns its compiled variants
+        self._pools: Dict[Any, Any] = {}
         self._out_params: Tuple[str, ...] = self._find_out_params()
 
     # -- analysis -- #
@@ -508,28 +532,35 @@ class Program:
 
     def __call__(self, *args, offset_provider=None, **kwargs):
         merged = self._bind(args, kwargs)
-        # flatten named-collection instances (member Fields stay shared, so
-        # out= writes reach the caller); convert non-out inputs to the
-        # backend's namespace -- out params keep the caller's buffers
-        merged = [
-            _canon_value(
-                a,
-                None
-                if self._backend is None or p.name in self._out_params
-                else self._backend,
-            )
-            for p, a in zip(self.ir.params, merged)
-        ]
-        if self._backend is not None:
-            if self._backend.jit and self._pool is None:
+        with offset_provider_context(offset_provider):
+            # flatten named-collection instances (member Fields stay
+            # shared, so out= writes reach the caller); convert non-out
+            # inputs to the backend's namespace -- out params keep the
+            # caller's buffers
+            merged = [
+                _canon_value(
+                    a,
+                    None
+                    if self._backend is None or p.name in self._out_params
+                    else self._backend,
+                )
+                for p, a in zip(self.ir.params, merged)
+            ]
+            fp = provider_fingerprint(current_offset_provider())
+            pool = self._pools.get(fp)
+            if (
+                pool is None
+                and self._backend is not None
+                and self._backend.jit
+            ):
                 from .compiled_program import CompiledProgramsPool
 
-                self._pool = CompiledProgramsPool(
+                pool = self._pools[fp] = CompiledProgramsPool(
                     self._functional(), static_params=self._static_params
                 )
-        if self._pool is not None:
-            return self._dispatch_compiled(merged)
-        self._run_embedded(merged)
+            if pool is not None:
+                return self._dispatch_compiled(merged, pool)
+            self._run_embedded(merged)
         return None
 
     def _run_embedded(self, merged):
@@ -623,7 +654,7 @@ class Program:
 
         new = copy.copy(self)
         new._backend = backends.resolve(backend)
-        new._pool = None  # each backend keeps its own compiled variants
+        new._pools = {}  # each backend keeps its own compiled variants
         return new
 
     def _functional(self):
@@ -672,15 +703,18 @@ class Program:
         decorator.Program.compile -> CompiledProgramsPool.compile)."""
         from .compiled_program import CompiledProgramsPool
 
-        if self._pool is None:
-            self._pool = CompiledProgramsPool(
-                self._functional(), static_params=self._static_params
-            )
-        dyn = [a for a in example_args]
-        self._pool.compile(tuple(dyn), wait=wait, **static_values)
+        with offset_provider_context(offset_provider):
+            fp = provider_fingerprint(current_offset_provider())
+            pool = self._pools.get(fp)
+            if pool is None:
+                pool = self._pools[fp] = CompiledProgramsPool(
+                    self._functional(), static_params=self._static_params
+                )
+            dyn = [a for a in example_args]
+            pool.compile(tuple(dyn), wait=wait, **static_values)
         return self
 
-    def _dispatch_compiled(self, merged):
+    def _dispatch_compiled(self, merged, pool):
         params = [p.name for p in self.ir.params]
         static_kw = {
             n: merged[params.index(n)] for n in self._static_params
@@ -690,7 +724,7 @@ class Program:
             for n, a in zip(params, merged)
             if n not in self._static_params and n not in self._bound_args
         ]
-        outs = self._pool(*dyn, **static_kw)
+        outs = pool(*dyn, **static_kw)
 
         def set_datas(target, data):
             if isinstance(target, tuple):
@@ -703,9 +737,14 @@ class Program:
             set_datas(merged[params.index(name)], data)
         return None
 
+    @property
+    def _pool(self):
+        """The default AOT pool (calls without offset_provider)."""
+        return self._pools.get(None)
+
     def wait_for_compilation(self) -> None:
-        if self._pool is not None:
-            self._pool.wait_for_compilation()
+        for pool in self._pools.values():
+            pool.wait_for_compilation()
 
     def __str__(self):
         ps = ", ".join(f"{p.name}: {p.type}" for p in self.ir.params)

@@ -782,10 +782,32 @@ class TypeDeduction:
                         f"offset along {a.source.value} applied to field "
                         f"without that dimension {_dims_str(ft)}", node
                     )
+                if _is_unstructured_offset(a):
+                    # V2E[k]: neighbor selection -- source dim replaced
+                    # by the offset's target element dim (the table comes
+                    # from offset_provider at call time)
+                    i = ft.dims.index(a.source)
+                    return ts.FieldType(
+                        ft.dims[:i] + (a.target[0],) + ft.dims[i + 1 :],
+                        ft.dtype,
+                    )
                 return ft
             if isinstance(a, ts.ConnectivityType):
                 return _remap_type(ft, a, node)
             if isinstance(a, ts.OffsetType):
+                if _is_unstructured_offset(a):
+                    # full remap through a call-time provider table:
+                    # source dim replaced by the declared target dims
+                    if a.source not in ft.dims:
+                        raise _err(
+                            f"offset along {a.source.value} applied to field "
+                            f"without that dimension {_dims_str(ft)}", node
+                        )
+                    i = ft.dims.index(a.source)
+                    return ts.FieldType(
+                        ft.dims[:i] + tuple(a.target) + ft.dims[i + 1 :],
+                        ft.dtype,
+                    )
                 raise _err(
                     f"offset '{a.source.value}' needs an index, e.g. "
                     "Ioff[1]", node
@@ -871,6 +893,12 @@ def _strip_weak(t: ts.TypeSpec) -> ts.TypeSpec:
             origin=t.origin,  # unannotated callees relies on it
         )
     return t
+
+
+def _is_unstructured_offset(a) -> bool:
+    """True when a FieldOffset declares a remap (target dims differ from
+    the source dim) rather than a cartesian shift (target == (source,))."""
+    return len(a.target) != 1 or a.target[0].value != a.source.value
 
 
 def _remap_type(ft: ts.FieldType, ct: ts.ConnectivityType, node) -> ts.FieldType:
