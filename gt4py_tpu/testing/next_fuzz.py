@@ -22,10 +22,13 @@ class OperatorGenerator:
     """Builds one random field-operator source string + its closure."""
 
     def __init__(self, rng: random.Random, with_unstructured: bool = False,
-                 with_collection: bool = False):
+                 with_collection: bool = False, with_provider: bool = False):
         self.rng = rng
         self.with_unstructured = with_unstructured
         self.with_collection = with_collection
+        # provider leg: V2E is a named FieldOffset resolved through the
+        # call-time offset_provider instead of a closure Connectivity
+        self.with_provider = with_provider
         self.lines: List[str] = []
         self.n_tmp = 0
 
@@ -97,7 +100,14 @@ class OperatorGenerator:
             e = self._expr(names)
             if not self._is_field_expr(e):
                 e = f"({e}) + 0.0 * a"
-            body.append(f"r = neighbor_sum(({e})(V2E), axis=V2E)")
+            if self.with_provider and self.rng.random() < 0.4:
+                # neighbor selection through the provider table
+                body.append(f"r = ({e})(V2E[{self.rng.randint(0, 2)}])")
+            elif self.with_provider:
+                # skip mask resolved from the ambient provider
+                body.append(f"r = neighbor_sum(({e})(V2E), axis=V2EDim)")
+            else:
+                body.append(f"r = neighbor_sum(({e})(V2E), axis=V2E)")
             ret = "r"
         else:
             ret = self._expr(names)
@@ -133,6 +143,7 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
 
     rng = random.Random(seed)
     unstructured = rng.random() < 0.3
+    provider = unstructured and rng.random() < 0.5
     collection = not unstructured and rng.random() < 0.35
 
     I = Dimension("I")
@@ -143,13 +154,23 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     Joff = FieldOffset("Joff", source=J, target=(J,))
 
     nprng = np.random.default_rng(seed)
+    offset_provider = None
+    V2EDim = None
     if unstructured:
         nv, ne, width = 6, 9, 3
         table = np.full((nv, width), -1, dtype=np.int64)
         for v in range(nv):
             n = nprng.integers(1, width + 1)
             table[v, :n] = nprng.integers(0, ne, n)
-        V2E = as_connectivity(table, source=Vertex, codomain=Edge)
+        conn = as_connectivity(table, source=Vertex, codomain=Edge)
+        V2EDim = conn.local_dim
+        if provider:
+            # the operator sees only the named offset; the table arrives
+            # per call through offset_provider (the reference call style)
+            V2E = FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
+            offset_provider = {"V2E": conn}
+        else:
+            V2E = conn
         FT = Field[Dims[Edge], dtype]
         RT = Field[Dims[Vertex], dtype]
         data_dims, shape = (Edge,), (ne,)
@@ -160,7 +181,8 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
         data_dims, shape = (I, J), (10, 9)
 
     gen = OperatorGenerator(
-        rng, with_unstructured=unstructured, with_collection=collection
+        rng, with_unstructured=unstructured, with_collection=collection,
+        with_provider=provider,
     )
     src = gen.generate()
 
@@ -174,7 +196,7 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     ns = dict(
         FT=FT, RT=RT, PT=PT, float64=dtype, where=where, minimum=minimum,
         maximum=maximum, neighbor_sum=neighbor_sum, Ioff=Ioff, Joff=Joff,
-        V2E=V2E,
+        V2E=V2E, V2EDim=V2EDim,
     )
     # the frontend reads the source via inspect.getsource; register the
     # generated text under a virtual filename so linecache can serve it
@@ -202,7 +224,7 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
             else:
                 out = op(PT(a=a, b=b), s)
         else:
-            out = op(a, b, s)
+            out = op(a, b, s, offset_provider=offset_provider)
         results[alloc] = (out.asnumpy(), out.dims, tuple(out.domain.ranges))
 
     r_np, d_np, dom_np = results["numpy"]
@@ -217,7 +239,7 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     if transforms:
         call = (
             (lambda x, y, z: op(PT(a=x, b=y), z)) if collection
-            else (lambda x, y, z: op(x, y, z))
+            else (lambda x, y, z: op(x, y, z, offset_provider=offset_provider))
         )
         _check_transform_invariance(
             call, as_field, data_dims, a_np, b_np, s, r_np, d_np, dom_np,
