@@ -15,16 +15,22 @@ collapses the reference's roundtrip/gtfn/dace backend zoo into tracing
 """
 
 from .common import (  # noqa: F401
+    CartesianConnectivity,
     Dimension,
     DimensionKind,
     Domain,
     Field,
     FieldOffset,
     Connectivity,
+    GridType,
     UnitRange,
+    domain,
+    is_scalar_type,
+    unit_range,
 )
 from .constructors import as_connectivity, as_field, empty, full, ones, zeros  # noqa: F401
 from .ffront import field_operator, program, scan_operator  # noqa: F401
+from .compiled_program import wait_for_compilation  # noqa: F401
 from . import backends  # noqa: F401  (numpy_oracle / jax_eager / jax_jit)
 from .builtins import (  # noqa: F401
     abs,  # noqa: A004
@@ -56,6 +62,7 @@ from .builtins import (  # noqa: F401
     max_over,
     minimum,
     min_over,
+    neg,
     neighbor_sum,
     power,
     premap,
@@ -69,6 +76,7 @@ from .builtins import (  # noqa: F401
 )
 from .type_system import (  # noqa: F401
     Dims,
+    IndexType,
     bfloat16,
     bool_,
     float32,

@@ -344,6 +344,13 @@ def _unary(name):
     return wrapped
 
 
+def neg(x):
+    """Unary negation builtin (reference: fbuiltins.neg :378)."""
+    if isinstance(x, Field):
+        return Field(x.domain, -x.data)
+    return -x
+
+
 sqrt = _unary("sqrt")
 exp = _unary("exp")
 log = _unary("log")
@@ -432,7 +439,7 @@ MATH_BUILTINS = {
     for name in (
         "sqrt exp log sin cos tan arcsin arccos arctan sinh cosh tanh "
         "arcsinh arccosh arctanh log10 log2 floor ceil trunc abs "
-        "isfinite isinf isnan maximum minimum fmod power gamma cbrt"
+        "isfinite isinf isnan maximum minimum fmod power gamma cbrt neg"
     ).split()
 }
 

@@ -212,6 +212,36 @@ class Domain:
         ) + ")"
 
 
+def unit_range(r) -> UnitRange:
+    """Coerce an int / (start, stop) / range / UnitRange into a UnitRange
+    (reference: common.unit_range :335)."""
+    if isinstance(r, UnitRange):
+        return r
+    if isinstance(r, (int, np.integer)):
+        return UnitRange(0, int(r))
+    if isinstance(r, range):
+        if r.step != 1:
+            raise ValueError(f"unit_range requires step 1, got {r.step}")
+        return UnitRange(r.start, r.stop)
+    a, b = r
+    return UnitRange(int(a), int(b))
+
+
+class GridType(enum.Enum):
+    """(reference: common.GridType :1330)"""
+
+    CARTESIAN = "cartesian"
+    UNSTRUCTURED = "unstructured"
+
+
+def is_scalar_type(value) -> bool:
+    """True for python/numpy scalar values and scalar *types*
+    (reference: _core.definitions.is_scalar_type)."""
+    if isinstance(value, type):
+        return issubclass(value, (int, float, bool, np.generic))
+    return isinstance(value, (int, float, bool, complex, np.generic))
+
+
 def domain_like(value) -> Domain:
     """Coerce a Domain / dict / (dim, size) sequence into a Domain."""
     if isinstance(value, Domain):
@@ -255,6 +285,28 @@ class FieldOffset:
 class OffsetIndex:
     offset: FieldOffset
     index: int
+
+
+def CartesianConnectivity(domain_dim: Dimension, offset: int = 0, *,
+                          codomain: Optional[Dimension] = None) -> OffsetIndex:
+    """A fixed shift along a dimension, usable wherever a connectivity is
+    (``f(CartesianConnectivity(I, 1))``, ``premap``); reference:
+    common.CartesianConnectivity :1242."""
+    if codomain is not None and codomain.value != domain_dim.value:
+        raise NotImplementedError(
+            "CartesianConnectivity with a relabeling codomain is not "
+            "supported; use a 1D Connectivity table instead"
+        )
+    return OffsetIndex(
+        FieldOffset(domain_dim.value, source=domain_dim, target=(domain_dim,)),
+        int(offset),
+    )
+
+
+def domain(value) -> Domain:
+    """Coerce a Domain / dict / (dim, size) sequence (reference:
+    common.domain :671)."""
+    return domain_like(value)
 
 
 @dataclasses.dataclass

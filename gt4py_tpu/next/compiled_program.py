@@ -16,8 +16,20 @@ from __future__ import annotations
 
 import itertools
 import threading
+import weakref
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+#: every live pool, so module-level wait_for_compilation() can drain all
+#: in-flight background compiles (reference: otf/compiled_program.py:172)
+_ALL_POOLS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def wait_for_compilation() -> None:
+    """Block until every pool's in-flight variants finished compiling
+    (useful before timing a first call)."""
+    for pool in list(_ALL_POOLS):
+        pool.wait_for_compilation()
 
 
 def _abstract_key(args, kwargs):
@@ -59,6 +71,7 @@ class CompiledProgramsPool:
         self._futures: Dict[Any, Future] = {}
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        _ALL_POOLS.add(self)
 
     # ------------------------------------------------------------------ #
 

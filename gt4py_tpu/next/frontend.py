@@ -1221,7 +1221,7 @@ def _make_builtin_rules():
         fb.fmod: _rule_binary_math("fmod"),
         fb.power: _rule_binary_math("power"),
     }
-    int_preserving = {"abs", "floor", "ceil", "trunc"}
+    int_preserving = {"abs", "floor", "ceil", "trunc", "neg"}
     bool_returning = {"isfinite", "isinf", "isnan"}
     for name, fn in fb.MATH_BUILTINS.items():
         if fn in rules:

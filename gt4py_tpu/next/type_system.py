@@ -264,6 +264,7 @@ uint64 = np.uint64
 float32 = np.float32
 float64 = np.float64
 bfloat16 = ml_dtypes.bfloat16  # TPU-native (beyond the reference)
+IndexType = np.int32  # (reference: fbuiltins.IndexType :116)
 
 _SCALAR_ALIASES: Dict[Any, np.dtype] = {
     t: np.dtype(t)
