@@ -212,6 +212,26 @@ class Domain:
         ) + ")"
 
 
+def _slice_range(input_range: UnitRange, s: slice) -> UnitRange:
+    """Relative slice of a range: start/stop count from the range start
+    when >= 0, from the stop when negative; out-of-range raises (no
+    clipping, per the array API standard) — reference:
+    embedded/common.py:163-178 _slice_range."""
+    if s == slice(None):
+        return input_range
+    start = (
+        input_range.start if s.start is None or s.start >= 0 else input_range.stop
+    ) + (s.start or 0)
+    stop = (
+        input_range.start if s.stop is None or s.stop >= 0 else input_range.stop
+    ) + (s.stop if s.stop is not None else len(input_range))
+    if start < input_range.start or stop > input_range.stop:
+        raise IndexError(
+            f"slice {s} out of range {input_range} (no clipping)"
+        )
+    return UnitRange(start, stop)
+
+
 def unit_range(r) -> UnitRange:
     """Coerce an int / (start, stop) / range / UnitRange into a UnitRange
     (reference: common.unit_range :335)."""
@@ -497,10 +517,143 @@ class Field:
                 ranges.append(own)
         return Field(Domain(self.dims, tuple(ranges)), self.data[tuple(idx)])
 
-    def __getitem__(self, domain: Domain) -> "Field":
-        if not isinstance(domain, Domain):
-            raise TypeError("Field[...] takes a Domain; use f(offset) for shifts")
-        return self.restrict(domain)
+    # ---- reference-style index specs (relative / absolute) ---- #
+    # (reference: embedded/common.py:33-116 _relative_sub_domain /
+    #  _absolute_sub_domain, nd_array_field.py:465-478 _slice)
+
+    def _slice_spec(self, index) -> Tuple[Domain, tuple]:
+        """Normalize an index spec into ``(new_domain, buffer_index)``.
+
+        Accepted forms (mirroring the reference's AnyIndexSpec):
+        - ``Domain`` — absolute restriction by named ranges;
+        - ``(dim, i)`` pairs (or a sequence of them) with ``i`` an int
+          (drops the dimension), a ``UnitRange``/``range``/``(lo, hi)``
+          (absolute restriction);
+        - relative ints / slices / ``...`` in dimension order: slices are
+          relative to the domain start (negative values to the stop), no
+          clipping; an int selects one point and drops the dimension.
+        """
+        if isinstance(index, Domain):
+            index = tuple(zip(index.dims, index.ranges))
+        if isinstance(index, tuple) and len(index) == 2 and isinstance(index[0], Dimension):
+            index = (index,)
+        if isinstance(index, Sequence) and not isinstance(index, str) and index and all(
+            isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], Dimension)
+            for e in index
+        ):
+            return self._absolute_slice(tuple(index))
+        if not isinstance(index, tuple):
+            index = (index,)
+        return self._relative_slice(index)
+
+    def _absolute_slice(self, pairs) -> Tuple[Domain, tuple]:
+        by_dim = {}
+        for d, v in pairs:
+            if d not in self.dims:
+                raise IndexError(
+                    f"field with dims ({', '.join(x.value for x in self.dims)}) "
+                    f"has no dimension {d.value}"
+                )
+            by_dim[d] = v
+        idx, dims, ranges = [], [], []
+        for ax, d in enumerate(self.dims):
+            own = self.domain[d]
+            broadcast_ax = self.data.shape[ax] == 1 and len(own) > 1
+            if d not in by_dim:
+                idx.append(slice(None))
+                dims.append(d)
+                ranges.append(own)
+                continue
+            v = by_dim[d]
+            if isinstance(v, (int, np.integer)):
+                if int(v) not in own:
+                    raise IndexError(
+                        f"index {d.value}={int(v)} out of range {own} (no clipping)"
+                    )
+                idx.append(0 if broadcast_ax else int(v) - own.start)
+            else:
+                r = unit_range(v)
+                if r.start < own.start or r.stop > own.stop:
+                    raise IndexError(
+                        f"range {d.value}{r} not contained in {own} (no clipping)"
+                    )
+                if broadcast_ax:
+                    idx.append(slice(None))
+                else:
+                    lo = r.start - own.start
+                    idx.append(slice(lo, lo + len(r)))
+                dims.append(d)
+                ranges.append(r)
+        return Domain(tuple(dims), tuple(ranges)), tuple(idx)
+
+    def _relative_slice(self, index) -> Tuple[Domain, tuple]:
+        if Ellipsis in index:
+            pos = index.index(Ellipsis)
+            fill = (slice(None),) * (len(self.dims) - (len(index) - 1))
+            index = index[:pos] + fill + index[pos + 1 :]
+        if len(index) > len(self.dims):
+            raise IndexError(
+                f"cannot index {len(self.dims)}-dimensional field with "
+                f"{len(index)} indices"
+            )
+        index = index + (slice(None),) * (len(self.dims) - len(index))
+        idx, dims, ranges = [], [], []
+        for ax, (d, e) in enumerate(zip(self.dims, index)):
+            own = self.domain[d]
+            broadcast_ax = self.data.shape[ax] == 1 and len(own) > 1
+            if isinstance(e, slice):
+                if e.step not in (None, 1):
+                    raise IndexError("field slicing requires step 1")
+                r = _slice_range(own, e)
+                if broadcast_ax:
+                    idx.append(slice(None))
+                else:
+                    lo = r.start - own.start
+                    idx.append(slice(lo, lo + len(r)))
+                dims.append(d)
+                ranges.append(r)
+            elif isinstance(e, (int, np.integer)):
+                if not own.is_finite:
+                    raise IndexError(f"cannot index unbounded range {d.value}{own}")
+                p = (own.start if e >= 0 else own.stop) + int(e)
+                if p not in own:
+                    raise IndexError(
+                        f"index {int(e)} out of range for {d.value}{own} "
+                        "(no clipping)"
+                    )
+                idx.append(0 if broadcast_ax else p - own.start)
+            else:
+                raise TypeError(
+                    f"unsupported field index {e!r}; use ints, slices, a "
+                    "Domain, or (dim, index) pairs"
+                )
+        return Domain(tuple(dims), tuple(ranges)), tuple(idx)
+
+    def __getitem__(self, index) -> "Field":
+        """Restrict to a sub-domain (reference: nd_array_field.restrict
+        :378-384).  Accepts a Domain, (dim, index) pairs, or relative
+        ints/slices/``...``; numpy-backed results share the buffer (views),
+        so writing into a restricted out= target reaches the caller."""
+        if isinstance(index, Domain):
+            return self.restrict(index)
+        dom, idx = self._slice_spec(index)
+        return Field(dom, self.data[idx])
+
+    def __setitem__(self, index, value) -> None:
+        """Write a sub-domain in place (reference: nd_array_field.py
+        :386-401; jax fields rebind functionally, :1070-1084)."""
+        dom, idx = self._slice_spec(index)
+        if isinstance(value, Field):
+            if not (value.dims == dom.dims and value.domain.ranges == dom.ranges):
+                raise ValueError(
+                    f"incompatible Domain in assignment: source {value.domain}, "
+                    f"target {dom}"
+                )
+            value = value.data
+        if isinstance(self.data, np.ndarray):
+            self.data[idx] = value
+        else:
+            self.data = self.data.at[idx].set(value)
 
     # ---- remap / premap (gather through connectivities) ---- #
 

@@ -1,0 +1,160 @@
+"""Field restriction / assignment index specs.
+
+Reference semantics: relative ints/slices/Ellipsis and absolute
+(dim, index) pairs restrict a field's domain; int indices drop the
+dimension; slices never clip (embedded/common.py:33-116 sub_domain,
+:163-178 _slice_range; nd_array_field.py:378-401 restrict/__setitem__,
+:1070-1084 jax functional __setitem__).
+"""
+
+import numpy as np
+import pytest
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.next import Dims, Field
+from gt4py_tpu.next.common import Domain, UnitRange
+
+I = gtx.Dimension("I")
+J = gtx.Dimension("J")
+K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+
+
+def _mk(allocator=None):
+    data = np.arange(20, dtype=np.float32).reshape(4, 5)
+    return gtx.as_field((I, J), data, allocator=allocator), data
+
+
+class TestRelativeIndexing:
+    def test_slice_first_dim(self):
+        f, data = _mk()
+        r = f[1:-1]
+        assert r.domain == Domain((I, J), (UnitRange(1, 3), UnitRange(0, 5)))
+        np.testing.assert_array_equal(r.asnumpy(), data[1:3])
+
+    def test_tuple_of_slices(self):
+        f, data = _mk()
+        r = f[1:3, 2:5]
+        assert r.domain.shape == (2, 3)
+        np.testing.assert_array_equal(r.asnumpy(), data[1:3, 2:5])
+
+    def test_int_drops_dimension(self):
+        f, data = _mk()
+        r = f[2]
+        assert r.dims == (J,)
+        np.testing.assert_array_equal(r.asnumpy(), data[2])
+        r2 = f[-1, 1:4]
+        assert r2.dims == (J,)
+        np.testing.assert_array_equal(r2.asnumpy(), data[3, 1:4])
+
+    def test_ellipsis(self):
+        f, data = _mk()
+        r = f[..., 1:-1]
+        assert r.domain == Domain((I, J), (UnitRange(0, 4), UnitRange(1, 4)))
+        np.testing.assert_array_equal(r.asnumpy(), data[:, 1:4])
+
+    def test_relative_to_nonzero_start(self):
+        # slices are relative to the domain start, not absolute indices
+        f, _ = _mk()
+        g = f[1:-1]  # I[1:3)
+        h = g[1:]  # relative: I[2:3)
+        assert h.domain[I] == UnitRange(2, 3)
+
+    def test_no_clipping(self):
+        f, _ = _mk()
+        with pytest.raises(IndexError):
+            f[0:9]
+        with pytest.raises(IndexError):
+            f[10]
+        with pytest.raises(IndexError):
+            f[1, 2, 3]
+
+    def test_step_rejected(self):
+        f, _ = _mk()
+        with pytest.raises(IndexError):
+            f[::2]
+
+
+class TestAbsoluteIndexing:
+    def test_named_range_pair(self):
+        f, data = _mk()
+        r = f[(J, (1, 4))]
+        assert r.domain == Domain((I, J), (UnitRange(0, 4), UnitRange(1, 4)))
+        np.testing.assert_array_equal(r.asnumpy(), data[:, 1:4])
+
+    def test_named_int_drops_dim(self):
+        f, data = _mk()
+        r = f[(J, 2)]
+        assert r.dims == (I,)
+        np.testing.assert_array_equal(r.asnumpy(), data[:, 2])
+
+    def test_pair_list(self):
+        f, data = _mk()
+        r = f[[(I, UnitRange(1, 3)), (J, 2)]]
+        assert r.dims == (I,)
+        assert r.domain[I] == UnitRange(1, 3)
+        np.testing.assert_array_equal(r.asnumpy(), data[1:3, 2])
+
+    def test_unknown_dim(self):
+        f, _ = _mk()
+        with pytest.raises(IndexError):
+            f[(K, 1)]
+
+    def test_containment_enforced(self):
+        f, _ = _mk()
+        with pytest.raises(IndexError):
+            f[(I, (2, 9))]
+        with pytest.raises(IndexError):
+            f[(I, 17)]
+
+
+class TestSetitem:
+    def test_numpy_in_place(self):
+        f, data = _mk(allocator="numpy")
+        f[1:3, 2] = -7.0
+        np.testing.assert_array_equal(np.asarray(f.ndarray)[:, 2], [2, -7, -7, 17])
+
+    def test_jax_functional(self):
+        f, _ = _mk()
+        f[1] = 5.0
+        out = np.asarray(f.ndarray)
+        np.testing.assert_array_equal(out[1], np.full(5, 5.0))
+        assert out[0, 0] == 0.0
+
+    def test_field_value_domain_checked(self):
+        f, _ = _mk(allocator="numpy")
+        # matching source domain: writes land
+        src = gtx.as_field((I, J), np.full((2, 5), 9.0, np.float32), allocator="numpy")
+        assert src.domain == f[0:2].domain
+        f[0:2] = src
+        np.testing.assert_array_equal(np.asarray(f.ndarray)[0], np.full(5, 9.0))
+        # mismatching source domain: rejected
+        bad = gtx.as_field((I, J), np.ones((3, 5), np.float32), allocator="numpy")
+        with pytest.raises(ValueError):
+            f[0:2] = bad
+
+    def test_named_setitem(self):
+        f, _ = _mk(allocator="numpy")
+        f[(I, 0)] = 3.0
+        np.testing.assert_array_equal(np.asarray(f.ndarray)[0], np.full(5, 3.0))
+
+
+class TestOutSlicing:
+    """out= with a restricted field: numpy-backed restriction is a VIEW,
+    so writes reach the caller's buffer (reference embedded behavior)."""
+
+    def test_numpy_out_view(self):
+        @gtx.field_operator
+        def add(
+            a: Field[Dims[I, J], gtx.float32], b: Field[Dims[I, J], gtx.float32]
+        ) -> Field[Dims[I, J], gtx.float32]:
+            return a + b
+
+        a = gtx.as_field((I, J), np.ones((4, 5), np.float32), allocator="numpy")
+        b = gtx.as_field((I, J), np.ones((4, 5), np.float32), allocator="numpy")
+        out = gtx.as_field((I, J), np.zeros((4, 5), np.float32), allocator="numpy")
+        view = out[1:-1]
+        assert view.ndarray.base is out.ndarray
+        add(a[1:-1], b[1:-1], out=view)
+        np.testing.assert_array_equal(
+            np.asarray(out.ndarray)[:, 0], [0.0, 2.0, 2.0, 0.0]
+        )
