@@ -61,7 +61,17 @@ def _common_xp(*operands):
 
 def where(cond, a, b) -> Field:
     """Pointwise select.  Any operand (including the condition) may be a
-    scalar (reference: fbuiltins.where over scalar/field mixes)."""
+    scalar (reference: fbuiltins.where over scalar/field mixes); tuple
+    branches are mapped elementwise (reference WhereBuiltinFunction,
+    fbuiltins.py:219-252)."""
+    if isinstance(a, tuple) or isinstance(b, tuple):
+        if not (isinstance(a, tuple) and isinstance(b, tuple)):
+            raise TypeError("where: both or neither branch must be tuples")
+        if len(a) != len(b):
+            raise TypeError(
+                f"where: tuple branches of different lengths ({len(a)} vs {len(b)})"
+            )
+        return tuple(where(cond, x, y) for x, y in zip(a, b))
     if not any(isinstance(x, Field) for x in (cond, a, b)):
         import jax
 

@@ -481,6 +481,21 @@ class Field:
     def asnumpy(self) -> np.ndarray:
         return np.asarray(self.data)
 
+    # NOTE: deliberately NO __array__ (matching the reference Field):
+    # a Field with __array__ gets silently consumed by numpy-scalar
+    # binary ops (np_scalar + field coerces instead of deferring to
+    # Field.__radd__), losing the domain.  Use .asnumpy()/.ndarray.
+
+    def as_scalar(self):
+        """The single value of a 0-dimensional field (reference:
+        nd_array_field.py:232-237)."""
+        if self.domain.ndim != 0:
+            raise ValueError(
+                "'as_scalar' is only valid on 0-dimensional 'Field's, got a "
+                f"{self.domain.ndim}-dimensional 'Field'."
+            )
+        return self.dtype.type(np.asarray(self.data)[()])
+
     def __repr__(self):
         dims = ", ".join(f"{d.value}{r}" for d, r in self.domain)
         return f"Field<{dims}, {self.dtype}>"

@@ -226,3 +226,62 @@ def test_where_scalar_operands_under_jit():
 
     assert float(f(0.5)) == 1.0
     assert float(f(0.1)) == 2.0
+
+
+@pytest.mark.parametrize("alloc", ALLOCATORS)
+def test_where_tuple_branches(alloc):
+    """where() distributes over tuple branches (reference
+    WhereBuiltinFunction, fbuiltins.py:219-252)."""
+    from gt4py_tpu.next.builtins import where
+
+    a = as_field((I, K), np.arange(12.0).reshape(3, 4), allocator=alloc)
+    b = as_field((I, K), -np.ones((3, 4)), allocator=alloc)
+    m = a > 5.0
+    t1, t2 = where(m, (a, b), (b, a))
+    np.testing.assert_array_equal(
+        t1.asnumpy(), np.where(a.asnumpy() > 5.0, a.asnumpy(), b.asnumpy())
+    )
+    np.testing.assert_array_equal(
+        t2.asnumpy(), np.where(a.asnumpy() > 5.0, b.asnumpy(), a.asnumpy())
+    )
+    with pytest.raises(TypeError):
+        where(m, (a, b), a)
+    with pytest.raises(TypeError):
+        where(m, (a, b), (a, b, a))
+
+
+def test_where_tuple_in_operator():
+    """Tuple-valued where() through the parsed frontend + jit backend."""
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, backends
+
+    @gtx.field_operator
+    def swap(
+        a: Field[Dims[I, K], gtx.float64], b: Field[Dims[I, K], gtx.float64]
+    ) -> tuple[Field[Dims[I, K], gtx.float64], Field[Dims[I, K], gtx.float64]]:
+        return gtx.where(a > 5.0, (a, b), (b, a))
+
+    a = as_field((I, K), np.arange(12.0).reshape(3, 4))
+    b = as_field((I, K), -np.ones((3, 4)))
+    hi, lo = swap.with_backend(backends.jax_jit)(a, b)
+    np.testing.assert_array_equal(
+        hi.asnumpy(), np.where(a.asnumpy() > 5.0, a.asnumpy(), b.asnumpy())
+    )
+    np.testing.assert_array_equal(
+        lo.asnumpy(), np.where(a.asnumpy() > 5.0, b.asnumpy(), a.asnumpy())
+    )
+
+
+def test_as_scalar():
+    """as_scalar() extracts the value of a 0-d field
+    (nd_array_field.py:232-237).  Fields deliberately have no __array__
+    (matching the reference): numpy-scalar ops must defer to the Field's
+    reflected operators, not coerce the data away."""
+    f = as_field((I, K), np.arange(12.0).reshape(3, 4))
+    assert f[1, 2].as_scalar() == 6.0
+    assert isinstance(f[1, 2].as_scalar(), np.float64)
+    with pytest.raises(ValueError):
+        f.as_scalar()
+    # numpy scalar + Field keeps the Field wrapper (reflected op)
+    r = np.float64(1.0) + f
+    assert hasattr(r, "domain") and r.dims == (I, K)
