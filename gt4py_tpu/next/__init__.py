@@ -32,6 +32,7 @@ from .constructors import as_connectivity, as_field, empty, full, ones, zeros  #
 from .ffront import field_operator, program, scan_operator  # noqa: F401
 from .compiled_program import wait_for_compilation  # noqa: F401
 from . import backends  # noqa: F401  (numpy_oracle / jax_eager / jax_jit)
+from . import distributed  # noqa: F401  (mesh sharding for next Fields)
 from .builtins import (  # noqa: F401
     abs,  # noqa: A004
     arccos,
