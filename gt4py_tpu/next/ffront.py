@@ -484,7 +484,7 @@ class Program:
             elif isinstance(e, fvir.TupleExpr):
                 for x in e.elts:
                     yield from root_names(x)
-            elif isinstance(e, (fvir.AttrGet, fvir.Subscript)):
+            elif isinstance(e, (fvir.AttrGet, fvir.Subscript, fvir.FieldSlice)):
                 yield from root_names(e.value)
 
         for st in self.ir.body:

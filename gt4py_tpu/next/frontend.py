@@ -359,9 +359,51 @@ class _Parser(ast.NodeVisitor):
                 index = -idx.operand.value
             elif isinstance(idx, ast.Constant) and isinstance(idx.value, int):
                 index = idx.value
+            elif isinstance(idx, ast.Slice) or (
+                isinstance(idx, ast.Tuple)
+                and idx.elts
+                and all(isinstance(e, ast.Slice) for e in idx.elts)
+            ):
+                # out[1:-1] / out[1:-1, :]: relative restriction of a
+                # program out= target (reference: past slicing,
+                # past_to_itir.py:188-208); operators stay domain-based
+                if self.kind != "program":
+                    raise _err(
+                        "field slicing is only allowed on out= targets in "
+                        "programs; restrict with domains inside operators",
+                        loc,
+                    )
+                elts = idx.elts if isinstance(idx, ast.Tuple) else [idx]
+
+                def bound(b):
+                    if b is None:
+                        return None
+                    if isinstance(b, ast.Constant) and isinstance(b.value, int):
+                        return b.value
+                    if (
+                        isinstance(b, ast.UnaryOp)
+                        and isinstance(b.op, ast.USub)
+                        and isinstance(b.operand, ast.Constant)
+                        and isinstance(b.operand.value, int)
+                    ):
+                        return -b.operand.value
+                    raise _err(
+                        "slice bounds must be integer literals", loc
+                    )
+
+                slices = []
+                for e in elts:
+                    if e.step is not None:
+                        raise _err("slices must have step 1", loc)
+                    slices.append((bound(e.lower), bound(e.upper)))
+                return fvir.FieldSlice(
+                    loc, value=self._expr(node.value), slices=tuple(slices)
+                )
             else:
                 raise _err(
-                    "subscripts must be integer literals (e.g. Ioff[1], t[0])", loc
+                    "subscripts must be integer literals (e.g. Ioff[1], t[0])"
+                    + (" or slices on out= targets" if self.kind == "program" else ""),
+                    loc,
                 )
             return fvir.Subscript(loc, value=self._expr(node.value), index=index)
         if isinstance(node, ast.Tuple):
@@ -731,6 +773,19 @@ class TypeDeduction:
             if ts.is_deferred(vt):
                 return ts.DeferredType()
             raise _err(f"cannot subscript a value of type {vt}", node)
+        if isinstance(node, fvir.FieldSlice):
+            vt = self.expr(node.value)
+            if ts.is_deferred(vt):
+                return ts.DeferredType()
+            if not isinstance(vt, ts.FieldType):
+                raise _err(f"cannot slice a value of type {vt}", node)
+            if len(node.slices) > len(vt.dims):
+                raise _err(
+                    f"too many slices for field '{getattr(node.value, 'id', '?')}': "
+                    f"field is {len(vt.dims)}-dimensional, but "
+                    f"{len(node.slices)} were indexed", node
+                )
+            return vt
         if isinstance(node, fvir.Call):
             return self._call_type(node)
         raise _err(f"cannot type expression {type(node).__name__}", node)

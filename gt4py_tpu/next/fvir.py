@@ -111,6 +111,18 @@ class Subscript(Expr):
 
 
 @dataclasses.dataclass
+class FieldSlice(Expr):
+    """``out[1:-1]`` / ``out[1:-1, :]`` -- relative domain restriction of
+    an ``out=`` target in program bodies (reference:
+    past_to_itir._compute_field_slice :188-208).  ``slices`` holds one
+    ``(start, stop)`` pair per leading dimension, entries None when
+    open."""
+
+    value: Expr = None
+    slices: Tuple = ()
+
+
+@dataclasses.dataclass
 class AttrGet(Expr):
     """``vel.u`` -- member access on a named collection (NamedTuple /
     dataclass typed value); type deduction resolves ``index``."""

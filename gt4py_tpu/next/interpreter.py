@@ -150,6 +150,9 @@ class Interpreter:
         if isinstance(node, fvir.AttrGet):
             v = self.eval(node.value)
             return v[node.index]  # index resolved by type deduction
+        if isinstance(node, fvir.FieldSlice):
+            f, _, _ = self._eval_field_slice(node)
+            return f
         if isinstance(node, fvir.Call):
             return self._call(node)
         raise _err(f"cannot evaluate {type(node).__name__}", node)
@@ -174,6 +177,21 @@ class Interpreter:
             return v.astype(np.dtype(target))
         return v
 
+    def _eval_field_slice(self, node: fvir.FieldSlice):
+        """Evaluate a relative out-slice: returns (restricted_field,
+        parent_field, buffer_index).  numpy-backed restrictions are
+        views (writes propagate); jax-backed ones need the write-back
+        in _call."""
+        parent = self.eval(node.value)
+        if not isinstance(parent, Field):
+            raise _err("only fields can be sliced", node)
+        index = tuple(slice(lo, hi) for lo, hi in node.slices)
+        try:
+            dom, idx = parent._slice_spec(index)
+        except IndexError as ex:
+            raise _err(f"out= slice out of range: {ex}", node) from ex
+        return Field(dom, parent.data[idx]), parent, idx
+
     def _call(self, node: fvir.Call):
         order = getattr(node, "collection_order", None)
         if order is not None:
@@ -186,8 +204,31 @@ class Interpreter:
             return tuple(members[n] for n in order)
         fn = self.eval(node.func)
         args = [self.eval(a) for a in node.args]
-        kwargs = {k: self.eval(v) for k, v in node.kwargs.items()}
+        writebacks = []
+
+        def eval_out(expr):
+            # sliced out= targets: restricted holders now, write-back
+            # into the parent buffers after the call (jax is functional;
+            # numpy views already propagate)
+            if isinstance(expr, fvir.FieldSlice):
+                sub, parent, idx = self._eval_field_slice(expr)
+                if not isinstance(parent.data, np.ndarray):
+                    writebacks.append((parent, idx, sub))
+                return sub
+            if isinstance(expr, fvir.TupleExpr):
+                return tuple(eval_out(e) for e in expr.elts)
+            return self.eval(expr)
+
+        kwargs = {
+            k: (eval_out(v) if k == "out" else self.eval(v))
+            for k, v in node.kwargs.items()
+        }
         ftype = node.func.type
+        if writebacks:
+            result = fn(*args, **kwargs)
+            for parent, idx, sub in writebacks:
+                parent.data = parent.data.at[idx].set(sub.data)
+            return result
         if isinstance(ftype, ts.OperatorType):
             return fn(*args, **kwargs)
         if isinstance(ftype, ts.FieldType) or isinstance(fn, Field):

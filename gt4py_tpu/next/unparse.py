@@ -59,6 +59,12 @@ def _expr(e: fvir.Expr) -> str:
         return f"{_expr(e.func)}({', '.join(args)})"
     if isinstance(e, fvir.Subscript):
         return f"{_expr(e.value)}[{e.index}]"
+    if isinstance(e, fvir.FieldSlice):
+        parts = ", ".join(
+            f"{'' if lo is None else lo}:{'' if hi is None else hi}"
+            for lo, hi in e.slices
+        )
+        return f"{_expr(e.value)}[{parts}]"
     if isinstance(e, fvir.AttrGet):
         return f"{_expr(e.value)}.{e.attr}"
     if isinstance(e, fvir.TupleExpr):

@@ -158,3 +158,99 @@ class TestOutSlicing:
         np.testing.assert_array_equal(
             np.asarray(out.ndarray)[:, 0], [0.0, 2.0, 2.0, 0.0]
         )
+
+
+class TestProgramOutSlicing:
+    """Program-body ``out=field[slices]`` (reference:
+    past_to_itir._compute_field_slice :188-208)."""
+
+    def _setup(self):
+        @gtx.field_operator
+        def add(
+            a: Field[Dims[I, J], gtx.float64], b: Field[Dims[I, J], gtx.float64]
+        ) -> Field[Dims[I, J], gtx.float64]:
+            return a + b
+
+        @gtx.program
+        def prog(
+            a: Field[Dims[I, J], gtx.float64],
+            b: Field[Dims[I, J], gtx.float64],
+            out: Field[Dims[I, J], gtx.float64],
+        ):
+            add(a, b, out=out[1:-1, :])
+
+        return add, prog
+
+    def test_embedded_jax(self):
+        _, prog = self._setup()
+        a = gtx.as_field((I, J), np.ones((4, 5)))
+        b = gtx.as_field((I, J), np.ones((4, 5)))
+        o = gtx.as_field((I, J), np.zeros((4, 5)))
+        prog(a, b, o)
+        np.testing.assert_array_equal(
+            np.asarray(o.ndarray)[:, 0], [0.0, 2.0, 2.0, 0.0]
+        )
+
+    def test_embedded_numpy_oracle(self):
+        _, prog = self._setup()
+        a = gtx.as_field((I, J), np.ones((4, 5)), allocator="numpy")
+        b = gtx.as_field((I, J), np.ones((4, 5)), allocator="numpy")
+        o = gtx.as_field((I, J), np.zeros((4, 5)), allocator="numpy")
+        from gt4py_tpu.next import backends
+
+        prog.with_backend(backends.numpy_oracle)(a, b, o)
+        np.testing.assert_array_equal(
+            np.asarray(o.ndarray)[:, 0], [0.0, 2.0, 2.0, 0.0]
+        )
+
+    def test_jit_program(self):
+        _, prog = self._setup()
+        from gt4py_tpu.next import backends
+
+        pj = prog.with_backend(backends.jax_jit)
+        a = gtx.as_field((I, J), np.ones((4, 5)))
+        b = gtx.as_field((I, J), np.ones((4, 5)))
+        o = gtx.as_field((I, J), np.zeros((4, 5)))
+        pj(a, b, o)
+        np.testing.assert_array_equal(
+            np.asarray(o.ndarray)[:, 0], [0.0, 2.0, 2.0, 0.0]
+        )
+
+    def test_out_slice_out_of_range(self):
+        _, prog = self._setup()
+        from gt4py_tpu.next.frontend import FieldViewError
+
+        a = gtx.as_field((I, J), np.ones((2, 5)))
+        o = gtx.as_field((I, J), np.zeros((2, 5)))
+        with pytest.raises((FieldViewError, IndexError)):
+
+            @gtx.program
+            def prog2(
+                a: Field[Dims[I, J], gtx.float64],
+                out: Field[Dims[I, J], gtx.float64],
+            ):
+                _id(a, out=out[0:99, :])
+
+            @gtx.field_operator
+            def _id(a: Field[Dims[I, J], gtx.float64]) -> Field[Dims[I, J], gtx.float64]:
+                return a
+
+    def test_slicing_rejected_in_operators(self):
+        from gt4py_tpu.next.frontend import FieldViewError
+
+        with pytest.raises(FieldViewError, match="only allowed on out="):
+
+            @gtx.field_operator
+            def bad(a: Field[Dims[I, J], gtx.float64]) -> Field[Dims[I, J], gtx.float64]:
+                return a[1:-1]
+
+    def test_text_round_trip(self):
+        _, prog = self._setup()
+        from gt4py_tpu.next.unparse import reparse, unparse
+
+        text = unparse(prog.ir)
+        assert "out[1:-1, :]" in text
+        ir2 = reparse(prog.ir)
+        from gt4py_tpu.next.unparse import unparse as up
+
+        assert up(ir2) == text
