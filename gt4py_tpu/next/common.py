@@ -721,7 +721,16 @@ class Field:
             out = out.remap(c)
         return out
 
-    def __call__(self, off: Union[OffsetIndex, Connectivity, FieldOffset]) -> "Field":
+    def __call__(
+        self, off: Union[OffsetIndex, Connectivity, FieldOffset], *more
+    ) -> "Field":
+        if more:
+            # reference: NdArrayField.__call__ reduces over premap
+            # (nd_array_field.py:367-376)
+            out = self(off)
+            for o in more:
+                out = out(o)
+            return out
         if isinstance(off, Connectivity):
             return self.remap(off)
         if isinstance(off, FieldOffset):

@@ -826,54 +826,65 @@ class TypeDeduction:
         argts = [self.expr(a) for a in node.args]
         kwargts = {k: self.expr(v) for k, v in node.kwargs.items()}
 
-        # field(offset) / field(connectivity): shift or remap
+        # field(offset, ...) / field(connectivity, ...): shift or remap;
+        # several offsets apply left-to-right (reference:
+        # nd_array_field.__call__ reduces over premap, :367-376)
         if isinstance(ft, ts.FieldType):
-            if len(argts) != 1 or kwargts:
-                raise _err("field shift takes exactly one offset", node)
-            a = argts[0]
-            if isinstance(a, ts.OffsetIndexType):
+            if not argts or kwargts:
+                raise _err("field shift takes at least one offset", node)
+            for a in argts[:-1]:
+                ft = self._shift_type(ft, a, node)
+                if ts.is_deferred(ft):
+                    return ts.DeferredType()
+            return self._shift_type(ft, argts[-1], node)
+
+        if ts.is_deferred(ft):
+            return ts.DeferredType()
+
+        return self._call_type_nonfield(node, ft, argts, kwargts)
+
+    def _shift_type(self, ft: ts.FieldType, a, node) -> ts.TypeSpec:
+        if isinstance(a, ts.OffsetIndexType):
+            if a.source not in ft.dims:
+                raise _err(
+                    f"offset along {a.source.value} applied to field "
+                    f"without that dimension {_dims_str(ft)}", node
+                )
+            if _is_unstructured_offset(a):
+                # V2E[k]: neighbor selection -- source dim replaced
+                # by the offset's target element dim (the table comes
+                # from offset_provider at call time)
+                i = ft.dims.index(a.source)
+                return ts.FieldType(
+                    ft.dims[:i] + (a.target[0],) + ft.dims[i + 1 :],
+                    ft.dtype,
+                )
+            return ft
+        if isinstance(a, ts.ConnectivityType):
+            return _remap_type(ft, a, node)
+        if isinstance(a, ts.OffsetType):
+            if _is_unstructured_offset(a):
+                # full remap through a call-time provider table:
+                # source dim replaced by the declared target dims
                 if a.source not in ft.dims:
                     raise _err(
                         f"offset along {a.source.value} applied to field "
                         f"without that dimension {_dims_str(ft)}", node
                     )
-                if _is_unstructured_offset(a):
-                    # V2E[k]: neighbor selection -- source dim replaced
-                    # by the offset's target element dim (the table comes
-                    # from offset_provider at call time)
-                    i = ft.dims.index(a.source)
-                    return ts.FieldType(
-                        ft.dims[:i] + (a.target[0],) + ft.dims[i + 1 :],
-                        ft.dtype,
-                    )
-                return ft
-            if isinstance(a, ts.ConnectivityType):
-                return _remap_type(ft, a, node)
-            if isinstance(a, ts.OffsetType):
-                if _is_unstructured_offset(a):
-                    # full remap through a call-time provider table:
-                    # source dim replaced by the declared target dims
-                    if a.source not in ft.dims:
-                        raise _err(
-                            f"offset along {a.source.value} applied to field "
-                            f"without that dimension {_dims_str(ft)}", node
-                        )
-                    i = ft.dims.index(a.source)
-                    return ts.FieldType(
-                        ft.dims[:i] + tuple(a.target) + ft.dims[i + 1 :],
-                        ft.dtype,
-                    )
-                raise _err(
-                    f"offset '{a.source.value}' needs an index, e.g. "
-                    "Ioff[1]", node
+                i = ft.dims.index(a.source)
+                return ts.FieldType(
+                    ft.dims[:i] + tuple(a.target) + ft.dims[i + 1 :],
+                    ft.dtype,
                 )
-            if ts.is_deferred(a):
-                return ts.DeferredType()
-            raise _err(f"cannot shift a field by a value of type {a}", node)
-
-        if ts.is_deferred(ft):
+            raise _err(
+                f"offset '{a.source.value}' needs an index, e.g. "
+                "Ioff[1]", node
+            )
+        if ts.is_deferred(a):
             return ts.DeferredType()
+        raise _err(f"cannot shift a field by a value of type {a}", node)
 
+    def _call_type_nonfield(self, node, ft, argts, kwargts) -> ts.TypeSpec:
         if isinstance(ft, ts.OperatorType):
             return _operator_return_type(ft.op, argts, kwargts, node)
 

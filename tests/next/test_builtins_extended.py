@@ -285,3 +285,24 @@ def test_as_scalar():
     # numpy scalar + Field keeps the Field wrapper (reflected op)
     r = np.float64(1.0) + f
     assert hasattr(r, "domain") and r.dims == (I, K)
+
+
+def test_multi_offset_call():
+    """f(off1, off2) applies shifts left-to-right (reference:
+    NdArrayField.__call__ reduces over premap, nd_array_field.py:367-376),
+    eagerly and inside the parsed DSL."""
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field
+
+    data = np.arange(20.0).reshape(4, 5)
+    f = as_field((I, K), data)
+    r = f(Ioff[1], Koff[1])
+    assert r.domain[I] == UnitRange(-1, 3) and r.domain[K] == UnitRange(-1, 4)
+
+    @gtx.field_operator
+    def diag(g: Field[Dims[I, K], gtx.float64]) -> Field[Dims[I, K], gtx.float64]:
+        return g(Ioff[1], Koff[1]) - g
+
+    np.testing.assert_array_equal(
+        diag(f).asnumpy(), data[1:, 1:] - data[:-1, :-1]
+    )
