@@ -229,7 +229,8 @@ def _slice_range(input_range: UnitRange, s: slice) -> UnitRange:
         raise IndexError(
             f"slice {s} out of range {input_range} (no clipping)"
         )
-    return UnitRange(start, stop)
+    # canonical empty range: never store stop < start in a Domain
+    return UnitRange(start, max(start, stop))
 
 
 def unit_range(r) -> UnitRange:
@@ -536,7 +537,7 @@ class Field:
     # (reference: embedded/common.py:33-116 _relative_sub_domain /
     #  _absolute_sub_domain, nd_array_field.py:465-478 _slice)
 
-    def _slice_spec(self, index) -> Tuple[Domain, tuple]:
+    def _slice_spec(self, index, *, for_write: bool = False) -> Tuple[Domain, tuple]:
         """Normalize an index spec into ``(new_domain, buffer_index)``.
 
         Accepted forms (mirroring the reference's AnyIndexSpec):
@@ -547,6 +548,10 @@ class Field:
         - relative ints / slices / ``...`` in dimension order: slices are
           relative to the domain start (negative values to the stop), no
           clipping; an int selects one point and drops the dimension.
+
+        ``for_write`` rejects specs that restrict a broadcast axis (size-1
+        buffer spanning a wider range): the single stored element cannot
+        represent a sub-range write.
         """
         if isinstance(index, Domain):
             index = tuple(zip(index.dims, index.ranges))
@@ -556,10 +561,29 @@ class Field:
             isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], Dimension)
             for e in index
         ):
-            return self._absolute_slice(tuple(index))
-        if not isinstance(index, tuple):
-            index = (index,)
-        return self._relative_slice(index)
+            dom, idx = self._absolute_slice(tuple(index))
+        else:
+            if not isinstance(index, tuple):
+                index = (index,)
+            dom, idx = self._relative_slice(index)
+        if for_write:
+            self._check_writable(dom, index)
+        return dom, idx
+
+    def _check_writable(self, dom: Domain, index) -> None:
+        for ax, d in enumerate(self.dims):
+            if self.data.shape[ax] != 1 or len(self.domain[d]) <= 1:
+                continue
+            # broadcast axis: the write must cover the whole range (or
+            # the dim was untouched) — a sub-range write would silently
+            # hit every logical point
+            r = dom[d] if d in dom else None
+            if r is None or r != self.domain[d]:
+                raise ValueError(
+                    f"cannot write a sub-range of broadcast dimension "
+                    f"{d.value} (size-1 buffer spans {self.domain[d]}); "
+                    "materialize the field first (e.g. broadcast + copy)"
+                )
 
     def _absolute_slice(self, pairs) -> Tuple[Domain, tuple]:
         by_dim = {}
@@ -588,6 +612,12 @@ class Field:
                 idx.append(0 if broadcast_ax else int(v) - own.start)
             else:
                 r = unit_range(v)
+                # an unbounded request bound means "to the field's edge"
+                # (e.g. f[K < 5] from a Dimension comparison)
+                if r.start <= -INFINITY:
+                    r = UnitRange(own.start, r.stop)
+                if r.stop >= INFINITY:
+                    r = UnitRange(r.start, own.stop)
                 if r.start < own.start or r.stop > own.stop:
                     raise IndexError(
                         f"range {d.value}{r} not contained in {own} (no clipping)"
@@ -647,17 +677,18 @@ class Field:
     def __getitem__(self, index) -> "Field":
         """Restrict to a sub-domain (reference: nd_array_field.restrict
         :378-384).  Accepts a Domain, (dim, index) pairs, or relative
-        ints/slices/``...``; numpy-backed results share the buffer (views),
-        so writing into a restricted out= target reaches the caller."""
-        if isinstance(index, Domain):
-            return self.restrict(index)
+        ints/slices/``...`` — all strict (no clipping), and symmetric
+        with ``__setitem__``; ``.restrict(domain)`` keeps the clipping
+        (intersecting) semantics for internal composition.  numpy-backed
+        results share the buffer (views), so writing into a restricted
+        out= target reaches the caller."""
         dom, idx = self._slice_spec(index)
         return Field(dom, self.data[idx])
 
     def __setitem__(self, index, value) -> None:
         """Write a sub-domain in place (reference: nd_array_field.py
         :386-401; jax fields rebind functionally, :1070-1084)."""
-        dom, idx = self._slice_spec(index)
+        dom, idx = self._slice_spec(index, for_write=True)
         if isinstance(value, Field):
             if not (value.dims == dom.dims and value.domain.ranges == dom.ranges):
                 raise ValueError(

@@ -95,15 +95,27 @@ def distribute(
     return Field(field.domain, jax.device_put(field.data, sharding))
 
 
-def replicate(field: Field, mesh) -> Field:
-    """Place a field fully replicated on every device of the mesh (the
-    right placement for connectivity tables and boundary masks)."""
+def replicate(value, mesh):
+    """Place a Field (or a Connectivity's table) fully replicated on every
+    device of the mesh — the right placement for neighbor tables and
+    boundary masks."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return Field(
-        field.domain, jax.device_put(field.data, NamedSharding(_jax_mesh(mesh), P()))
-    )
+    from .common import Connectivity
+
+    sharding = NamedSharding(_jax_mesh(mesh), P())
+    if isinstance(value, Connectivity):
+        import jax.numpy as jnp
+
+        return Connectivity(
+            jax.device_put(jnp.asarray(value.table), sharding),
+            source=value.source,
+            codomain=value.codomain,
+            local_dim=value.local_dim,
+            skip_value=value.skip_value,
+        )
+    return Field(value.domain, jax.device_put(value.data, sharding))
 
 
 def gather(field: Field) -> Field:

@@ -588,19 +588,30 @@ class Program:
             fn = env.get(call.func.id) if isinstance(call.func, fvir.Name) else None
             if not isinstance(fn, FieldOperator) or isinstance(fn, ScanOperator):
                 continue
-            outs = (
-                [out_expr]
-                if isinstance(out_expr, fvir.Name)
-                else (out_expr.elts if isinstance(out_expr, fvir.TupleExpr) else [])
-            )
-            out_fields = [
-                env[o.id]
-                for o in outs
-                if isinstance(o, fvir.Name) and isinstance(env.get(o.id), Field)
-            ]
-            if not out_fields:
+            def target_domains(e):
+                if isinstance(e, fvir.Name):
+                    f = env.get(e.id)
+                    if isinstance(f, Field):
+                        yield f.domain
+                elif isinstance(e, fvir.TupleExpr):
+                    for x in e.elts:
+                        yield from target_domains(x)
+                elif isinstance(e, fvir.FieldSlice) and isinstance(
+                    e.value, fvir.Name
+                ):
+                    parent = env.get(e.value.id)
+                    if isinstance(parent, Field):
+                        index = tuple(slice(lo, hi) for lo, hi in e.slices)
+                        try:
+                            dom, _ = parent._slice_spec(index)
+                        except IndexError:
+                            return  # the interpreter raises a located error
+                        yield dom
+
+            out_domains = list(target_domains(out_expr))
+            if not out_domains:
                 continue
-            target = out_fields[0].domain
+            target = out_domains[0]
             req = required_domains(fn, target)
             for p, arg in zip(fn.ir.params, call.args):
                 if not isinstance(arg, fvir.Name):

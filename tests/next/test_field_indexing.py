@@ -73,6 +73,25 @@ class TestRelativeIndexing:
         with pytest.raises(IndexError):
             f[::2]
 
+    def test_empty_slice_canonical_range(self):
+        # crossing bounds yield a canonical empty range, never stop<start
+        f, _ = _mk()
+        r = f[2:-5]  # start 2, stop -1 -> empty
+        assert r.domain[I] == UnitRange(2, 2)
+        assert r.domain[I].is_empty() and r.shape[0] == 0
+
+    def test_domain_getitem_is_strict(self):
+        # f[Domain] is strict like (dim, range) pairs and __setitem__;
+        # .restrict() keeps the intersecting semantics
+        f, _ = _mk()
+        over = Domain((I,), (UnitRange(2, 99),))
+        with pytest.raises(IndexError):
+            f[over]
+        assert f.restrict(over).domain[I] == UnitRange(2, 4)
+        # unbounded request bounds clamp to the field's edge (K < 5 style)
+        half = f[I < 2]
+        assert half.domain[I] == UnitRange(0, 2)
+
 
 class TestAbsoluteIndexing:
     def test_named_range_pair(self):
@@ -136,6 +155,18 @@ class TestSetitem:
         f, _ = _mk(allocator="numpy")
         f[(I, 0)] = 3.0
         np.testing.assert_array_equal(np.asarray(f.ndarray)[0], np.full(5, 3.0))
+
+    def test_broadcast_axis_write_rejected(self):
+        """Writing a sub-range of a broadcast (size-1 buffer) axis would
+        silently hit every logical point; rejected instead."""
+        from gt4py_tpu.next import broadcast
+
+        f = gtx.as_field((I,), np.arange(4.0))
+        b = broadcast(f, (I, J))  # J is a size-1 broadcast axis
+        with pytest.raises(ValueError, match="broadcast dimension"):
+            b[:, 0:1] = 99.0
+        with pytest.raises(ValueError, match="broadcast dimension"):
+            b[(J, 0)] = 99.0
 
 
 class TestOutSlicing:
@@ -217,23 +248,45 @@ class TestProgramOutSlicing:
         )
 
     def test_out_slice_out_of_range(self):
-        _, prog = self._setup()
         from gt4py_tpu.next.frontend import FieldViewError
+
+        @gtx.field_operator
+        def ident(
+            a: Field[Dims[I, J], gtx.float64]
+        ) -> Field[Dims[I, J], gtx.float64]:
+            return a
+
+        @gtx.program
+        def prog2(
+            a: Field[Dims[I, J], gtx.float64],
+            out: Field[Dims[I, J], gtx.float64],
+        ):
+            ident(a, out=out[0:99, :])
 
         a = gtx.as_field((I, J), np.ones((2, 5)))
         o = gtx.as_field((I, J), np.zeros((2, 5)))
-        with pytest.raises((FieldViewError, IndexError)):
+        with pytest.raises(FieldViewError, match="out of range"):
+            prog2(a, o)
 
-            @gtx.program
-            def prog2(
-                a: Field[Dims[I, J], gtx.float64],
-                out: Field[Dims[I, J], gtx.float64],
-            ):
-                _id(a, out=out[0:99, :])
+    def test_out_slice_partial_coverage_is_located_error(self):
+        """Inputs that cannot cover a sliced out= target raise the domain
+        check's located error instead of a silently shrunk write."""
+        add, _ = self._setup()
+        from gt4py_tpu.next.frontend import FieldViewError
 
-            @gtx.field_operator
-            def _id(a: Field[Dims[I, J], gtx.float64]) -> Field[Dims[I, J], gtx.float64]:
-                return a
+        @gtx.program
+        def prog3(
+            a: Field[Dims[I, J], gtx.float64],
+            b: Field[Dims[I, J], gtx.float64],
+            out: Field[Dims[I, J], gtx.float64],
+        ):
+            add(a, b, out=out[1:-1, :])
+
+        a = gtx.as_field((I, J), np.ones((2, 5)))
+        b = gtx.as_field((I, J), np.ones((2, 5)))
+        o = gtx.as_field((I, J), np.zeros((4, 5)))
+        with pytest.raises(FieldViewError, match="must cover"):
+            prog3(a, b, o)
 
     def test_slicing_rejected_in_operators(self):
         from gt4py_tpu.next.frontend import FieldViewError

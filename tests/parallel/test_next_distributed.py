@@ -109,7 +109,15 @@ def test_replicate_connectivity_pattern(cmesh):
     V2VDim = gtx.Dimension("V2V", kind=gtx.DimensionKind.LOCAL)
     nv = 16
     table = np.stack([(np.arange(nv) + 1) % nv, (np.arange(nv) - 1) % nv], axis=1)
-    conn = gtx.as_connectivity(table, source=Vertex, codomain=Vertex, local_dim=V2VDim)
+    conn = nxd.replicate(
+        gtx.as_connectivity(table, source=Vertex, codomain=Vertex, local_dim=V2VDim),
+        cmesh,
+    )
+    assert conn.table.sharding.is_fully_replicated
+
+    # replicate also places plain Fields
+    mask = nxd.replicate(gtx.as_field((Vertex,), np.ones(nv)), cmesh)
+    assert nxd.sharding_of(mask).is_fully_replicated
 
     vals = np.random.default_rng(4).random(nv)
     vf = gtx.as_field((Vertex,), vals)
