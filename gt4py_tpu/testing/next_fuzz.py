@@ -279,3 +279,120 @@ def _check_transform_invariance(
             np.asarray(batched[i]), eager.asnumpy(), rtol=rtol, atol=atol,
             err_msg=f"seed {seed}: vmap row {i} diverges from eager\n{src}",
         )
+
+
+def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
+    """Random multi-statement PROGRAMS: operator calls with out= targets
+    (plain names, relative slices, tuples) and domain= dict literals,
+    executed embedded, through the numpy-oracle backend, and through the
+    jit/AOT pool -- all three must produce identical out buffers
+    (including the untouched fill in unwritten halo regions)."""
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import (
+        Dimension, Field, FieldOffset, as_field, backends, field_operator,
+        maximum, minimum, program, where,
+    )
+    from gt4py_tpu.next.type_system import Dims
+
+    rng = random.Random(seed ^ 0x5EED)
+    nprng = np.random.default_rng(seed ^ 0x5EED)
+
+    I = Dimension("I")
+    J = Dimension("J")
+    Ioff = FieldOffset("Ioff", source=I, target=(I,))
+    Joff = FieldOffset("Joff", source=J, target=(J,))
+    ni, nj = 10, 9
+    FT = Field[Dims[I, J], np.float64]
+
+    import linecache
+
+    ns = dict(
+        FT=FT, RT=FT, float64=np.float64, where=where, minimum=minimum,
+        maximum=maximum, Ioff=Ioff, Joff=Joff,
+    )
+
+    # 1-2 random operators
+    ops = []
+    for k in range(rng.randint(1, 2)):
+        gen = OperatorGenerator(rng)
+        src = gen.generate().replace("def op(", f"def op{k}(")
+        fname = f"<next-fuzz-prog-{seed}-op{k}>"
+        linecache.cache[fname] = (len(src), None, src.splitlines(True), fname)
+        exec(compile(src, fname, "exec"), ns)
+        ops.append(field_operator(ns[f"op{k}"]))
+
+    # program body: each statement writes one out param
+    n_out = rng.randint(1, 2)
+    body = []
+    for j in range(n_out):
+        k = rng.randrange(len(ops))
+        target = f"o{j}"
+        form = rng.random()
+        kw = ""
+        # generated operators shift by up to +-2, so writes restricted to
+        # [2, n-2) per axis are always coverable by the full-size inputs
+        if form < 0.5:
+            lo = 2
+            hi = rng.choice([-2, -3])
+            target = f"o{j}[{lo}:{hi}, 2:-2]"
+        else:
+            kw = ", domain={I: (2, 7), J: (2, 7)}"
+        body.append(f"    opf{k}(a, b, s, out={target}{kw})")
+    params = ", ".join(
+        ["a: FT", "b: FT", "s: float64"] + [f"o{j}: FT" for j in range(n_out)]
+    )
+    psrc = f"def prog({params}):\n" + "\n".join(body)
+    pname = f"<next-fuzz-prog-{seed}>"
+    linecache.cache[pname] = (len(psrc), None, psrc.splitlines(True), pname)
+    pns = dict(ns)
+    pns["I"] = I
+    pns["J"] = J
+    for k, op in enumerate(ops):
+        pns[f"opf{k}"] = op
+    exec(compile(psrc, pname, "exec"), pns)
+    prog = program(pns["prog"])
+
+    a_np = nprng.random((ni, nj))
+    b_np = nprng.random((ni, nj))
+    s = float(nprng.uniform(-1, 1))
+
+    from gt4py_tpu.next.frontend import FieldViewError
+
+    def run(backend, alloc):
+        a = as_field((I, J), a_np.copy(), allocator=alloc)
+        b = as_field((I, J), b_np.copy(), allocator=alloc)
+        outs = [
+            as_field((I, J), np.full((ni, nj), -3.0), allocator=alloc)
+            for _ in range(n_out)
+        ]
+        p = prog if backend is None else prog.with_backend(backend)
+        try:
+            p(a, b, s, *outs)
+        except (FieldViewError, ValueError) as e:
+            # deeply chained shifts can make a generated write legitimately
+            # uncoverable; the differential contract is then that EVERY
+            # path rejects it the same way
+            return type(e).__name__
+        return [o.asnumpy() for o in outs]
+
+    ref = run(backends.numpy_oracle, "numpy")
+    for label, backend, alloc in (
+        ("embedded-jax", None, None),
+        ("jax_jit", backends.jax_jit, None),
+    ):
+        got = run(backend, alloc)
+        src_dump = psrc + "\n" + "\n".join(
+            "".join(linecache.cache[f"<next-fuzz-prog-{seed}-op{k}>"][2])
+            for k in range(len(ops))
+        )
+        if isinstance(ref, str) or isinstance(got, str):
+            assert ref == got, (
+                f"seed {seed}: {label} error-path diverges "
+                f"(oracle: {ref!r}, {label}: {got!r})\n{src_dump}"
+            )
+            continue
+        for j, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                g, r, rtol=rtol, atol=atol,
+                err_msg=f"seed {seed}: {label} out {j} diverges\n{src_dump}",
+            )

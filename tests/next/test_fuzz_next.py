@@ -26,3 +26,12 @@ def test_random_field_operator_bf16(seed):
     import ml_dtypes
 
     run_differential_case(seed, dtype=ml_dtypes.bfloat16, rtol=0.02, atol=0.01)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_program_parity(seed):
+    """Random PROGRAMS (multi-statement, sliced/plain outs, domain= dict
+    literals): numpy-oracle backend vs embedded-jax vs the jit/AOT pool."""
+    from gt4py_tpu.testing.next_fuzz import run_program_case
+
+    run_program_case(seed)
