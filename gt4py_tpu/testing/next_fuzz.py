@@ -321,10 +321,27 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         exec(compile(src, fname, "exec"), ns)
         ops.append(field_operator(ns[f"op{k}"]))
 
+    # maybe a tuple-returning operator composing the generated ones
+    # (nested operator calls) targeted by a tuple out=
+    tuple_stmt = len(ops) >= 1 and rng.random() < 0.4
+    if tuple_stmt:
+        tsrc = (
+            "def optup(a: FT, b: FT, s: float64) -> TT:\n"
+            f"    return opf0(a, b, s), opf{len(ops) - 1}(b, a, s)\n"
+        )
+        tname = f"<next-fuzz-prog-{seed}-optup>"
+        linecache.cache[tname] = (len(tsrc), None, tsrc.splitlines(True), tname)
+        tns = dict(ns)
+        tns["TT"] = tuple[FT, FT]
+        for k, op in enumerate(ops):
+            tns[f"opf{k}"] = field_operator(ns[f"op{k}"])
+        exec(compile(tsrc, tname, "exec"), tns)
+        optup = field_operator(tns["optup"])
+
     # program body: each statement writes one out param
-    n_out = rng.randint(1, 2)
+    n_out = rng.randint(1, 2) + (2 if tuple_stmt else 0)
     body = []
-    for j in range(n_out):
+    for j in range(n_out - 2 if tuple_stmt else n_out):
         k = rng.randrange(len(ops))
         target = f"o{j}"
         form = rng.random()
@@ -338,6 +355,15 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         else:
             kw = ", domain={I: (2, 7), J: (2, 7)}"
         body.append(f"    opf{k}(a, b, s, out={target}{kw})")
+    if tuple_stmt:
+        j0, j1 = n_out - 2, n_out - 1
+        if rng.random() < 0.5:
+            target = f"(o{j0}[2:-2, 2:-2], o{j1}[2:-2, 2:-2])"
+            kw = ""
+        else:
+            target = f"(o{j0}, o{j1})"
+            kw = ", domain={I: (2, 7), J: (2, 7)}"
+        body.append(f"    optupf(a, b, s, out={target}{kw})")
     params = ", ".join(
         ["a: FT", "b: FT", "s: float64"] + [f"o{j}: FT" for j in range(n_out)]
     )
@@ -349,6 +375,8 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
     pns["J"] = J
     for k, op in enumerate(ops):
         pns[f"opf{k}"] = op
+    if tuple_stmt:
+        pns["optupf"] = optup
     exec(compile(psrc, pname, "exec"), pns)
     prog = program(pns["prog"])
 
