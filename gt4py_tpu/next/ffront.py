@@ -558,9 +558,28 @@ class Program:
                 pool = self._pools[fp] = CompiledProgramsPool(
                     self._functional(), static_params=self._static_params
                 )
+            from gt4py_tpu.instrumentation import metrics as _metrics
+
             if pool is not None:
+                if _metrics.enabled(_metrics.MetricLevel.PERFORMANCE):
+                    # per-variant sample key (reference: compiled_program
+                    # MetricsCollection keyed by pool+variant,
+                    # compiled_program.py:66-88; gtfn.py:61-78)
+                    params = [p.name for p in self.ir.params]
+                    variant = ",".join(
+                        f"{n}={merged[params.index(n)]!r}"
+                        for n in self._static_params
+                    ) or "default"
+                    with _metrics.timed_sample(
+                        self.__name__, f"compute_time[{variant}]"
+                    ):
+                        return self._dispatch_compiled(merged, pool)
                 return self._dispatch_compiled(merged, pool)
-            self._run_embedded(merged)
+            if _metrics.enabled(_metrics.MetricLevel.PERFORMANCE):
+                with _metrics.timed_sample(self.__name__, "compute_time"):
+                    self._run_embedded(merged)
+            else:
+                self._run_embedded(merged)
         return None
 
     def _run_embedded(self, merged):
@@ -638,13 +657,20 @@ class Program:
 
     # -- AOT / compiled variants -- #
 
+    def _replace(self, **kw) -> "Program":
+        new = Program(
+            self.definition,
+            static_params=kw.get("static_params", self._static_params),
+            bound_args=kw.get("bound_args", self._bound_args),
+        )
+        new._backend = self._backend  # with_backend choice survives chaining
+        return new
+
     def with_static_params(self, *names: str) -> "Program":
         unknown = set(names) - {p.name for p in self.ir.params}
         if unknown:
             raise ValueError(f"not parameters of '{self.__name__}': {sorted(unknown)}")
-        return Program(
-            self.definition, static_params=tuple(names), bound_args=self._bound_args
-        )
+        return self._replace(static_params=tuple(names))
 
     def with_bound_args(self, **bound) -> "Program":
         unknown = set(bound) - {p.name for p in self.ir.params}
@@ -652,9 +678,7 @@ class Program:
             raise ValueError(f"not parameters of '{self.__name__}': {sorted(unknown)}")
         merged = dict(self._bound_args)
         merged.update(bound)
-        return Program(
-            self.definition, static_params=self._static_params, bound_args=merged
-        )
+        return self._replace(bound_args=merged)
 
     def with_backend(self, backend) -> "Program":
         """Pick the executor (next/backends.py); jit backends compile the
@@ -705,6 +729,26 @@ class Program:
             return tuple(out_datas(fresh[i]) for i in out_idx)
 
         functools.update_wrapper(fn, self.definition)
+        # jit(static_argnames=...) resolves the call binding against
+        # inspect.signature(fn); the definition's signature (via
+        # __wrapped__) misbinds when a static param is not trailing.
+        # Publish the ACTUAL convention: dynamic params positional in
+        # declared order, static params keyword-only.
+        import inspect
+
+        dyn_names = [
+            n for n in params if n not in self._static_params and n not in bound
+        ]
+        fn.__signature__ = inspect.Signature(
+            [
+                inspect.Parameter(n, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                for n in dyn_names
+            ]
+            + [
+                inspect.Parameter(n, inspect.Parameter.KEYWORD_ONLY)
+                for n in self._static_params
+            ]
+        )
         return fn
 
     def compile(self, example_args: Tuple = (), *, wait: bool = True,

@@ -1027,9 +1027,12 @@ def _operator_return_type(op, argts, kwargts, node) -> ts.TypeSpec:
             return
         if not isinstance(o, ts.FieldType) or not isinstance(r, ts.FieldType):
             raise _err(f"cannot write {r} into out= of type {o}", node)
-        if o.dtype != r.dtype:
+        if getattr(r.dtype, "weak", False):
+            pass  # weak results adapt to the out dtype (_write_out casts)
+        elif np.dtype(o.dtype.kind) != np.dtype(r.dtype.kind):
             raise _err(
-                f"out= dtype {o.dtype} does not match result dtype {r.dtype}",
+                f"out= dtype {np.dtype(o.dtype.kind)} does not match result "
+                f"dtype {np.dtype(r.dtype.kind)}",
                 node,
             )
         missing = [d.value for d in r.dims if d not in o.dims]

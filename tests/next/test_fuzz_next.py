@@ -35,3 +35,40 @@ def test_random_program_parity(seed):
     from gt4py_tpu.testing.next_fuzz import run_program_case
 
     run_program_case(seed)
+
+
+def test_fuzz_regression_weak_result_into_out():
+    """Sweep-found (seed 2411): a tuple operator whose member expression
+    is all-literal (weak dtype) was rejected when written into a typed
+    out= target -- weak results must adapt to the out dtype."""
+    from gt4py_tpu.testing.next_fuzz import run_program_case
+
+    run_program_case(2411)
+
+
+def test_static_param_not_trailing():
+    """AOT pool with a static parameter in the MIDDLE of the signature:
+    the pool functional publishes (dynamic-positional, static-keyword-only)
+    so jit's static_argnames binding is order-independent."""
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, backends
+
+    I = gtx.Dimension("I")
+
+    @gtx.field_operator
+    def scale(a: Field[Dims[I], gtx.float64], n: gtx.int64) -> Field[Dims[I], gtx.float64]:
+        return a * gtx.astype(n, gtx.float64)
+
+    @gtx.program
+    def prog(a: Field[Dims[I], gtx.float64], n: gtx.int64, out: Field[Dims[I], gtx.float64]):
+        scale(a, n, out=out)
+
+    a = gtx.as_field((I,), np.arange(4.0))
+    o = gtx.as_field((I,), np.zeros(4))
+    pj = prog.with_backend(backends.jax_jit).with_static_params("n")
+    pj(a, np.int64(3), o)
+    np.testing.assert_array_equal(np.asarray(o.ndarray), np.arange(4.0) * 3)
+    pj(a, np.int64(5), o)
+    np.testing.assert_array_equal(np.asarray(o.ndarray), np.arange(4.0) * 5)

@@ -122,3 +122,45 @@ def test_embedded_and_compiled_agree():
     compiled.compile((x, y, o2), wait=True)
     compiled(x, y, o2)
     np.testing.assert_array_equal(o1.asnumpy(), o2.asnumpy())
+
+
+def test_program_metrics_per_variant(monkeypatch):
+    """Program calls record compute-time samples, keyed per static-arg
+    variant on the compiled path (reference: compiled_program.py:66-88
+    MetricsCollection per pool+variant; gtfn.py:61-78)."""
+    import gt4py_tpu.config as config
+    from gt4py_tpu.instrumentation import metrics
+
+    monkeypatch.setattr(config, "COLLECT_METRICS_LEVEL", 20)  # PERFORMANCE
+    metrics._COLLECTIONS.clear()
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, backends
+
+    I = gtx.Dimension("I")
+
+    @gtx.field_operator
+    def scale(a: Field[Dims[I], gtx.float64], n: gtx.int64) -> Field[Dims[I], gtx.float64]:
+        return a * gtx.astype(n, gtx.float64)
+
+    @gtx.program
+    def prog(a: Field[Dims[I], gtx.float64], n: gtx.int64, out: Field[Dims[I], gtx.float64]):
+        scale(a, n, out=out)
+
+    a = gtx.as_field((I,), np.arange(4.0))
+    o = gtx.as_field((I,), np.zeros(4))
+
+    # embedded path: one plain compute_time metric
+    prog(a, np.int64(3), o)
+    coll = metrics.collection("prog")
+    assert coll.metric("compute_time").count == 1
+
+    # compiled path with static n: per-variant metric keys
+    pj = prog.with_backend(backends.jax_jit).with_static_params("n")
+    pj(a, np.int64(3), o)
+    pj(a, np.int64(5), o)
+    pj(a, np.int64(3), o)
+    keys = [k for k in coll.metrics if k.startswith("compute_time[")]
+    assert len(keys) == 2, keys
+    by_n3 = [k for k in keys if "3" in k]
+    assert coll.metrics[by_n3[0]].count == 2
