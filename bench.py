@@ -210,6 +210,71 @@ def bench_tpu_fv_1024():
     return max((t2 - t1) / (i2 - i1), 1e-9)
 
 
+def bench_tpu_next_hdiff():
+    """Horizontal diffusion written in the NEXT field-view DSL at
+    512^2 x 80 f32: the parsed/typed operator stages under jit into one
+    fused XLA program (periodic wrap re-pad between iterations)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, where
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+    FT = Field[Dims[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def hdiff(inp: FT, coeff: FT) -> FT:
+        lap = 4.0 * inp - (
+            inp(Ioff[1]) + inp(Ioff[-1]) + inp(Joff[1]) + inp(Joff[-1])
+        )
+        flx = lap(Ioff[1]) - lap
+        flx = where(flx * (inp(Ioff[1]) - inp) > 0.0, 0.0, flx)
+        fly = lap(Joff[1]) - lap
+        fly = where(fly * (inp(Joff[1]) - inp) > 0.0, 0.0, fly)
+        return inp - coeff * (
+            flx - flx(Ioff[-1]) + fly - fly(Joff[-1])
+        )
+
+    h = 2
+    rng = __import__("numpy").random.default_rng(5)
+    inp = jnp.asarray(
+        rng.random((NI + 2 * h, NJ + 2 * h, NK)).astype("float32")
+    )
+    coeff = jnp.asarray(
+        0.025 * rng.random((NI + 2 * h, NJ + 2 * h, NK)).astype("float32")
+    )
+    cf = gtx.as_field((I, J, K), coeff)
+
+    def step(arr):
+        out = hdiff(gtx.as_field((I, J, K), arr), cf)  # domain shrinks by h
+        return jnp.pad(out.data, ((h, h), (h, h), (0, 0)), mode="wrap")
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(arr, iters):
+        return jnp.sum(
+            jax.lax.fori_loop(0, iters, lambda _, a: step(a), arr)
+        )
+
+    def timed(iters):
+        float(run(inp, iters))  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(inp, iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    i1, i2 = 3, 15
+    return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
+
+
 def _wait_for_tpu(max_wait_s: float = None) -> bool:
     """The shared-relay TPU backend intermittently blocks or raises
     UNAVAILABLE at init for minutes at a time (outages of 2+ hours have
@@ -311,6 +376,12 @@ def main():
             extra["fv_bf16_ms"] = round(fv_bf * 1e3, 2)
         except Exception as e:
             print(f"# bf16 bench failed: {e}", file=sys.stderr)
+        try:
+            nh = bench_tpu_next_hdiff()
+            extra["next_hdiff_512_ms"] = round(nh * 1e3, 2)
+            extra["next_hdiff_512_gpoints"] = round(NI * NJ * NK / nh / 1e9, 3)
+        except Exception as e:
+            print(f"# next-hdiff bench failed: {e}", file=sys.stderr)
 
     # combined BASELINE metric: total points processed per second across
     # the hdiff+vadv dycore step and the FVTP2D advection step

@@ -203,7 +203,13 @@ class Interpreter:
                 members[k] = self.eval(v)
             return tuple(members[n] for n in order)
         fn = self.eval(node.func)
-        args = [self.eval(a) for a in node.args]
+        # builtins whose typing rule ran _binop_type (where/concat_where/
+        # maximum/minimum/...) record the deduced operand kind; weak
+        # literal/weak-field arguments must be cast to it, exactly like
+        # binary operators -- otherwise where(c, 0.0, f32_field)
+        # materializes np.float64(0.0) and silently upcasts the result.
+        okind = getattr(node, "operand_kind", None)
+        args = [self._cast_operand(a, okind) for a in node.args]
         writebacks = []
 
         def eval_out(expr):

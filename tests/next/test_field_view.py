@@ -211,3 +211,35 @@ def test_jit_composition():
     r = jitted(a)
     assert isinstance(r, Field)
     np.testing.assert_array_equal(r.asnumpy(), np.arange(8.0) * 2 + 1)
+
+
+def test_where_weak_literal_keeps_field_dtype():
+    """where(cond, 0.0, f32_field) must stay float32: builtin-call
+    arguments with weak types are cast to the deduced operand kind like
+    binary-operator operands (regression: np.float64(0.0) literal
+    materialization silently upcast whole f32 pipelines to f64)."""
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, where
+
+    I = gtx.Dimension("I")
+    FT = Field[Dims[I], gtx.float32]
+
+    @gtx.field_operator
+    def clip(f: FT) -> FT:
+        g = where(f > 0.5, 0.0, f)
+        return gtx.maximum(g, 0.25)
+
+    for alloc in (None, "numpy"):
+        f = gtx.as_field((I,), np.linspace(0, 1, 7, dtype=np.float32),
+                         allocator=alloc)
+        r = clip(f)
+        assert r.dtype == np.float32, (alloc, r.dtype)
+        np.testing.assert_array_equal(
+            r.asnumpy(),
+            np.maximum(
+                np.where(f.asnumpy() > 0.5, np.float32(0.0), f.asnumpy()),
+                np.float32(0.25),
+            ),
+        )
