@@ -77,6 +77,31 @@ def main(process_id: int, port: int) -> None:
         np.testing.assert_allclose(
             np.asarray(shard.data), expect[idx], rtol=1e-13, atol=1e-14
         )
+    # ---- next-DSL leg: a field-view operator over the process-spanning
+    # mesh (GSPMD collectives cross the simulated-DCN boundary) ----
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+
+    @gtx.field_operator
+    def gradx(f: Field[Dims[I, J], gtx.float64]) -> Field[Dims[I, J], gtx.float64]:
+        return f(Ioff[1]) - f
+
+    nf = Field(
+        gtx.common.Domain((I, J), (gtx.UnitRange(0, NI), gtx.UnitRange(0, NJ))),
+        arr,
+    )
+    gout = jax.jit(lambda g: gradx(g).data)(nf)
+    gexpect = full[1:] - full[:-1]
+    for shard in gout.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), gexpect[shard.index], rtol=1e-13, atol=1e-14
+        )
+    print(f"MULTIHOST NEXT OK p{process_id}", flush=True)
+
     print(f"MULTIHOST OK p{process_id}", flush=True)
     jax.distributed.shutdown()
 

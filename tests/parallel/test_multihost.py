@@ -49,3 +49,4 @@ def test_two_process_distributed_step():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST OK p{i}" in out, out
+        assert f"MULTIHOST NEXT OK p{i}" in out, out
