@@ -297,8 +297,11 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
     rng = random.Random(seed ^ 0x5EED)
     nprng = np.random.default_rng(seed ^ 0x5EED)
 
+    from gt4py_tpu.next import DimensionKind, scan_operator
+
     I = Dimension("I")
-    J = Dimension("J")
+    # J doubles as the scan axis for generated scan statements
+    J = Dimension("J", kind=DimensionKind.VERTICAL)
     Ioff = FieldOffset("Ioff", source=I, target=(I,))
     Joff = FieldOffset("Joff", source=J, target=(J,))
     ni, nj = 10, 9
@@ -321,6 +324,22 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         exec(compile(src, fname, "exec"), ns)
         ops.append(field_operator(ns[f"op{k}"]))
 
+    # maybe a scan statement: cumulative column op along J (the scan
+    # carries run inside lax.scan on jax, a python loop on the oracle)
+    scan_stmt = rng.random() < 0.35
+    if scan_stmt:
+        ssrc = (
+            "def sc(c: float64, x: float64, w: float64) -> float64:\n"
+            f"    return c * {round(rng.uniform(0.3, 0.9), 3)} + x * w\n"
+        )
+        sname = f"<next-fuzz-prog-{seed}-scan>"
+        linecache.cache[sname] = (len(ssrc), None, ssrc.splitlines(True), sname)
+        sns = dict(ns)
+        exec(compile(ssrc, sname, "exec"), sns)
+        scanf = scan_operator(
+            axis=J, forward=bool(rng.random() < 0.5), init=np.float64(0.0)
+        )(sns["sc"])
+
     # maybe a tuple-returning operator composing the generated ones
     # (nested operator calls) targeted by a tuple out=
     tuple_stmt = len(ops) >= 1 and rng.random() < 0.4
@@ -339,9 +358,10 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         optup = field_operator(tns["optup"])
 
     # program body: each statement writes one out param
-    n_out = rng.randint(1, 2) + (2 if tuple_stmt else 0)
+    n_out = rng.randint(1, 2) + (2 if tuple_stmt else 0) + (1 if scan_stmt else 0)
+    n_plain = n_out - (2 if tuple_stmt else 0) - (1 if scan_stmt else 0)
     body = []
-    for j in range(n_out - 2 if tuple_stmt else n_out):
+    for j in range(n_plain):
         k = rng.randrange(len(ops))
         target = f"o{j}"
         form = rng.random()
@@ -355,6 +375,10 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         else:
             kw = ", domain={I: (2, 7), J: (2, 7)}"
         body.append(f"    opf{k}(a, b, s, out={target}{kw})")
+    if scan_stmt:
+        js = n_plain
+        target = f"o{js}" if rng.random() < 0.5 else f"o{js}[2:-2, 2:-2]"
+        body.append(f"    scanf(a, s, out={target})")
     if tuple_stmt:
         j0, j1 = n_out - 2, n_out - 1
         if rng.random() < 0.5:
@@ -377,6 +401,8 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         pns[f"opf{k}"] = op
     if tuple_stmt:
         pns["optupf"] = optup
+    if scan_stmt:
+        pns["scanf"] = scanf
     exec(compile(psrc, pname, "exec"), pns)
     prog = program(pns["prog"])
 
