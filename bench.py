@@ -241,7 +241,7 @@ def bench_tpu_next_hdiff():
         )
 
     h = 2
-    rng = __import__("numpy").random.default_rng(5)
+    rng = np.random.default_rng(5)
     inp = jnp.asarray(
         rng.random((NI + 2 * h, NJ + 2 * h, NK)).astype("float32")
     )

@@ -469,6 +469,7 @@ class Program:
         # are trace constants, so each provider owns its compiled variants
         self._pools: Dict[Any, Any] = {}
         self._out_params: Tuple[str, ...] = self._find_out_params()
+        self._metrics_seen: set = set()  # static-arg variants already compiled
 
     # -- analysis -- #
 
@@ -558,29 +559,61 @@ class Program:
                 pool = self._pools[fp] = CompiledProgramsPool(
                     self._functional(), static_params=self._static_params
                 )
-            from gt4py_tpu.instrumentation import metrics as _metrics
-
+            timer = self._metrics_timer(merged, compiled=pool is not None)
             if pool is not None:
-                if _metrics.enabled(_metrics.MetricLevel.PERFORMANCE):
-                    # per-variant sample key (reference: compiled_program
-                    # MetricsCollection keyed by pool+variant,
-                    # compiled_program.py:66-88; gtfn.py:61-78)
-                    params = [p.name for p in self.ir.params]
-                    variant = ",".join(
-                        f"{n}={merged[params.index(n)]!r}"
-                        for n in self._static_params
-                    ) or "default"
-                    with _metrics.timed_sample(
-                        self.__name__, f"compute_time[{variant}]"
-                    ):
-                        return self._dispatch_compiled(merged, pool)
-                return self._dispatch_compiled(merged, pool)
-            if _metrics.enabled(_metrics.MetricLevel.PERFORMANCE):
-                with _metrics.timed_sample(self.__name__, "compute_time"):
-                    self._run_embedded(merged)
+                with timer:
+                    self._dispatch_compiled(merged, pool)
             else:
-                self._run_embedded(merged)
+                with timer:
+                    self._run_embedded(merged)
         return None
+
+    def _metrics_timer(self, merged, *, compiled: bool):
+        """Per-call compute-time sample, keyed per static-arg variant on
+        the compiled path (reference: compiled_program.py:66-88 pool+
+        variant MetricsCollection; gtfn.py:61-78).  The first call of a
+        variant compiles synchronously -- that call is NOT sampled, so
+        the metric measures dispatch+compute only."""
+        import contextlib
+
+        from gt4py_tpu.instrumentation import metrics as _metrics
+
+        if not _metrics.enabled(_metrics.MetricLevel.PERFORMANCE):
+            return contextlib.nullcontext()
+        if not compiled:
+            return _metrics.timed_sample(self.__name__, "compute_time")
+        params = [p.name for p in self.ir.params]
+
+        def canon(v):
+            return v.item() if hasattr(v, "item") else v
+
+        skey = tuple(canon(merged[params.index(n)]) for n in self._static_params)
+        if skey not in self._metrics_seen:
+            self._metrics_seen.add(skey)
+            return contextlib.nullcontext()  # compile call: don't sample
+        variant = ",".join(
+            f"{n}={v!r}" for n, v in zip(self._static_params, skey)
+        ) or "default"
+
+        @contextlib.contextmanager
+        def timed():
+            import jax
+
+            with _metrics.timed_sample(self.__name__, f"compute_time[{variant}]"):
+                yield
+                # dispatch is async: block on the out buffers so the
+                # sample covers device compute (CLAUDE.md: never trust
+                # un-synchronized dispatch wall-times)
+                for name in self._out_params:
+                    v = merged[params.index(name)]
+                    datas = [
+                        x.data for x in (v if isinstance(v, tuple) else (v,))
+                        if isinstance(x, Field)
+                    ]
+                    if datas:
+                        jax.block_until_ready(datas)
+
+        return timed()
 
     def _run_embedded(self, merged):
         typed = self._typed_for(tuple(_value_type(a) for a in merged))
@@ -690,6 +723,7 @@ class Program:
         new = copy.copy(self)
         new._backend = backends.resolve(backend)
         new._pools = {}  # each backend keeps its own compiled variants
+        new._metrics_seen = set()
         return new
 
     def _functional(self):

@@ -1028,7 +1028,17 @@ def _operator_return_type(op, argts, kwargts, node) -> ts.TypeSpec:
         if not isinstance(o, ts.FieldType) or not isinstance(r, ts.FieldType):
             raise _err(f"cannot write {r} into out= of type {o}", node)
         if getattr(r.dtype, "weak", False):
-            pass  # weak results adapt to the out dtype (_write_out casts)
+            # weak results adapt to the out dtype (_write_out casts), but
+            # only within the same kind category: a weak float silently
+            # truncated into an int/bool out would lose data
+            if not np.can_cast(
+                np.dtype(r.dtype.kind), np.dtype(o.dtype.kind), casting="same_kind"
+            ):
+                raise _err(
+                    f"cannot write a {np.dtype(r.dtype.kind)} result into "
+                    f"out= of dtype {np.dtype(o.dtype.kind)}",
+                    node,
+                )
         elif np.dtype(o.dtype.kind) != np.dtype(r.dtype.kind):
             raise _err(
                 f"out= dtype {np.dtype(o.dtype.kind)} does not match result "
@@ -1088,9 +1098,15 @@ def _rule_where(self, node, argts, kwargts):
     if ts.is_deferred(c) or ts.is_deferred(a) or ts.is_deferred(b):
         return ts.DeferredType()
     if isinstance(a, ts.TupleType) and isinstance(b, ts.TupleType):
-        return ts.TupleType(tuple(
-            _rule_where(self, node, [c, x, y], {}) for x, y in zip(a.types, b.types)
-        ))
+        # per-member operand kinds: each recursion sets node.operand_kind;
+        # collect them so the interpreter can cast weak literals inside
+        # tuple branches member-by-member
+        types_, kinds = [], []
+        for x, y in zip(a.types, b.types):
+            types_.append(_rule_where(self, node, [c, x, y], {}))
+            kinds.append(getattr(node, "operand_kind", None))
+        node.operand_kind = tuple(kinds)
+        return ts.TupleType(tuple(types_))
     if not ts.is_logical(c):
         raise _err(f"where() condition must be a bool field/scalar, got {c}", node)
     merged = self._binop_type(node, a, b, compare=True)
@@ -1119,10 +1135,12 @@ def _rule_concat_where(self, node, argts, kwargts):
     if len(d.dims) != 1:
         raise _err("concat_where() condition must be one-dimensional", node)
     if isinstance(a, ts.TupleType) and isinstance(b, ts.TupleType):
-        return ts.TupleType(tuple(
-            _rule_concat_where(self, node, [d, x, y], {})
-            for x, y in zip(a.types, b.types)
-        ))
+        types_, kinds = [], []
+        for x, y in zip(a.types, b.types):
+            types_.append(_rule_concat_where(self, node, [d, x, y], {}))
+            kinds.append(getattr(node, "operand_kind", None))
+        node.operand_kind = tuple(kinds)
+        return ts.TupleType(tuple(types_))
     merged = self._binop_type(node, a, b, compare=True)
     dims = promote_dims(ts.extract_dims(merged), d.dims)
     dt = ts.extract_dtype(merged)

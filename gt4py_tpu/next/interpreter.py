@@ -160,10 +160,22 @@ class Interpreter:
     def _cast_operand(self, opnode: fvir.Expr, target):
         """Evaluate an operand; weak scalars (and weak fields: where()/
         broadcast() of literals) are cast to the operation's deduced
-        operand dtype so oracle and product agree bitwise."""
-        v = self.eval(opnode)
-        t = opnode.type
+        operand dtype so oracle and product agree bitwise.  Tuple-typed
+        operands (tuple-branch where/concat_where) cast member-by-member
+        against a tuple of kinds."""
+        return self._cast_value(opnode.type, self.eval(opnode), target)
+
+    def _cast_value(self, t, v, target):
         if target is None:
+            return v
+        if isinstance(t, ts.TupleType) and isinstance(v, tuple):
+            if not isinstance(target, tuple):
+                target = (target,) * len(v)
+            return tuple(
+                self._cast_value(tt, vv, tg)
+                for tt, vv, tg in zip(t.types, v, target)
+            )
+        if isinstance(target, tuple):  # non-tuple value with tuple kinds
             return v
         if isinstance(t, ts.FieldType) and t.dtype.weak and isinstance(v, Field):
             dt = np.dtype(target)

@@ -342,7 +342,7 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
 
     # maybe a tuple-returning operator composing the generated ones
     # (nested operator calls) targeted by a tuple out=
-    tuple_stmt = len(ops) >= 1 and rng.random() < 0.4
+    tuple_stmt = rng.random() < 0.4
     if tuple_stmt:
         tsrc = (
             "def optup(a: FT, b: FT, s: float64) -> TT:\n"

@@ -243,3 +243,59 @@ def test_where_weak_literal_keeps_field_dtype():
                 np.float32(0.25),
             ),
         )
+
+
+def test_where_tuple_weak_literal_keeps_dtype():
+    """Weak literals inside TUPLE where() branches cast member-by-member
+    (per-member operand kinds recorded by the typing rule)."""
+    import numpy as np
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, where
+
+    I = gtx.Dimension("I")
+    FT = Field[Dims[I], gtx.float32]
+
+    @gtx.field_operator
+    def tup(f: FT) -> tuple[FT, FT]:
+        return where(f > 0.5, (0.0, f), (f, 0.0))
+
+    for alloc in (None, "numpy"):
+        f = gtx.as_field((I,), np.linspace(0, 1, 5, dtype=np.float32),
+                         allocator=alloc)
+        a, b = tup(f)
+        assert a.dtype == np.float32 and b.dtype == np.float32, alloc
+
+
+def test_weak_result_into_integer_out_rejected():
+    """A weak (all-literal) float result adapts to FLOAT out dtypes but
+    is rejected for integer/bool outs (silent truncation)."""
+    import numpy as np
+    import pytest as _pytest
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, where
+    from gt4py_tpu.next.frontend import FieldViewError
+
+    I = gtx.Dimension("I")
+    FT = Field[Dims[I], gtx.float64]
+
+    @gtx.field_operator
+    def wf(f: FT):
+        return where(f > 0.0, 0.75, 1.25)
+
+    # rejected at definition time (param annotations are complete)
+    with _pytest.raises(FieldViewError, match="cannot write"):
+
+        @gtx.program
+        def to_int(f: FT, o: Field[Dims[I], gtx.int32]):
+            wf(f, out=o)
+
+    @gtx.program
+    def to_f32(f: FT, o: Field[Dims[I], gtx.float32]):
+        wf(f, out=o)
+
+    o = gtx.as_field((I,), np.zeros(5, np.float32))
+    to_f32(gtx.as_field((I,), np.ones(5)), o)
+    assert o.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(o.ndarray), np.full(5, 0.75, np.float32))

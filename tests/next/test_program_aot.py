@@ -155,12 +155,13 @@ def test_program_metrics_per_variant(monkeypatch):
     coll = metrics.collection("prog")
     assert coll.metric("compute_time").count == 1
 
-    # compiled path with static n: per-variant metric keys
+    # compiled path with static n: per-variant metric keys; the first
+    # call of a variant compiles synchronously and is NOT sampled
     pj = prog.with_backend(backends.jax_jit).with_static_params("n")
-    pj(a, np.int64(3), o)
-    pj(a, np.int64(5), o)
-    pj(a, np.int64(3), o)
+    pj(a, np.int64(3), o)  # compile n=3 (unsampled)
+    pj(a, np.int64(5), o)  # compile n=5 (unsampled)
+    pj(a, np.int64(3), o)  # sampled
+    pj(a, 3, o)  # same variant (np.int64(3) == 3 canonicalized): sampled
     keys = [k for k in coll.metrics if k.startswith("compute_time[")]
-    assert len(keys) == 2, keys
-    by_n3 = [k for k in keys if "3" in k]
-    assert coll.metrics[by_n3[0]].count == 2
+    assert keys == ["compute_time[n=3]"], keys
+    assert coll.metrics["compute_time[n=3]"].count == 2
