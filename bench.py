@@ -275,6 +275,28 @@ def bench_tpu_next_hdiff():
     return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
 
 
+def bench_tpu_shallow_water():
+    """Multi-layer C-grid shallow water at 512^2 x 80 (one fused kernel:
+    momentum + forward-backward continuity, periodic wrap in the DMA)."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models import ShallowWater
+
+    model = ShallowWater(NI, NJ, NK, dtype=DTYPE, backend="pallas")
+    st = {k: jnp.asarray(v) for k, v in model.init_state(seed=6).items()}
+    sw_step = model.step_fn()
+
+    def step(state):
+        h, u, v = sw_step(state["h"], state["u"], state["v"])
+        return {"h": h, "u": u, "v": v}
+
+    i1, i2 = 3, 15
+    keys = ("h", "u", "v")
+    t1 = _timed_loop(step, st, i1, sum_keys=keys)
+    t2 = _timed_loop(step, st, i2, sum_keys=keys)
+    return max((t2 - t1) / (i2 - i1), 1e-9)
+
+
 def _wait_for_tpu(max_wait_s: float = None) -> bool:
     """The shared-relay TPU backend intermittently blocks or raises
     UNAVAILABLE at init for minutes at a time (outages of 2+ hours have
@@ -376,6 +398,12 @@ def main():
             extra["fv_bf16_ms"] = round(fv_bf * 1e3, 2)
         except Exception as e:
             print(f"# bf16 bench failed: {e}", file=sys.stderr)
+        try:
+            sw = bench_tpu_shallow_water()
+            extra["shallow_water_512_ms"] = round(sw * 1e3, 2)
+            extra["shallow_water_512_gpoints"] = round(NI * NJ * NK / sw / 1e9, 3)
+        except Exception as e:
+            print(f"# shallow-water bench failed: {e}", file=sys.stderr)
         try:
             nh = bench_tpu_next_hdiff()
             extra["next_hdiff_512_ms"] = round(nh * 1e3, 2)

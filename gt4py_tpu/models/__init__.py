@@ -8,6 +8,7 @@ for validation.
 """
 
 from .dycore import MiniDycore  # noqa: F401
+from .shallow_water import ShallowWater  # noqa: F401
 from .fv_advection import FvAdvection  # noqa: F401
 from .semi_lagrangian import semi_lagrangian_step  # noqa: F401
 from .spectral import poisson_solve, spectral_filter  # noqa: F401

@@ -201,3 +201,100 @@ def test_full_dycore_numpy_backend_step():
     state = {k: jnp.asarray(v) for k, v in m.init_state().items()}
     out = m.step_fn()(state)
     assert np.isfinite(np.asarray(out["qsl"])).all()
+
+
+# --------------------------- shallow water --------------------------- #
+
+
+def _sw(backend, dtype=np.float64, **kw):
+    from gt4py_tpu.models.shallow_water import ShallowWater
+
+    return ShallowWater(NI, NJ, NK, dtype=dtype, backend=backend, **kw)
+
+
+def test_shallow_water_jax_matches_oracle():
+    import jax
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models.shallow_water import ShallowWater
+
+    jm = _sw("jax")
+    nm = _sw("numpy")
+    hw = ShallowWater.HALO
+    st = jm.init_state(seed=1)
+    step = jax.jit(jm.step_fn())
+    outs = step(*(jnp.asarray(st[k]) for k in ("h", "u", "v")))
+
+    oi, oj = jm.oi, jm.oj
+    win = (slice(None), slice(oi - hw, oi + NI + hw), slice(oj - hw, oj + NJ + hw))
+    L = {k: np.transpose(v[win], (1, 2, 0)).copy() for k, v in st.items()}
+    hn, un, vn = nm.run_numpy_oracle(L["h"], L["u"], L["v"])
+
+    for got, ref in zip(outs, (hn, un, vn)):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got), (1, 2, 0))[oi : oi + NI, oj : oj + NJ],
+            ref[hw : hw + NI, hw : hw + NJ],
+            rtol=1e-12,
+            atol=1e-14,
+        )
+
+
+def test_shallow_water_conserves_mass():
+    import jax
+    import jax.numpy as jnp
+
+    m = _sw("jax")
+    st = m.init_state(seed=2)
+    step = jax.jit(m.step_fn())
+    h = jnp.asarray(st["h"])
+    u = jnp.asarray(st["u"])
+    v = jnp.asarray(st["v"])
+    oi, oj = m.oi, m.oj
+    total0 = float(jnp.sum(h[:, oi : oi + NI, oj : oj + NJ]))
+    for _ in range(20):
+        h, u, v = step(h, u, v)
+    total = float(jnp.sum(h[:, oi : oi + NI, oj : oj + NJ]))
+    assert abs(total - total0) < 1e-12 * abs(total0)
+
+
+def test_shallow_water_stable_energy_bounded():
+    """Forward-backward linear SWE is neutrally stable for c*dt/dx < 2:
+    the energy norm must stay bounded over a long run (f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = _sw("jax", dtype=np.float32)
+    st = m.init_state(seed=3)
+    step = jax.jit(m.step_fn())
+    h = jnp.asarray(st["h"])
+    u = jnp.asarray(st["u"])
+    v = jnp.asarray(st["v"])
+    oi, oj = m.oi, m.oj
+    sl = (slice(None), slice(oi, oi + NI), slice(oj, oj + NJ))
+    g, H = m.params["g"], m.params["H"]
+
+    def energy(h, u, v):
+        return float(
+            jnp.sum(g * h[sl] ** 2 + H * (u[sl] ** 2 + v[sl] ** 2))
+        )
+
+    e0 = energy(h, u, v)
+    for _ in range(100):
+        h, u, v = step(h, u, v)
+    e1 = energy(h, u, v)
+    assert np.isfinite(e1)
+    assert e1 < 4.0 * e0  # bounded (no exponential growth)
+
+
+def test_shallow_water_pallas_matches_jax():
+    import jax
+    import jax.numpy as jnp
+
+    jm = _sw("jax")
+    pm = _sw("pallas")
+    st = jm.init_state(seed=4)
+    args = tuple(jnp.asarray(st[k]) for k in ("h", "u", "v"))
+    outs_j = jax.jit(jm.step_fn())(*args)
+    outs_p = jax.jit(pm.step_fn())(*args)
+    for a, b in zip(outs_j, outs_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
