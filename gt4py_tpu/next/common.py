@@ -233,6 +233,12 @@ def _slice_range(input_range: UnitRange, s: slice) -> UnitRange:
     return UnitRange(start, max(start, stop))
 
 
+def _buffer_slice(own: UnitRange, r: UnitRange) -> slice:
+    """Buffer index of sub-range ``r`` inside the axis spanning ``own``."""
+    lo = r.start - own.start
+    return slice(lo, lo + len(r))
+
+
 def unit_range(r) -> UnitRange:
     """Coerce an int / (start, stop) / range / UnitRange into a UnitRange
     (reference: common.unit_range :335)."""
@@ -567,10 +573,10 @@ class Field:
                 index = (index,)
             dom, idx = self._relative_slice(index)
         if for_write:
-            self._check_writable(dom, index)
+            self._check_writable(dom)
         return dom, idx
 
-    def _check_writable(self, dom: Domain, index) -> None:
+    def _check_writable(self, dom: Domain) -> None:
         for ax, d in enumerate(self.dims):
             if self.data.shape[ax] != 1 or len(self.domain[d]) <= 1:
                 continue
@@ -622,11 +628,7 @@ class Field:
                     raise IndexError(
                         f"range {d.value}{r} not contained in {own} (no clipping)"
                     )
-                if broadcast_ax:
-                    idx.append(slice(None))
-                else:
-                    lo = r.start - own.start
-                    idx.append(slice(lo, lo + len(r)))
+                idx.append(slice(None) if broadcast_ax else _buffer_slice(own, r))
                 dims.append(d)
                 ranges.append(r)
         return Domain(tuple(dims), tuple(ranges)), tuple(idx)
@@ -650,11 +652,7 @@ class Field:
                 if e.step not in (None, 1):
                     raise IndexError("field slicing requires step 1")
                 r = _slice_range(own, e)
-                if broadcast_ax:
-                    idx.append(slice(None))
-                else:
-                    lo = r.start - own.start
-                    idx.append(slice(lo, lo + len(r)))
+                idx.append(slice(None) if broadcast_ax else _buffer_slice(own, r))
                 dims.append(d)
                 ranges.append(r)
             elif isinstance(e, (int, np.integer)):

@@ -31,7 +31,7 @@ only the dense horizontal dimension.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Union
+from typing import Dict, Optional
 
 import numpy as np
 

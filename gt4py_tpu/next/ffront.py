@@ -20,6 +20,7 @@ CompiledProgramsPool (reference: otf/compiled_program.py:319-680).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
@@ -40,6 +41,8 @@ from .common import (
     offset_provider_context,
     provider_fingerprint,
 )
+from gt4py_tpu.instrumentation import metrics as _metrics
+
 from .frontend import FieldViewError
 from .interpreter import Interpreter
 
@@ -574,10 +577,6 @@ class Program:
         variant MetricsCollection; gtfn.py:61-78).  The first call of a
         variant compiles synchronously -- that call is NOT sampled, so
         the metric measures dispatch+compute only."""
-        import contextlib
-
-        from gt4py_tpu.instrumentation import metrics as _metrics
-
         if not _metrics.enabled(_metrics.MetricLevel.PERFORMANCE):
             return contextlib.nullcontext()
         if not compiled:
@@ -640,6 +639,7 @@ class Program:
             fn = env.get(call.func.id) if isinstance(call.func, fvir.Name) else None
             if not isinstance(fn, FieldOperator) or isinstance(fn, ScanOperator):
                 continue
+
             def target_domains(e):
                 if isinstance(e, fvir.Name):
                     f = env.get(e.id)

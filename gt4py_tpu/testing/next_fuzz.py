@@ -353,7 +353,7 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
         tns = dict(ns)
         tns["TT"] = tuple[FT, FT]
         for k, op in enumerate(ops):
-            tns[f"opf{k}"] = field_operator(ns[f"op{k}"])
+            tns[f"opf{k}"] = op  # reuse the parsed FieldOperator objects
         exec(compile(tsrc, tname, "exec"), tns)
         optup = field_operator(tns["optup"])
 
