@@ -10,6 +10,9 @@ from .metrics import (  # noqa: F401
 from .hooks import (  # noqa: F401
     ContextHook,
     EventHook,
+    compile_variant_hook,
+    compiled_program_call_context,
+    program_call_context,
     stencil_build_hook,
     stencil_call_context,
 )

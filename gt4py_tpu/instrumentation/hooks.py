@@ -58,3 +58,16 @@ stencil_build_hook = EventHook("stencil_build")
 
 #: entered around every stencil call: (name, backend)
 stencil_call_context = ContextHook("stencil_call")
+
+
+#: entered around every next Program call: (name, compiled: bool)
+#: (reference: hooks.program_call_context / embedded_program_call_context)
+program_call_context = ContextHook("program_call")
+
+#: entered around compiled-variant dispatch: (name, variant)
+#: (reference: hooks.compiled_program_call_context)
+compiled_program_call_context = ContextHook("compiled_program_call")
+
+#: fired when the AOT pool compiles a new variant: (name, static_key)
+#: (reference: hooks.compile_variant_hook)
+compile_variant_hook = EventHook("compile_variant")

@@ -84,7 +84,14 @@ class CompiledProgramsPool:
         return jax.jit(self.fn, static_argnames=self.static_params)
 
     def _compile_one(self, args, dyn_kwargs, static_kwargs):
-        return self._jitted().lower(*args, **dyn_kwargs, **static_kwargs).compile()
+        compiled = self._jitted().lower(*args, **dyn_kwargs, **static_kwargs).compile()
+        from gt4py_tpu.instrumentation import compile_variant_hook
+
+        compile_variant_hook.fire(
+            name=getattr(self.fn, "__name__", "<fn>"),
+            static_key=self._static_key(static_kwargs),
+        )
+        return compiled
 
     def compile(
         self,
@@ -152,7 +159,12 @@ class CompiledProgramsPool:
             program = self._compile_one(args, kwargs, static_kw)
             with self._lock:
                 self._programs[key] = program
-        return program(*args, **kwargs)
+        from gt4py_tpu.instrumentation import compiled_program_call_context
+
+        with compiled_program_call_context.activate(
+            name=getattr(self.fn, "__name__", "<fn>"), variant=key[0]
+        ):
+            return program(*args, **kwargs)
 
     @property
     def compiled_keys(self):

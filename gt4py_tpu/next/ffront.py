@@ -562,12 +562,15 @@ class Program:
                 pool = self._pools[fp] = CompiledProgramsPool(
                     self._functional(), static_params=self._static_params
                 )
+            from gt4py_tpu.instrumentation import program_call_context
+
             timer = self._metrics_timer(merged, compiled=pool is not None)
-            if pool is not None:
-                with timer:
+            with program_call_context.activate(
+                name=self.__name__, compiled=pool is not None
+            ), timer:
+                if pool is not None:
                     self._dispatch_compiled(merged, pool)
-            else:
-                with timer:
+                else:
                     self._run_embedded(merged)
         return None
 

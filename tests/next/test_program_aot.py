@@ -165,3 +165,64 @@ def test_program_metrics_per_variant(monkeypatch):
     keys = [k for k in coll.metrics if k.startswith("compute_time[")]
     assert keys == ["compute_time[n=3]"], keys
     assert coll.metrics["compute_time[n=3]"].count == 2
+
+
+def test_program_hooks_fire():
+    """Hook-point parity (reference: instrumentation/hooks.py:11-18):
+    program_call_context wraps every call, compile_variant_hook fires per
+    compiled variant, compiled_program_call_context wraps dispatches."""
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, backends
+    from gt4py_tpu.instrumentation import (
+        compile_variant_hook,
+        compiled_program_call_context,
+        program_call_context,
+    )
+
+    I = Dimension("I")
+    events = {"calls": [], "compiles": [], "dispatches": []}
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def on_call(name, compiled):
+        events["calls"].append((name, compiled))
+        yield
+
+    @contextlib.contextmanager
+    def on_dispatch(name, variant):
+        events["dispatches"].append(variant)
+        yield
+
+    def on_compile(name, static_key):
+        events["compiles"].append(static_key)
+
+    program_call_context.register(on_call)
+    compiled_program_call_context.register(on_dispatch)
+    compile_variant_hook.register(on_compile)
+    try:
+        @gtx.field_operator
+        def sc(a: Field[Dims[I], gtx.float64], w: gtx.float64) -> Field[Dims[I], gtx.float64]:
+            return a * w
+
+        @gtx.program
+        def prog(a: Field[Dims[I], gtx.float64], o: Field[Dims[I], gtx.float64], w: gtx.float64):
+            sc(a, w, out=o)
+
+        a = as_field((I,), np.arange(4.0))
+        o = zeros({I: 4})
+        prog(a, o, 2.0)  # embedded
+        pj = prog.with_backend(backends.jax_jit).with_static_params("w")
+        pj(a, o, 2.0)
+        pj(a, o, 3.0)
+        pj(a, o, 2.0)
+    finally:
+        program_call_context.unregister(on_call)
+        compiled_program_call_context.unregister(on_dispatch)
+        compile_variant_hook.unregister(on_compile)
+
+    assert events["calls"] == [
+        ("prog", False), ("prog", True), ("prog", True), ("prog", True)
+    ]
+    assert sorted(events["compiles"]) == [(2.0,), (3.0,)]
+    assert len(events["dispatches"]) == 3
