@@ -18,5 +18,18 @@ Layer map (TPU-first redesign of the reference's architecture; see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+__version_info__ = (0, 1, 0)
+__author__ = "gt4py_tpu contributors"
+__license__ = "BSD-3-Clause"
 
 from . import config  # noqa: F401
+from . import storage  # noqa: F401  (reference: gt4py/__init__.py exports storage)
+
+__all__ = [
+    "__author__",
+    "__license__",
+    "__version__",
+    "__version_info__",
+    "config",
+    "storage",
+]
