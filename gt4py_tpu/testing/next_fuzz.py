@@ -82,6 +82,16 @@ class OperatorGenerator:
         for _ in range(self.rng.randint(1, 3)):
             t = f"t{self.n_tmp}"
             self.n_tmp += 1
+            if not self.with_unstructured and self.rng.random() < 0.2:
+                # boundary-condition pattern: concat_where along J
+                c = self.rng.randint(2, 7)
+                rel = self.rng.choice(["<", ">=", "<=", ">"])
+                ea = f"({self._expr(names)}) + 0.0 * a"
+                eb = f"({self._expr(names)}) + 0.0 * b"
+                body.append(f"{t} = concat_where(J {rel} {c}, {ea}, {eb})")
+                self.field_names.add(t)
+                names.append(t)
+                continue
             e = self._expr(names)
             body.append(f"{t} = {e}")
             if self._is_field_expr(e):
@@ -133,6 +143,7 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
         FieldOffset,
         as_connectivity,
         as_field,
+        concat_where,
         field_operator,
         maximum,
         minimum,
@@ -196,7 +207,7 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     ns = dict(
         FT=FT, RT=RT, PT=PT, float64=dtype, where=where, minimum=minimum,
         maximum=maximum, neighbor_sum=neighbor_sum, Ioff=Ioff, Joff=Joff,
-        V2E=V2E, V2EDim=V2EDim,
+        V2E=V2E, V2EDim=V2EDim, concat_where=concat_where, I=I, J=J,
     )
     # the frontend reads the source via inspect.getsource; register the
     # generated text under a virtual filename so linecache can serve it
@@ -217,18 +228,31 @@ def run_differential_case(seed: int, rtol=1e-12, atol=1e-12,
     for alloc in ("numpy", "jax"):
         a = as_field(data_dims, a_np.copy(), allocator=alloc)
         b = as_field(data_dims, b_np.copy(), allocator=alloc)
-        if collection:
-            # sometimes by keyword: the call-interface binder is in play
-            if by_kw:
-                out = op(pair=PT(a=a, b=b), s=s)
+        try:
+            if collection:
+                # sometimes by keyword: the call-interface binder is in play
+                if by_kw:
+                    out = op(pair=PT(a=a, b=b), s=s)
+                else:
+                    out = op(PT(a=a, b=b), s)
             else:
-                out = op(PT(a=a, b=b), s)
-        else:
-            out = op(a, b, s, offset_provider=offset_provider)
+                out = op(a, b, s, offset_provider=offset_provider)
+        except ValueError as e:
+            # a generated case can be legitimately rejected at runtime
+            # (e.g. concat_where pieces left a gap after branch shifts);
+            # the differential contract is then that BOTH paths reject
+            # identically
+            results[alloc] = (type(e).__name__, None, None)
+            continue
         results[alloc] = (out.asnumpy(), out.dims, tuple(out.domain.ranges))
 
     r_np, d_np, dom_np = results["numpy"]
     r_jx, d_jx, dom_jx = results["jax"]
+    if isinstance(r_np, str) or isinstance(r_jx, str):
+        assert r_np == r_jx, (
+            f"seed {seed}: error-path diverges ({r_np!r} vs {r_jx!r})\n{src}"
+        )
+        return
     assert d_np == d_jx, f"seed {seed}: dims diverge {d_np} vs {d_jx}\n{src}"
     assert dom_np == dom_jx, f"seed {seed}: domains diverge {dom_np} vs {dom_jx}\n{src}"
     np.testing.assert_allclose(
@@ -289,8 +313,8 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
     (including the untouched fill in unwritten halo regions)."""
     import gt4py_tpu.next as gtx
     from gt4py_tpu.next import (
-        Dimension, Field, FieldOffset, as_field, backends, field_operator,
-        maximum, minimum, program, where,
+        Dimension, Field, FieldOffset, as_field, backends, concat_where,
+        field_operator, maximum, minimum, program, where,
     )
     from gt4py_tpu.next.type_system import Dims
 
@@ -311,7 +335,8 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
 
     ns = dict(
         FT=FT, RT=FT, float64=np.float64, where=where, minimum=minimum,
-        maximum=maximum, Ioff=Ioff, Joff=Joff,
+        maximum=maximum, Ioff=Ioff, Joff=Joff, concat_where=concat_where,
+        I=I, J=J,
     )
 
     # 1-2 random operators
