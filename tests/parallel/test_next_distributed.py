@@ -125,3 +125,100 @@ def test_replicate_connectivity_pattern(cmesh):
     out = jax.jit(lambda g: gtx.neighbor_sum(g(conn), axis=V2VDim).data)(vfd)
     ref = vals[table].sum(axis=1)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=0)
+
+
+class TestShardMapOperator:
+    """Explicit ppermute halo exchange for field operators, halo widths
+    auto-derived from the operator's extent analysis."""
+
+    def _fields(self, cmesh, shape=(16, 32), seed=11):
+        rng = np.random.default_rng(seed)
+        a = rng.random(shape)
+        b = rng.random(shape)
+        return a, b
+
+    def test_auto_halo_and_periodic_parity(self, cmesh):
+        import jax
+
+        @gtx.field_operator
+        def wide(
+            f: Field[Dims[I, J], gtx.float64], g: Field[Dims[I, J], gtx.float64]
+        ) -> Field[Dims[I, J], gtx.float64]:
+            return (
+                f(Ioff[2]) + f(Ioff[-1]) + g(Joff[1]) + g(Joff[-2]) - 4.0 * f
+            )
+
+        from gt4py_tpu.next.distributed import operator_halo, shard_map_operator
+
+        halos = operator_halo(wide, [I, J])
+        assert halos == {I: 2, J: 2}
+
+        av, bv = self._fields(cmesh)
+        fa = nxd.distribute(gtx.as_field((I, J), av), cmesh, {I: "x", J: "y"})
+        fb = nxd.distribute(gtx.as_field((I, J), bv), cmesh, {I: "x", J: "y"})
+        step = shard_map_operator(wide, cmesh, {I: "x", J: "y"}, periodic=True)
+        out = jax.jit(lambda x, y: step(x, y).data)(fa, fb)
+
+        # reference: periodic pad + eager op + interior crop (numpy path)
+        h = 2
+        ap = np.pad(av, h, mode="wrap")
+        bp = np.pad(bv, h, mode="wrap")
+        dom = gtx.common.Domain(
+            (I, J),
+            (gtx.UnitRange(-h, 16 + h), gtx.UnitRange(-h, 32 + h)),
+        )
+        ref = wide(
+            gtx.Field(dom, ap), gtx.Field(dom, bp)
+        ).restrict(gtx.common.Domain((I, J), (gtx.UnitRange(0, 16), gtx.UnitRange(0, 32))))
+        np.testing.assert_array_equal(np.asarray(out), ref.asnumpy())
+
+    def test_open_boundary_zero(self, cmesh):
+        import jax
+
+        @gtx.field_operator
+        def gradx(f: Field[Dims[I, J], gtx.float64]) -> Field[Dims[I, J], gtx.float64]:
+            return f(Ioff[1]) - f
+
+        from gt4py_tpu.next.distributed import shard_map_operator
+
+        av, _ = self._fields(cmesh)
+        fa = nxd.distribute(gtx.as_field((I, J), av), cmesh, {I: "x", J: "y"})
+        step = shard_map_operator(gradx, cmesh, {I: "x", J: "y"}, periodic=False)
+        out = np.asarray(jax.jit(lambda x: step(x).data)(fa))
+        # interior rows: plain forward difference; last row sees a ZERO halo
+        np.testing.assert_array_equal(out[:-1], av[1:] - av[:-1])
+        np.testing.assert_array_equal(out[-1], -av[-1])
+
+    def test_data_dependent_offset_rejected(self, cmesh):
+        from gt4py_tpu.next import as_offset
+        from gt4py_tpu.next.distributed import operator_halo
+
+        @gtx.field_operator
+        def dyn(
+            f: Field[Dims[I], gtx.float64], idx: Field[Dims[I], gtx.int64]
+        ) -> Field[Dims[I], gtx.float64]:
+            return f(as_offset(Ioff, idx))
+
+        with pytest.raises(ValueError, match="data-dependent"):
+            operator_halo(dyn, [I])
+
+    def test_scalar_args_and_tuple_output(self, cmesh):
+        import jax
+
+        @gtx.field_operator
+        def two(
+            f: Field[Dims[I, J], gtx.float64], w: gtx.float64
+        ) -> tuple[Field[Dims[I, J], gtx.float64], Field[Dims[I, J], gtx.float64]]:
+            g = f(Ioff[1]) - f
+            return w * g, g * g
+
+        from gt4py_tpu.next.distributed import shard_map_operator
+
+        av, _ = self._fields(cmesh)
+        fa = nxd.distribute(gtx.as_field((I, J), av), cmesh, {I: "x", J: "y"})
+        step = shard_map_operator(two, cmesh, {I: "x", J: "y"}, periodic=True)
+        o1, o2 = step(fa, w=3.0)
+        gp = np.pad(av, 1, mode="wrap")
+        g = (gp[2:, 1:-1] - gp[1:-1, 1:-1])
+        np.testing.assert_allclose(np.asarray(o1.data), 3.0 * g, rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(o2.data), g * g, rtol=0, atol=0)
