@@ -281,6 +281,7 @@ class JaxTracer:
     #: waste on the VPU and no halo lanes in the tile DMA
     circular_j = False
     pltpu_roll = False  # lower rolls with the Mosaic-native primitive
+    mosaic = False  # tracing inside a real Mosaic kernel (not interpret/XLA)
     #: mutable-reference mode (inside pallas kernels): env values are VMEM
     #: Refs mutated by stores, not functionally-updated arrays -- Mosaic has
     #: no dynamic_update_slice on values, and refs avoid copies anyway
@@ -361,7 +362,9 @@ class JaxTracer:
         if self.pltpu_roll:
             from jax.experimental.pallas import tpu as pltpu
 
-            return pltpu.roll(x, -dj, 2)
+            # pltpu.roll rejects negative shifts; the roll is circular, so
+            # wrap into [0, nj).
+            return pltpu.roll(x, (-dj) % x.shape[2], 2)
         import jax.numpy as jnp
 
         return jnp.roll(x, -dj, axis=2)
@@ -1225,6 +1228,13 @@ class JaxTracer:
             if expr.op == ir.UnaryOperator.NOT:
                 return jnp.logical_not(v)
             if expr.op == ir.UnaryOperator.NEG:
+                if (
+                    self.mosaic
+                    and getattr(v, "ndim", 0) == 0
+                    and np.dtype(v.dtype) in _F16_DTYPES
+                ):
+                    # Mosaic scalar core: no 16-bit negf (exact round-trip)
+                    return jnp.negative(v.astype(jnp.float32)).astype(v.dtype)
                 return jnp.negative(v)
             return v
 
@@ -1240,6 +1250,23 @@ class JaxTracer:
                 left = left.astype(target)
             if right.dtype != target:
                 right = right.astype(target)
+            if self.mosaic and target in _F16_DTYPES:
+                if expr.op in _COMPARISON_OPS:
+                    # Mosaic v5e has no 16-bit cmpf ("Target does not
+                    # support this comparison"); f32 upcast is exact, and
+                    # the i1 result dtype is unchanged.
+                    left = left.astype(jnp.float32)
+                    right = right.astype(jnp.float32)
+                elif getattr(left, "ndim", 0) == 0 and getattr(right, "ndim", 0) == 0:
+                    # Mosaic's scalar core has no 16-bit float arith
+                    # ("failed to legalize arith.subf : bf16"); f32 compute
+                    # + round back equals the direct 16-bit op for
+                    # +,-,*,/ (24 >= 2*8+2 makes double rounding innocuous).
+                    return _apply_binop_jnp(
+                        expr.op,
+                        left.astype(jnp.float32),
+                        right.astype(jnp.float32),
+                    ).astype(target)
             return _apply_binop_jnp(expr.op, left, right)
 
         if isinstance(expr, ir.TernaryOp):
@@ -1254,6 +1281,24 @@ class JaxTracer:
             if len(args) > 1:
                 target = promote_dtypes(*[np.dtype(a.dtype) for a in args])
                 args = [a.astype(target) if a.dtype != target else a for a in args]
+            if (
+                self.mosaic
+                and all(getattr(a, "ndim", 0) == 0 for a in args)
+                and any(np.dtype(a.dtype) in _F16_DTYPES for a in args)
+            ):
+                # Mosaic scalar core: no 16-bit float math; compute in f32
+                # and round back (one extra rounding vs a native 16-bit
+                # libcall, which Mosaic does not have anyway).
+                out = _NATIVE_JNP[expr.func](
+                    *[
+                        a.astype(jnp.float32)
+                        if np.dtype(a.dtype) in _F16_DTYPES
+                        else a
+                        for a in args
+                    ]
+                )
+                small = promote_dtypes(*[np.dtype(a.dtype) for a in args])
+                return out.astype(small) if small in _F16_DTYPES else out
             return _NATIVE_JNP[expr.func](*args)
 
         raise TypeError(f"Cannot trace {type(expr).__name__}")
@@ -1265,6 +1310,18 @@ def _to_logical(buf, user_shape):
 
     buf = jnp.transpose(buf, (1, 2, 0) + tuple(range(3, buf.ndim)))
     return buf.reshape(user_shape)
+
+
+_COMPARISON_OPS = frozenset(
+    {
+        ir.BinaryOperator.EQ,
+        ir.BinaryOperator.NE,
+        ir.BinaryOperator.LT,
+        ir.BinaryOperator.LE,
+        ir.BinaryOperator.GT,
+        ir.BinaryOperator.GE,
+    }
+)
 
 
 def _apply_binop_jnp(op: ir.BinaryOperator, left, right):

@@ -1109,6 +1109,7 @@ class PallasBackend(JaxBackend):
             tracer.ref_env = True
             tracer.circular_j = circular
             tracer.pltpu_roll = circular and not interpret
+            tracer.mosaic = not interpret
             tracer.temp_refs = {
                 name: temp_scratch[i] for i, name in enumerate(temp_names)
             }
