@@ -43,6 +43,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
+from gt4py_tpu import config
 from gt4py_tpu.cartesian import ir
 from gt4py_tpu.cartesian.backend import register
 from gt4py_tpu.cartesian.backend.jax_backend import (
@@ -1109,7 +1110,7 @@ class PallasBackend(JaxBackend):
             tracer.ref_env = True
             tracer.circular_j = circular
             tracer.pltpu_roll = circular and not interpret
-            tracer.mosaic = not interpret
+            tracer.mosaic = (not interpret) or config.FORCE_MOSAIC_TRACE
             tracer.temp_refs = {
                 name: temp_scratch[i] for i, name in enumerate(temp_names)
             }

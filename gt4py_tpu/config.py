@@ -58,6 +58,15 @@ ENABLE_X64: bool = _env_bool("GT4PY_TPU_ENABLE_X64", True)
 #: src/gt4py/cartesian/caching.py).
 PERSISTENT_CACHE: bool = _env_bool("GT4PY_TPU_PERSISTENT_CACHE", True)
 
+#: Force the Pallas tracer's Mosaic-specific workaround branches
+#: (``tracer.mosaic = True``) even under interpret mode.  The workarounds
+#: (f32 upcasts around 16-bit scalar math, cmpf, negf, ...) are numerically
+#: transparent, so interpret-mode results must stay bit-identical -- this
+#: knob lets the CPU suite execute code paths that otherwise only run on
+#: real TPU hardware (round 2 shipped a NameError in one of them that a
+#: green 837-test CPU suite could not see).
+FORCE_MOSAIC_TRACE: bool = _env_bool("GT4PY_TPU_FORCE_MOSAIC_TRACE", False)
+
 #: Work around an XLA:CPU compiler crash (SIGSEGV in the MLIR fusion
 #: emitters) on certain bfloat16 fusions that mix sequential-K scans with
 #: variable-/absolute-K gathers (found by the differential fuzzer, seed
