@@ -31,8 +31,7 @@ def from_name(name: str):
 
 
 from . import numpy_backend  # noqa: E402,F401
-
-REGISTRY["debug"] = REGISTRY["numpy"]
+from . import debug_backend  # noqa: E402,F401
 
 try:  # jax backends are optional at import time
     from . import jax_backend  # noqa: E402,F401

@@ -755,6 +755,30 @@ class JaxTracer:
             return self._trace_horizontal(env, stmt, ctx)
         raise TypeError(f"Unknown statement {type(stmt).__name__}")
 
+    def _select(self, cond, t, f):
+        """``jnp.where`` with the Mosaic 16-bit select workaround.
+
+        Mosaic miscompiles vector selects whose operand is a
+        sublane-offset load of a (16, 128)-packed 16-bit tile: the
+        packed-group boundary row reads the wrong sublane (found on chip
+        by the bf16 fuzz leg, seed 2; the same program is correct in
+        interpret mode and with the offsets removed).  Selecting in f32
+        is exact and forces the unpacked (8, 128) layout."""
+        import jax.numpy as jnp
+
+        t = jnp.asarray(t)
+        f = jnp.asarray(f)
+        if (
+            self.mosaic
+            and np.dtype(t.dtype) == np.dtype(f.dtype)
+            and np.dtype(t.dtype) in _F16_DTYPES
+        ):
+            small = t.dtype
+            return jnp.where(
+                cond, t.astype(jnp.float32), f.astype(jnp.float32)
+            ).astype(small)
+        return jnp.where(cond, t, f)
+
     def _trace_assign(self, env, stmt: ir.Assign, ctx: _TraceCtx):
         import jax.numpy as jnp
 
@@ -775,7 +799,7 @@ class JaxTracer:
                 mask = jnp.logical_and(mask, m)
             if mask.ndim and mask.ndim < old.ndim:
                 mask = mask.reshape(mask.shape + (1,) * (old.ndim - mask.ndim))
-            rhs = jnp.where(mask, rhs, old)
+            rhs = self._select(mask, rhs, old)
         env = dict(env)
         env[name] = write_back(env[name], rhs)
         return env
@@ -1010,7 +1034,7 @@ class JaxTracer:
                     v = jnp.reshape(
                         value, value.shape + (1,) * (full.ndim - value.ndim)
                     )
-                    full = jnp.where(sel, v, full)
+                    full = self._select(sel, jnp.broadcast_to(v, full.shape), full)
                 else:
                     full = full.at[
                         (slice(None), slice(None), slice(None)) + didx
@@ -1089,7 +1113,7 @@ class JaxTracer:
                     slice(i0, i0 + ni),
                     slice(j0, j0 + nj),
                 ]
-                return jnp.where(kidx == k, plane, acc)
+                return self._select(kidx == k, jnp.broadcast_to(plane, acc.shape), acc)
 
             out = jax.lax.fori_loop(
                 0, SK, body, jnp.zeros((ctx.nk, ni, nj), meta.dtype)
@@ -1274,21 +1298,20 @@ class JaxTracer:
             t = jnp.asarray(self._eval(env, expr.true_expr, ctx))
             f = jnp.asarray(self._eval(env, expr.false_expr, ctx))
             target = promote_dtypes(np.dtype(t.dtype), np.dtype(f.dtype))
-            return jnp.where(cond, t.astype(target), f.astype(target))
+            return self._select(cond, t.astype(target), f.astype(target))
 
         if isinstance(expr, ir.NativeFuncCall):
             args = [jnp.asarray(self._eval(env, a, ctx)) for a in expr.args]
             if len(args) > 1:
                 target = promote_dtypes(*[np.dtype(a.dtype) for a in args])
                 args = [a.astype(target) if a.dtype != target else a for a in args]
-            if (
-                self.mosaic
-                and all(getattr(a, "ndim", 0) == 0 for a in args)
-                and any(np.dtype(a.dtype) in _F16_DTYPES for a in args)
-            ):
-                # Mosaic scalar core: no 16-bit float math; compute in f32
-                # and round back (one extra rounding vs a native 16-bit
-                # libcall, which Mosaic does not have anyway).
+            if self.mosaic and any(np.dtype(a.dtype) in _F16_DTYPES for a in args):
+                # Mosaic has no 16-bit math lowerings anywhere: vector
+                # transcendentals fail to legalize ("failed to legalize
+                # operation 'math.sin'" on vector<...bf16>) and the scalar
+                # core has no 16-bit float math at all.  Compute in f32 and
+                # round back once (XLA's own sub-f32 lowering does the
+                # same, so this matches the jax executor to <= 1 ulp).
                 out = _NATIVE_JNP[expr.func](
                     *[
                         a.astype(jnp.float32)
@@ -1298,7 +1321,11 @@ class JaxTracer:
                     ]
                 )
                 small = promote_dtypes(*[np.dtype(a.dtype) for a in args])
-                return out.astype(small) if small in _F16_DTYPES else out
+                if small in _F16_DTYPES and np.dtype(out.dtype) == np.dtype(np.float32):
+                    # float results round back; bool results (isnan/isinf/
+                    # isfinite) keep their dtype
+                    return out.astype(small)
+                return out
             return _NATIVE_JNP[expr.func](*args)
 
         raise TypeError(f"Cannot trace {type(expr).__name__}")

@@ -503,13 +503,35 @@ class PallasBackend(JaxBackend):
                 return best[1], best[2], halos, slots
         raise _PallasIneligible()
 
-    def _plan_columns(self, metas, domain, aligned: bool):
-        """Mode B (serial-K stencils): (TI, TJ) tiles with the full K
-        column resident in VMEM."""
+    def _k_window(self, metas, domain, k_win: bool):
+        """Per-field K tile window for mode B: with ``k_win`` the tile
+        holds only the ``[origin_k - kb0, origin_k + dK + kb1)`` planes of
+        the buffer (interval-aware bounds, origin-validated to exist)
+        instead of the whole column -- buffers with K pads stop paying for
+        them, and K-blocked serial passes (sub-dK domains with shifted K
+        origins) become possible.  Nonuniform-K stencils keep the full
+        column: their clipped gathers address the WHOLE buffer (oracle
+        semantics clip at buffer edges, numpy_backend._eval_variable_k)."""
+        dK = domain[2]
+        wins: Dict[str, Tuple[int, int]] = {}  # name -> (sk, okt)
+        for name, m in metas.items():
+            if m.shape[2] == 1:
+                wins[name] = (1, 0)
+            elif not k_win:
+                wins[name] = (m.shape[2], m.origin[2])
+            else:
+                kb0, kb1 = self.analysis.k_boundary.get(name, (0, 0))
+                wins[name] = (dK + kb0 + kb1, kb0)
+        return wins
+
+    def _plan_columns(self, metas, domain, aligned: bool, k_win: bool = False):
+        """Mode B (serial-K stencils): (TI, TJ) tiles with the K column
+        (full buffer, or the domain window when ``k_win``) in VMEM."""
         dI, dJ, dK = domain
         ext = self.analysis.extents
         subx = self._sub_max(metas)
         halos = self._halos_ij(metas, aligned, domain, expand_j=True)
+        kwins = self._k_window(metas, domain, k_win)
 
         # serial sections evaluate K planes; PARALLEL sections evaluate
         # whole columns on the value stack
@@ -523,7 +545,7 @@ class PallasBackend(JaxBackend):
             max_val = 0
             for name, m in metas.items():
                 hi0, hi1, hj0, hj1 = halos[name]
-                sk = m.shape[2]
+                sk = kwins[name][0]
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
                 nj = 1 if m.shape[1] == 1 else tj + hj0 + hj1
                 pi, pj = _pad_tile(ni, nj, _sublane(m.dtype))
@@ -534,7 +556,11 @@ class PallasBackend(JaxBackend):
                         1 if nj == 1 else tj,
                         _sublane(m.dtype),
                     )
-                    total += slots * sk * si * sj * m.dtype.itemsize
+                    if m.shape[2] == 1:
+                        stage_k = 1
+                    else:
+                        stage_k = dK if k_win else m.shape[2]
+                    total += slots * stage_k * si * sj * m.dtype.itemsize
                 skv = sk if has_parallel else min(sk, _SUBLANE)
                 max_val = max(max_val, skv * pi * pj * m.dtype.itemsize)
             for name, decl in self.analysis.stencil.temp_decls.items():
@@ -622,8 +648,14 @@ class PallasBackend(JaxBackend):
             except _PallasIneligible:
                 mode_a = False
                 circular = False
+        # mode B loads only the [ok - kb0, ok + dK + kb1) K window of each
+        # buffer (interval-aware k_boundary) unless nonuniform-K gathers
+        # need the whole column for oracle-parity edge clipping
+        k_win = not mode_a and not self._has_nonuniform_k()
         if not mode_a:
-            TI, TJ, halos, slots = self._plan_columns(metas, domain, aligned)
+            TI, TJ, halos, slots = self._plan_columns(
+                metas, domain, aligned, k_win
+            )
             TK = dK
         import os as _os
         if _os.environ.get("GT4PY_TPU_PALLAS_SLOTS") == "1":
@@ -742,7 +774,7 @@ class PallasBackend(JaxBackend):
 
         # K-halos (only when K is actually tiled; mode A with a single K
         # tile keeps the whole buffer column so k-offset halo planes stay
-        # addressable, exactly like mode B)
+        # addressable, exactly like full-column mode B)
         k_tiled = mode_a and TK != dK
         khalos: Dict[str, Tuple[int, int]] = {}
         for name, m in metas.items():
@@ -751,6 +783,8 @@ class PallasBackend(JaxBackend):
                 # safe: mode A requires full intervals, so the validated
                 # k boundary equals the k extent hull
                 khalos[name] = (-e.k[0], e.k[1])
+            elif k_win and m.shape[2] != 1:
+                khalos[name] = self.analysis.k_boundary.get(name, (0, 0))
             else:
                 khalos[name] = (0, 0)
 
@@ -781,6 +815,9 @@ class PallasBackend(JaxBackend):
                 # tile covers [ok + gk - hk0, ok + gk + TK + hk1): in-bounds
                 # because the k boundary validation guarantees the halo room
                 sk, okt = TK + hk0 + hk1, hk0
+            elif k_win:
+                # static window [ok - hk0, ok + dK + hk1): origin-validated
+                sk, okt = dK + hk0 + hk1, hk0
             else:
                 sk, okt = m.shape[2], m.origin[2]
             tile_metas[name] = _FieldMeta(
@@ -862,10 +899,17 @@ class PallasBackend(JaxBackend):
             )
 
         def stage_shape(name):
-            # mode A stages the interior K tile; mode B stages the full
-            # K column (including origin pads, written back unchanged)
+            # mode A stages the interior K tile; mode B stages the domain
+            # K window (k_win) or the full column (nonuniform-K stencils)
             m = metas[name]
-            sk = 1 if m.shape[2] == 1 else (TK if k_tiled else m.shape[2])
+            if m.shape[2] == 1:
+                sk = 1
+            elif k_tiled:
+                sk = TK
+            elif k_win:
+                sk = dK
+            else:
+                sk = m.shape[2]
             return (
                 sk,
                 1 if m.shape[0] == 1 else TI,
@@ -945,10 +989,14 @@ class PallasBackend(JaxBackend):
                 gk, gi, gj = coords(tt)
                 src = in_refs[f_idx]
                 dst = scratch_refs[f_idx]
-                if m.shape[2] == 1 or not k_tiled:
+                if m.shape[2] == 1:
                     ksl = slice(None)
-                else:
+                elif k_tiled:
                     ksl = pl.ds(off32(gk, ok - hk0), sk)
+                elif k_win:
+                    ksl = pl.ds(jnp.int32(ok - hk0), sk)  # static window
+                else:
+                    ksl = slice(None)
                 isegs, jsegs = segments[name]
                 w0 = None if m.shape[0] == 1 else off32(gi, oi - hi0)
                 w0_first = oi - hi0
@@ -1043,10 +1091,16 @@ class PallasBackend(JaxBackend):
                 else:
                     bk, bi, bj = 0, 0, 0  # fresh interior-only output
                 dst = out_refs[w_idx]
-                if m.shape[2] == 1 or not k_tiled:
-                    ksl = slice(None)  # full K column: dst k == stage k
-                else:
+                if m.shape[2] == 1:
+                    ksl = slice(None)
+                elif k_tiled:
                     ksl = pl.ds(off32(gk, bk), TK)
+                elif k_win and aliased[name]:
+                    # stage holds the dK domain planes; land them at the
+                    # buffer's K origin (window pads untouched)
+                    ksl = pl.ds(jnp.int32(ok), dK)
+                else:
+                    ksl = slice(None)  # stage k == dst k
                 isl = (
                     slice(None)
                     if m.shape[0] == 1
@@ -1141,6 +1195,8 @@ class PallasBackend(JaxBackend):
                     j_int = slice(hj0, hj0 + TJ) if nj > 1 else slice(None)
                 if k_tiled and m.shape[2] != 1:
                     k_int = slice(hk0, hk0 + TK)
+                elif k_win and m.shape[2] != 1:
+                    k_int = slice(hk0, hk0 + dK)
                 else:
                     k_int = slice(None)
                 i_int = slice(hi0, hi0 + TI) if ni > 1 else slice(None)
@@ -1185,7 +1241,7 @@ class PallasBackend(JaxBackend):
                 return jax.ShapeDtypeStruct(
                     (m.shape[2], m.shape[0], m.shape[1]), m.dtype
                 )
-            sk = 1 if m.shape[2] == 1 else (dK if k_tiled else m.shape[2])
+            sk = 1 if m.shape[2] == 1 else (dK if (k_tiled or k_win) else m.shape[2])
             oi_dim = 1 if m.shape[0] == 1 else dI
             oj_dim = 1 if m.shape[1] == 1 else dJ
             return jax.ShapeDtypeStruct((sk, oi_dim, oj_dim), m.dtype)
@@ -1266,7 +1322,7 @@ class PallasBackend(JaxBackend):
                 new_env[w] = r
                 continue
             oi, oj, ok = m.origin
-            if m.shape[2] == 1 or not k_tiled:
+            if m.shape[2] == 1 or not (k_tiled or k_win):
                 kk = slice(None)  # results carry the full K column
             else:
                 kk = slice(ok, ok + dK)

@@ -304,7 +304,7 @@ def test_bf16_scan_and_mixed_dtype_on_chip():
             with interval(1, None):
                 out = out[0, 0, -1] + a
 
-    shape = (16 + 32, 128 + 256 + 128, 8)
+    shape = (16 + 32 + 16, 128 + 256 + 128, 8)  # +16 on I: mixed_p reads a[1,0,0]
     origin = (16, 128, 0)
     dom = (32, 256, 8)
     rng = np.random.default_rng(12)
