@@ -185,6 +185,13 @@ class PallasBackend(JaxBackend):
         try:
             return self._pallas_trace(metas, env, scalars, tuple(domain), periodic)
         except _PallasIneligible:
+            try:
+                # deep-K serial stencils: K-blocked per-loop passes
+                return self._trace_kblocked(
+                    metas, env, scalars, tuple(domain), periodic
+                )
+            except _PallasIneligible:
+                pass
             import os as _os
             import traceback
 
@@ -597,6 +604,150 @@ class PallasBackend(JaxBackend):
                     if vmem_bytes(ti, tj, slots) <= _VMEM_BUDGET:
                         return ti, tj, halos, slots
         raise _PallasIneligible()
+
+    # ------------------------------------------------------------------ #
+    # K-blocked serial passes (deep-K stencils that exceed VMEM as whole
+    # columns).  TPU analog of the reference's FillFlushToLocalKCaches
+    # (gtc/passes/oir_optimizations/caches.py:256): each vertical loop
+    # becomes one pass, K-carried temporaries are promoted to HBM buffers
+    # (the fill/flush targets), and each pass executes as a sequence of
+    # mode-B kernels over K blocks.  Serial carries across blocks need no
+    # special plumbing: block b's tile window includes the [b0-kb0, b0)
+    # planes of the threaded buffer, which already hold block b-1's
+    # results, and reads above the block see pre-update values exactly as
+    # the plane-by-plane oracle does.
+    # ------------------------------------------------------------------ #
+
+    _KB_CANDIDATES = (512, 256, 128, 64, 32, 16, 8)
+
+    def _trace_kblocked(self, metas, env, scalars, domain, periodic=()):
+        import jax.numpy as jnp
+
+        from gt4py_tpu.cartesian import passes
+        from gt4py_tpu.cartesian.analysis import analyze
+
+        stencil = self.analysis.stencil
+        dI, dJ, dK = domain
+        if dK < 2 or self._has_nonuniform_k():
+            raise _PallasIneligible()
+        for vl in stencil.vertical_loops:
+            for sec in vl.sections:
+                if sec.interval.is_runtime:
+                    raise _PallasIneligible()
+
+        pass_stencils, promoted = passes.split_serial_passes(stencil)
+        ext = self.analysis.extents
+        for name in promoted:
+            e = ext.alloc_extent(name)
+            if e.i != (0, 0) or e.j != (0, 0):
+                # the kernel writes interiors only; promoted temps with IJ
+                # halos would need extended API writes
+                raise _PallasIneligible()
+
+        if periodic:
+            # all wrap-needing fields are prefilled up front (mode-B
+            # semantics: the oracle fills halos from pre-update values)
+            env = dict(env)
+            env.update(self._periodic_fill_env(metas, env, domain, periodic))
+
+        env = dict(env)
+        metas_all = dict(metas)
+        for name in promoted:
+            e = ext.alloc_extent(name)
+            decl = stencil.temp_decls[name]
+            sk = dK - e.k[0] + e.k[1]
+            env[name] = jnp.zeros((sk, dI, dJ), dtype=decl.dtype)
+            metas_all[name] = _FieldMeta(
+                shape=(dI, dJ, sk),
+                origin=(0, 0, -e.k[0]),
+                dtype=np.dtype(decl.dtype),
+                dimensions=(True, True, True),
+                data_ndim=0,
+            )
+
+        kb_used = []
+        for pstencil in pass_stencils:
+            pan = analyze(pstencil)
+            accessed = [
+                n for n, info in pan.field_info.items()
+                if info.access.value and n in env
+            ]
+            sub_env = {n: env[n] for n in accessed}
+            sub_metas = {n: metas_all[n] for n in accessed}
+            backward = any(
+                vl.loop_order == ir.LoopOrder.BACKWARD
+                for vl in pstencil.vertical_loops
+            )
+            done = False
+            last_err = None
+            for KB in (dK,) + tuple(k for k in self._KB_CANDIDATES if k < dK):
+                try:
+                    out_env = self._run_k_blocks(
+                        pstencil, KB, sub_metas, sub_env, scalars,
+                        domain, backward,
+                    )
+                    kb_used.append(KB)
+                    done = True
+                    break
+                except _PallasIneligible as err:
+                    last_err = err
+                    continue
+            if not done:
+                raise last_err or _PallasIneligible()
+            env.update(out_env)
+
+        LAST_PLAN[stencil.name] = {
+            "kblocked": True,
+            "passes": len(pass_stencils),
+            "KB": kb_used,
+            "promoted": sorted(promoted),
+        }
+        # promoted buffers are internal: return only the caller's fields
+        return {n: v for n, v in env.items() if n not in promoted}
+
+    def _run_k_blocks(
+        self, pstencil, KB, sub_metas, sub_env, scalars, domain, backward
+    ):
+        from gt4py_tpu.cartesian import passes
+        from gt4py_tpu.cartesian.analysis import analyze
+
+        dI, dJ, dK = domain
+        cur = dict(sub_env)
+        blocks = [(b, min(b + KB, dK)) for b in range(0, dK, KB)]
+        if backward:
+            blocks.reverse()
+        plans = []
+        for b0, b1 in blocks:
+            bst = passes.clip_stencil_to_k_block(
+                pstencil, b0, b1, dK, scalars
+            )
+            if bst is None:
+                continue
+            ban = analyze(bst)
+            bb = PallasBackend(ban, self.options)
+            bmetas = {}
+            benv = {}
+            for n, info in ban.field_info.items():
+                if not info.access.value or n not in cur:
+                    continue
+                m = sub_metas[n]
+                bmetas[n] = _FieldMeta(
+                    shape=m.shape,
+                    origin=(m.origin[0], m.origin[1], m.origin[2] + b0),
+                    dtype=m.dtype,
+                    dimensions=m.dimensions,
+                    data_ndim=m.data_ndim,
+                )
+                benv[n] = cur[n]
+            plans.append((bb, bmetas, benv, b1 - b0))
+        # sequential: block b+1's window reads block b's written planes
+        for bb, bmetas, benv, kb in plans:
+            benv = {n: cur[n] for n in benv}
+            out = bb._pallas_trace(bmetas, benv, scalars, (dI, dJ, kb), ())
+            for n in bb.written:
+                if n in out:
+                    cur[n] = out[n]
+        return cur
 
     # ------------------------------------------------------------------ #
 

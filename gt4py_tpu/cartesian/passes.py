@@ -475,3 +475,173 @@ def split_data_dims(stencil: ir.Stencil) -> Optional[ir.Stencil]:
             new_params.append(p)
     out.api_params = new_params
     return out
+
+
+# --------------------------------------------------------------------------- #
+# K-blocking (reference analog: FillFlushToLocalKCaches,
+# gtc/passes/oir_optimizations/caches.py:256 -- serial-K state is carried
+# through per-block fills/flushes instead of whole-column residency)
+# --------------------------------------------------------------------------- #
+
+
+def _rebase_k_expr(e: ir.Expr, b0: int, dK: int, idt) -> ir.Expr:
+    """Rewrite ``e`` (in place where possible) so block-relative evaluation
+    over K sub-domain [b0, b0+KB) reproduces global-domain semantics:
+    ``AxisPosition K`` gains +b0 and ``AxisSize K`` freezes to the global
+    dK (the block call's domain K is only the block size)."""
+    import dataclasses
+
+    if isinstance(e, ir.AxisSize) and e.axis == "K":
+        return ir.Literal(value=int(dK), dtype=idt)
+    if isinstance(e, ir.AxisPosition) and e.axis == "K":
+        if b0 == 0:
+            return e
+        return ir.BinaryOp(
+            op=ir.BinaryOperator.ADD,
+            left=e,
+            right=ir.Literal(value=int(b0), dtype=idt),
+        )
+    if not dataclasses.is_dataclass(e) or isinstance(e, type):
+        return e
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, ir.Expr):
+            setattr(e, f.name, _rebase_k_expr(v, b0, dK, idt))
+        elif isinstance(v, (ir.VariableKOffset, ir.AbsoluteKIndex)):
+            v.k = _rebase_k_expr(v.k, b0, dK, idt)
+        elif isinstance(v, tuple):
+            setattr(
+                e,
+                f.name,
+                tuple(
+                    _rebase_k_expr(x, b0, dK, idt) if isinstance(x, ir.Expr) else x
+                    for x in v
+                ),
+            )
+        elif isinstance(v, list):
+            for i, x in enumerate(v):
+                if isinstance(x, ir.Expr):
+                    v[i] = _rebase_k_expr(x, b0, dK, idt)
+    return e
+
+
+def _rebase_k_stmt(s: ir.Stmt, b0: int, dK: int, idt) -> None:
+    if isinstance(s, ir.Assign):
+        _rebase_k_expr(s.target, b0, dK, idt)
+        s.value = _rebase_k_expr(s.value, b0, dK, idt)
+    elif isinstance(s, ir.If):
+        s.cond = _rebase_k_expr(s.cond, b0, dK, idt)
+        for c in s.body + s.orelse:
+            _rebase_k_stmt(c, b0, dK, idt)
+    elif isinstance(s, ir.While):
+        s.cond = _rebase_k_expr(s.cond, b0, dK, idt)
+        for c in s.body:
+            _rebase_k_stmt(c, b0, dK, idt)
+    elif isinstance(s, ir.HorizontalRestriction):
+        for c in s.body:
+            _rebase_k_stmt(c, b0, dK, idt)
+
+
+def clip_stencil_to_k_block(
+    stencil: ir.Stencil, b0: int, b1: int, dK: int, scalars=None
+) -> Optional[ir.Stencil]:
+    """A stencil that, run over domain K size ``b1 - b0``, executes exactly
+    the [b0, b1) K sub-range of ``stencil`` run over ``dK`` levels.
+
+    Sections are statically clipped and rebased to START-relative block
+    coordinates; K positions/sizes in expressions are rebased to global
+    coordinates.  Returns None when no section intersects the block.
+    Requires static interval bounds (callers check ``is_runtime``)."""
+    from gt4py_tpu.cartesian.analysis import default_int_dtype
+
+    idt = default_int_dtype(stencil)
+    new_loops = []
+    for loop in stencil.vertical_loops:
+        sections = []
+        for sec in loop.sections:
+            k0, k1 = sec.interval.resolve(dK, scalars)
+            k0, k1 = max(k0, 0), min(k1, dK)
+            c0, c1 = max(k0, b0), min(k1, b1)
+            if c1 <= c0:
+                continue
+            body = copy.deepcopy(sec.body)
+            for stmt in body:
+                _rebase_k_stmt(stmt, b0, dK, idt)
+            sections.append(
+                ir.VerticalSection(
+                    # END-relative end bound: reads above the section end
+                    # must count toward the block's upper K halo (the
+                    # carry window into the not-yet/already-computed next
+                    # block), which compute_k_boundary only credits for
+                    # END-level bounds
+                    interval=ir.Interval(
+                        ir.AxisBound.start(c0 - b0), ir.AxisBound.end(c1 - b1)
+                    ),
+                    body=body,
+                )
+            )
+        if sections:
+            new_loops.append(ir.VerticalLoop(loop.loop_order, sections))
+    if not new_loops:
+        return None
+    out = copy.copy(stencil)
+    out.name = f"{stencil.name}__kb{b0}_{b1}"
+    out.vertical_loops = new_loops
+    out.field_decls = dict(stencil.field_decls)
+    out.temp_decls = dict(stencil.temp_decls)
+    return out
+
+
+def split_serial_passes(stencil: ir.Stencil):
+    """Split into one sub-stencil per vertical loop, with K-carried and
+    cross-loop temporaries promoted to plain (non-API) fields so each pass
+    can be K-blocked independently (the promoted buffers are the HBM
+    fill/flush targets, exactly the reference K-cache fill/flush role).
+
+    Promotion rule (conservative): a temporary is promoted unless every
+    access to it lives in ONE section of ONE loop with zero K offsets --
+    only then is its lifetime provably block-local.
+
+    Returns ``(pass_stencils, promoted_names)``."""
+    # classify temp usage
+    temp_sections: Dict[str, Set[int]] = {}
+    temp_loops: Dict[str, Set[int]] = {}
+    temp_k_offset: Set[str] = set()
+    for li, loop in enumerate(stencil.vertical_loops):
+        for si, sec in enumerate(loop.sections):
+            for node in ir.walk_values(sec.body):
+                if isinstance(node, ir.FieldAccess) and node.name in stencil.temp_decls:
+                    temp_sections.setdefault(node.name, set()).add((li, si))
+                    temp_loops.setdefault(node.name, set()).add(li)
+                    off = node.offset
+                    if not isinstance(off, ir.CartesianOffset) or off.k != 0:
+                        temp_k_offset.add(node.name)
+
+    promoted = {
+        name
+        for name in stencil.temp_decls
+        if len(temp_sections.get(name, ())) > 1 or name in temp_k_offset
+    }
+
+    passes_out = []
+    for li, loop in enumerate(stencil.vertical_loops):
+        sub = copy.copy(stencil)
+        sub.name = f"{stencil.name}__pass{li}"
+        sub.vertical_loops = [copy.deepcopy(loop)]
+        sub.field_decls = dict(stencil.field_decls)
+        sub.temp_decls = {}
+        for name, decl in stencil.temp_decls.items():
+            if li not in temp_loops.get(name, ()):
+                continue
+            if name in promoted:
+                sub.field_decls[name] = ir.FieldDecl(
+                    name=name,
+                    dtype=decl.dtype,
+                    dimensions=decl.dimensions,
+                    data_dims=decl.data_dims,
+                    is_api=False,
+                )
+            else:
+                sub.temp_decls[name] = decl
+        passes_out.append(sub)
+    return passes_out, promoted
