@@ -643,3 +643,249 @@ def native_functions_full():
         )
 
     return definition, make_inputs
+
+
+# --------------------------------------------------------------------- #
+# round 3 (VERDICT #8): the remaining reference canonical stencils
+# (stencil_definitions.py:84-473) plus region/while/data-dims
+# interaction cases
+# --------------------------------------------------------------------- #
+
+
+@register(origin=(0, 0, 0))
+def arithmetic_ops():
+    """Every binary operator incl. %, **, unary +/- in one expression."""
+
+    def definition(field_a: Field3D, field_b: Field3D):
+        with computation(PARALLEL), interval(...):
+            field_a = (((field_b * +3.5 - 1.25) / -7.0 + 11.5) % 5.0) ** 2
+
+    def make_inputs():
+        return dict(field_a=np.zeros((5, 5, 4)), field_b=rand(5, 5, 4, seed=60))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def scalar_inputs():
+    def definition(field_a: Field3D, *, scalar_in: float):
+        with computation(PARALLEL), interval(...):
+            field_a = field_a * scalar_in
+
+    def make_inputs():
+        return dict(field_a=rand(5, 5, 4, seed=61), scalar_in=3.75)
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def unary_operation():
+    """A write whose RHS is only a negated scalar parameter."""
+
+    def definition(field_a: Field3D, *, scalar_in: float):
+        with computation(PARALLEL), interval(...):
+            field_a = -scalar_in
+
+    def make_inputs():
+        return dict(field_a=rand(5, 5, 4, seed=62), scalar_in=2.5)
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def data_types():
+    """One field per supported dtype, each assigned a literal (reference
+    data_types: dtype plumbing end to end incl. extreme integer values)."""
+
+    def definition(
+        bool_field: gtscript.Field[bool],
+        npbool_field: gtscript.Field[np.bool_],
+        int8_field: gtscript.Field[np.int8],
+        int16_field: gtscript.Field[np.int16],
+        int32_field: gtscript.Field[np.int32],
+        int64_field: gtscript.Field[np.int64],
+        float32_field: gtscript.Field[np.float32],
+        float64_field: gtscript.Field[np.float64],
+    ):
+        with computation(PARALLEL), interval(...):
+            bool_field = True
+            npbool_field = False
+            int8_field = 125
+            int16_field = 32749
+            int32_field = 2147483641
+            int64_field = 9223372036854775783
+            float32_field = 19.25
+            float64_field = 19.25
+
+    def make_inputs():
+        shape = (4, 4, 3)
+        return dict(
+            bool_field=np.zeros(shape, bool),
+            npbool_field=np.ones(shape, np.bool_),
+            int8_field=np.zeros(shape, np.int8),
+            int16_field=np.zeros(shape, np.int16),
+            int32_field=np.zeros(shape, np.int32),
+            int64_field=np.zeros(shape, np.int64),
+            float32_field=np.zeros(shape, np.float32),
+            float64_field=np.zeros(shape, np.float64),
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def single_level_with_offset():
+    """A PARALLEL computation restricted to one interior K level."""
+
+    def definition(in_field: Field3D, out_field: Field3D):
+        with computation(PARALLEL), interval(1, 2):
+            out_field = in_field
+
+    def make_inputs():
+        return dict(in_field=rand(5, 5, 6, seed=63), out_field=np.zeros((5, 5, 6)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def form_land_mask():
+    """Comparison result written into a bool field."""
+
+    def definition(in_field: Field3D, mask: gtscript.Field[np.bool_]):
+        with computation(PARALLEL), interval(...):
+            mask = in_field >= 0.0
+
+    def make_inputs():
+        return dict(
+            in_field=rand(5, 5, 4, seed=64, lo=-1.0, hi=1.0),
+            mask=np.zeros((5, 5, 4), np.bool_),
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0), externals={"DO_SOMETHING": False})
+def allow_empty_computation():
+    """A computation whose body is entirely inlined away must be legal."""
+
+    def definition(in_field: Field3D, out_field: Field3D):
+        from __externals__ import DO_SOMETHING
+
+        with computation(FORWARD), interval(...):
+            out_field = in_field
+        with computation(PARALLEL), interval(...):
+            if __INLINED(DO_SOMETHING):
+                out_field = abs(in_field)
+
+    def make_inputs():
+        return dict(
+            in_field=rand(5, 5, 4, seed=65, lo=-1.0, hi=1.0),
+            out_field=np.zeros((5, 5, 4)),
+        )
+
+    return definition, make_inputs
+
+
+def _optional_field_definition():
+    def definition(
+        in_field: Field3D,
+        out_field: Field3D,
+        dyn_tend: Field3D,
+        phys_tend: Field3D = None,
+        *,
+        dt: float,
+    ):
+        from __externals__ import PHYS_TEND
+
+        with computation(PARALLEL), interval(...):
+            out_field = in_field + dt * dyn_tend
+            if __INLINED(PHYS_TEND):
+                out_field = out_field + dt * phys_tend
+
+    return definition
+
+
+@register(origin=(0, 0, 0), externals={"PHYS_TEND": False})
+def unused_optional_field():
+    def make_inputs():
+        shape = (4, 4, 4)
+        return dict(
+            in_field=rand(*shape, seed=66), out_field=np.zeros(shape),
+            dyn_tend=rand(*shape, seed=67), phys_tend=None, dt=0.25,
+        )
+
+    return _optional_field_definition(), make_inputs
+
+
+@register(origin=(0, 0, 0), externals={"PHYS_TEND": True})
+def required_optional_field():
+    def make_inputs():
+        shape = (4, 4, 4)
+        return dict(
+            in_field=rand(*shape, seed=68), out_field=np.zeros(shape),
+            dyn_tend=rand(*shape, seed=69), phys_tend=rand(*shape, seed=70),
+            dt=0.25,
+        )
+
+    return _optional_field_definition(), make_inputs
+
+
+@register(origin=(1, 1, 0), domain=(6, 6, 4))
+def region_while_interaction():
+    """A while loop nested inside a horizontal region: iteration count
+    varies per point and the region restricts which points iterate."""
+
+    def definition(field_a: Field3D, field_b: Field3D):
+        with computation(PARALLEL), interval(...):
+            field_b = field_a
+            with horizontal(region[I[0] : I[2], :]):
+                while field_b < 4.0:
+                    field_b = field_b * 2.0 + 0.125
+
+    def make_inputs():
+        return dict(
+            field_a=rand(8, 8, 4, seed=71, lo=0.1, hi=1.0),
+            field_b=np.zeros((8, 8, 4)),
+        )
+
+    return definition, make_inputs
+
+
+@register(origin=(1, 1, 0), domain=(6, 6, 4))
+def region_data_dims_interaction():
+    """Data-dimension indexing inside a horizontal region with an offset
+    read, mixing the two features the reference tests separately."""
+
+    def definition(
+        vec: gtscript.Field[(np.float64, (3,))], out: Field3D
+    ):
+        with computation(PARALLEL), interval(...):
+            out = vec[0, 0, 0][0]
+            with horizontal(region[:, J[0] : J[3]]):
+                out = vec[1, 0, 0][1] + vec[0, 0, 0][2]
+
+    def make_inputs():
+        return dict(vec=rand(8, 8, 4, 3, seed=72), out=np.zeros((8, 8, 4)))
+
+    return definition, make_inputs
+
+
+@register(origin=(0, 0, 0))
+def while_data_dims_interaction():
+    """A while loop whose body reads a data-dimension field component."""
+
+    def definition(
+        vec: gtscript.Field[(np.float64, (2,))], out: Field3D
+    ):
+        with computation(FORWARD), interval(...):
+            out = 0.0
+            while out < vec[0, 0, 0][0]:
+                out = out + vec[0, 0, 0][1]
+
+    def make_inputs():
+        return dict(
+            vec=rand(5, 5, 4, 2, seed=73, lo=0.2, hi=1.0),
+            out=np.zeros((5, 5, 4)),
+        )
+
+    return definition, make_inputs
