@@ -287,6 +287,12 @@ class JaxTracer:
     #: no dynamic_update_slice on values, and refs avoid copies anyway
     ref_env = False
     temp_refs: Optional[Dict[str, Any]] = None  # pre-allocated temp scratch
+    #: temps kept as SSA *values* even in ref-mode kernels (single-assign
+    #: PARALLEL temps): no VMEM scratch array, no store/load round trip --
+    #: Mosaic register-allocates them and frees dead values, so ~40-temp
+    #: stencils (the fused FV step) stop paying 2 VMEM touches per temp
+    #: per point and the tile planner can afford wider TI
+    value_temps: frozenset = frozenset()
 
     def __init__(self, analysis: StencilAnalysis, meta: Dict[str, _FieldMeta], domain):
         if not _NATIVE_JNP:
@@ -384,6 +390,11 @@ class JaxTracer:
 
         m = self.meta[name]
         env = dict(env)
+        if name in self.value_temps:
+            # SSA value: stays lazily absent -- the defining Assign's
+            # write_back materializes it (a full-cover write IS the
+            # value; reads-before-write see synthetic zeros regions)
+            return env
         if self.ref_env:
             ref = self.temp_refs[name]
             ref[...] = jnp.zeros(ref.shape, dtype=m.dtype)
@@ -801,7 +812,7 @@ class JaxTracer:
                 mask = mask.reshape(mask.shape + (1,) * (old.ndim - mask.ndim))
             rhs = self._select(mask, rhs, old)
         env = dict(env)
-        env[name] = write_back(env[name], rhs)
+        env[name] = write_back(env.get(name), rhs)
         return env
 
     def _trace_if(self, env, stmt: ir.If, ctx: _TraceCtx):
@@ -948,7 +959,8 @@ class JaxTracer:
         name = acc.name
         meta = self.meta[name]
         buf = env.get(name)
-        if buf is None:  # unwritten temporary (only reachable in dead code)
+        buf_missing = buf is None
+        if buf_missing:  # unwritten temporary (dead code or lazy value temp)
             if not for_write and isinstance(acc.offset, ir.CartesianOffset):
                 # produce the zeros REGION directly: a synthetic zeros
                 # VALUE must never be indexed with ref-style dynamic
@@ -958,11 +970,13 @@ class JaxTracer:
                 if acc.data_index:
                     region = self._apply_data_index(env, region, acc, ctx)
                 return region, None
-            buf = jnp.zeros(_phys_shape(meta.shape), dtype=meta.dtype)
         off = acc.offset
         if not isinstance(off, ir.CartesianOffset):
             if for_write:
                 raise NotImplementedError("Non-Cartesian write offsets")
+            if buf_missing:
+                env = dict(env)
+                env[name] = jnp.zeros(_phys_shape(meta.shape), dtype=meta.dtype)
             return self._read_nonuniform_k(env, acc, ctx), None
 
         roll_j = 0
@@ -973,11 +987,18 @@ class JaxTracer:
         (i0, j0, k0), (ni, nj, nk) = self._region_spec(meta, off, ctx)
         data_shape = meta.shape[3:]
 
+        is_ref = self.ref_env and name not in self.value_temps
         dyn_k = not isinstance(k0, int)
-        if not dyn_k:
+        if buf_missing:
+            # write path of a never-written buffer: the "old" region is
+            # zeros (only consumed by masked writes); sized to the region,
+            # not the buffer, so dead-code lowering stays cheap
+            idx = (slice(k0, k0 + nk), slice(i0, i0 + ni), slice(j0, j0 + nj))
+            region = jnp.zeros((nk, ni, nj) + data_shape, dtype=meta.dtype)
+        elif not dyn_k:
             idx = (slice(k0, k0 + nk), slice(i0, i0 + ni), slice(j0, j0 + nj))
             region = buf[idx]
-        elif self.ref_env:
+        elif is_ref:
             from jax.experimental import pallas as pl
 
             # Mosaic memref slices need 32-bit indices
@@ -1019,10 +1040,24 @@ class JaxTracer:
         if not for_write:
             return region, None
 
+        phys = _phys_shape(meta.shape)
+
         def write_back(buf, value):
-            if self.ref_env:
+            if is_ref:
                 buf[idx] = value  # VMEM ref store
                 return buf
+            if (
+                not acc.data_index
+                and not dyn_k
+                and value.shape == tuple(phys)
+                and value.dtype == meta.dtype
+            ):
+                # full-cover write: the new value IS the buffer (no
+                # dynamic_update_slice copy -- Mosaic lowers the jaxpr
+                # directly, there is no later HLO pass to simplify it)
+                return value
+            if buf is None:  # lazily-absent value temp, partial write
+                buf = jnp.zeros(phys, dtype=meta.dtype)
             if acc.data_index:
                 # write one component: read-modify-write the full region
                 if not dyn_k:

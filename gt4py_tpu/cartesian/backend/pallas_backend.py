@@ -124,6 +124,25 @@ class PallasBackend(JaxBackend):
 
     storage_device = "tpu"
 
+    def __init__(self, analysis, options=None):
+        # Keep temporaries as IR statements: inside the kernel each temp
+        # becomes an SSA VALUE computed once and sliced/rolled per read
+        # (see JaxTracer.value_temps), so the XLA-path inlining pass --
+        # which duplicates the defining expression at every offset read
+        # -- would only multiply VPU work here.  The rare XLA fallback
+        # then runs the un-inlined form: bitwise-identical (the pass is
+        # numerics-neutral), just with buffer temporaries.  Reassigned
+        # temps are still SSA-renamed (neutral) so each split becomes
+        # value-eligible.
+        if not (options or {}).get("no_inline", False):
+            from gt4py_tpu.cartesian import analysis as analysis_mod
+            from gt4py_tpu.cartesian.passes import rename_reassigned_temporaries
+
+            renamed = rename_reassigned_temporaries(analysis.stencil)
+            if len(renamed.temp_decls) != len(analysis.stencil.temp_decls):
+                analysis = analysis_mod.analyze(renamed)
+        super().__init__(analysis, {**(options or {}), "no_inline": True})
+
     def _trace_env(self, metas, env, scalars, domain, periodic=()):
         """Kernel path under a custom JVP: ``pallas_call`` itself is not
         differentiable, so tangents re-trace the stencil through the XLA
@@ -297,6 +316,122 @@ class PallasBackend(JaxBackend):
                 return True
         return False
 
+    def _value_temp_names(self) -> frozenset:
+        """Temps the kernel can keep as SSA *values* instead of VMEM
+        scratch arrays: written by exactly one Assign, all accesses inside
+        one PARALLEL section, Cartesian offsets only, no data dims, the
+        write not under a ``while`` (the in-kernel while mutates refs and
+        discards env updates), and the defining top-level statement's
+        compute extent equal to the temp's alloc extent (so the single
+        write covers every later read window).
+
+        Payoff: no scratch allocation, no store+load VMEM round trip per
+        temp per point, and Mosaic's register allocator frees dead values
+        -- the tile planner's VMEM pressure drops from sum-of-all-temps
+        to the liveness peak (see ``_value_peak_bytes``)."""
+        if hasattr(self, "_vt_cache"):
+            return self._vt_cache
+        st = self.analysis.stencil
+        eligible = {n for n, d in st.temp_decls.items() if not d.data_dims}
+        writes: dict = {}
+        sections: dict = {}
+
+        def scan_stmt(stmt, li, si, top, in_while):
+            if isinstance(stmt, ir.Assign):
+                for acc in ir.field_accesses(stmt.value):
+                    if acc.name in eligible:
+                        sections.setdefault(acc.name, set()).add((li, si))
+                        if not isinstance(acc.offset, ir.CartesianOffset):
+                            eligible.discard(acc.name)
+                for d in stmt.target.data_index:
+                    for acc in ir.field_accesses(d):
+                        sections.setdefault(acc.name, set()).add((li, si))
+                n = stmt.target.name
+                if n in eligible:
+                    sections.setdefault(n, set()).add((li, si))
+                    writes.setdefault(n, []).append((top, in_while))
+                    if not isinstance(stmt.target.offset, ir.CartesianOffset):
+                        eligible.discard(n)
+                return
+            if isinstance(stmt, (ir.If, ir.While)):
+                for acc in ir.field_accesses(stmt.cond):
+                    if acc.name in eligible:
+                        sections.setdefault(acc.name, set()).add((li, si))
+                        if not isinstance(acc.offset, ir.CartesianOffset):
+                            eligible.discard(acc.name)
+                inner_while = in_while or isinstance(stmt, ir.While)
+                for s in stmt.body + getattr(stmt, "orelse", []):
+                    scan_stmt(s, li, si, top, inner_while)
+            elif isinstance(stmt, ir.HorizontalRestriction):
+                for s in stmt.body:
+                    scan_stmt(s, li, si, top, in_while)
+
+        for li, loop in enumerate(st.vertical_loops):
+            parallel = loop.loop_order == ir.LoopOrder.PARALLEL
+            for si, sec in enumerate(loop.sections):
+                for stmt in sec.body:
+                    scan_stmt(stmt, li, si, stmt, False)
+                    if not parallel:
+                        for node in ir.walk_values(stmt):
+                            if (
+                                isinstance(node, ir.FieldAccess)
+                                and node.name in eligible
+                            ):
+                                eligible.discard(node.name)
+
+        out = set()
+        for name in eligible:
+            ws = writes.get(name, [])
+            if len(ws) != 1 or ws[0][1]:
+                continue
+            if len(sections.get(name, ())) != 1:
+                continue
+            # the write region (the defining unit's stmt extent) is always
+            # contained in the alloc extent, and reads never exceed it --
+            # a partial-cover write goes through the zeros+update path,
+            # which reproduces the zero-initialized scratch semantics
+            out.add(name)
+        self._vt_cache = frozenset(out)
+        return self._vt_cache
+
+    def _value_liveness(self):
+        """(n_stmts, {name: [def_idx, last_idx]}) over top-level statements
+        for the value temps, for planner peak-VMEM accounting."""
+        if hasattr(self, "_vt_live"):
+            return self._vt_live
+        vts = self._value_temp_names()
+        spans: dict = {}
+        idx = 0
+        for loop in self.analysis.stencil.vertical_loops:
+            for sec in loop.sections:
+                for stmt in sec.body:
+                    for node in ir.walk_values(stmt):
+                        if (
+                            isinstance(node, ir.FieldAccess)
+                            and node.name in vts
+                        ):
+                            s = spans.setdefault(node.name, [idx, idx])
+                            s[1] = idx
+                    idx += 1
+        self._vt_live = (idx, spans)
+        return self._vt_live
+
+    def _value_peak_bytes(self, footprint) -> int:
+        """Max over program points of the live value temps' total bytes
+        (``footprint(name) -> bytes`` at the candidate tile size)."""
+        n, spans = self._value_liveness()
+        if not spans:
+            return 0
+        peak = 0
+        for t in range(n):
+            cur = sum(
+                footprint(name)
+                for name, (d0, d1) in spans.items()
+                if d0 <= t <= d1
+            )
+            peak = max(peak, cur)
+        return peak
+
     def _read_names(self) -> set:
         reads = set()
         for node in ir.walk_values(self.analysis.stencil.vertical_loops):
@@ -437,15 +572,25 @@ class PallasBackend(JaxBackend):
                     )
                     total += slots * sk * si * sj * m.dtype.itemsize  # staging
                 max_val = max(max_val, sk * pi * pj * m.dtype.itemsize)
-            for name, decl in self.analysis.stencil.temp_decls.items():
+            value_temps = self._value_temp_names()
+
+            def temp_bytes(name):
+                decl = self.analysis.stencil.temp_decls[name]
                 e = ext.alloc_extent(name)
                 tnj = dJ if circular else dJ - e.j[0] + e.j[1]
                 pi, pj = _pad_tile(
                     ti - e.i[0] + e.i[1], tnj, _sublane(decl.dtype)
                 )
-                total += (
+                return (
                     (tk - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
+
+            for name in self.analysis.stencil.temp_decls:
+                if name not in value_temps:
+                    total += temp_bytes(name)
+            # SSA value temps cost their LIVENESS PEAK, not the sum:
+            # Mosaic frees dead values
+            total += self._value_peak_bytes(temp_bytes)
             # whole-tile intermediate values live on the Mosaic value stack
             total += _live_values(self.analysis.stencil) * max_val
             return total
@@ -570,16 +715,24 @@ class PallasBackend(JaxBackend):
                     total += slots * stage_k * si * sj * m.dtype.itemsize
                 skv = sk if has_parallel else min(sk, _SUBLANE)
                 max_val = max(max_val, skv * pi * pj * m.dtype.itemsize)
-            for name, decl in self.analysis.stencil.temp_decls.items():
+            value_temps = self._value_temp_names()
+
+            def temp_bytes(name):
+                decl = self.analysis.stencil.temp_decls[name]
                 e = ext.alloc_extent(name)
                 pi, pj = _pad_tile(
                     ti - e.i[0] + e.i[1],
                     tj - e.j[0] + e.j[1],
                     _sublane(decl.dtype),
                 )
-                total += (
+                return (
                     (dK - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
                 )
+
+            for name in self.analysis.stencil.temp_decls:
+                if name not in value_temps:
+                    total += temp_bytes(name)
+            total += self._value_peak_bytes(temp_bytes)
             total += _live_values(self.analysis.stencil) * max_val
             return total
 
@@ -1038,8 +1191,13 @@ class PallasBackend(JaxBackend):
         else:
             aliased = {name: _can_alias(name) for name in written}
 
-        # temporaries live in their own VMEM scratch refs, tile-extended
-        temp_names = sorted(analysis.stencil.temp_decls)
+        # temporaries live in their own VMEM scratch refs, tile-extended --
+        # except single-assign PARALLEL temps, which stay SSA values
+        # (no scratch, no store/load round trip; Mosaic register-allocates)
+        value_temps = self._value_temp_names()
+        temp_names = sorted(
+            n for n in analysis.stencil.temp_decls if n not in value_temps
+        )
         temp_tile_shapes = {}
         for name in temp_names:
             e = ext.alloc_extent(name)
@@ -1319,6 +1477,7 @@ class PallasBackend(JaxBackend):
             tracer.temp_refs = {
                 name: temp_scratch[i] for i, name in enumerate(temp_names)
             }
+            tracer.value_temps = value_temps
             tracer.axis_offset = (gi, gj)
             tracer.global_domain = (dI, dJ, dK)
             tracer.trace(tile_env, tile_scalars)
