@@ -365,13 +365,27 @@ class JaxTracer:
 
     def _roll_j(self, x, dj: int):
         """Periodic J offset as a lane roll: out[..., j] = x[..., (j+dj)%nj]."""
+        import jax.numpy as jnp
+
         if self.pltpu_roll:
             from jax.experimental.pallas import tpu as pltpu
 
+            small = None
+            if self.mosaic and np.dtype(x.dtype).itemsize < 4:
+                # Mosaic has no sub-32-bit tpu.dynamic_rotate ("Rotate
+                # with non-32-bit data", found by the bf16 bench on
+                # chip): roll widened (exact -- rolls move, never round)
+                small = x.dtype
+                wide = (
+                    jnp.float32
+                    if np.dtype(x.dtype) in _F16_DTYPES
+                    else jnp.int32
+                )
+                x = x.astype(wide)
             # pltpu.roll rejects negative shifts; the roll is circular, so
             # wrap into [0, nj).
-            return pltpu.roll(x, (-dj) % x.shape[2], 2)
-        import jax.numpy as jnp
+            out = pltpu.roll(x, (-dj) % x.shape[2], 2)
+            return out.astype(small) if small is not None else out
 
         return jnp.roll(x, -dj, axis=2)
 
