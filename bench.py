@@ -290,6 +290,83 @@ def bench_tpu_next_hdiff():
     return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
 
 
+def bench_tpu_next_hdiff_pallas():
+    """The same next-DSL hdiff through the pallas bridge
+    (next/pallas_bridge.py): the typed field-view IR lowers to a fused
+    cartesian Mosaic kernel; aligned halo geometry + out=/domain= pin the
+    compute domain exactly like the cartesian bench."""
+    import jax
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, where
+    from gt4py_tpu.next.common import Domain, UnitRange
+
+    OI, OJ = 8, 128
+    SI, SJ = OI + NI + 16, OJ + NJ + 128
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+    FT = Field[Dims[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def hdiff(inp: FT, coeff: FT) -> FT:
+        lap = 4.0 * inp - (
+            inp(Ioff[1]) + inp(Ioff[-1]) + inp(Joff[1]) + inp(Joff[-1])
+        )
+        flx = lap(Ioff[1]) - lap
+        flx = where(flx * (inp(Ioff[1]) - inp) > 0.0, 0.0, flx)
+        fly = lap(Joff[1]) - lap
+        fly = where(fly * (inp(Joff[1]) - inp) > 0.0, 0.0, fly)
+        return inp - coeff * (flx - flx(Ioff[-1]) + fly - fly(Joff[-1]))
+
+    rng = np.random.default_rng(5)
+    inp0 = jnp.asarray(rng.random((SI, SJ, NK)).astype("float32"))
+    coeff = gtx.as_field(
+        (I, J, K),
+        jnp.asarray(0.025 * rng.random((SI, SJ, NK)).astype("float32")),
+    )
+    dom = Domain(
+        (I, J, K),
+        (UnitRange(OI, OI + NI), UnitRange(OJ, OJ + NJ), UnitRange(0, NK)),
+    )
+    op = hdiff.with_backend("pallas")
+    h = 2
+
+    def step(arr):
+        res = gtx.as_field((I, J, K), jnp.zeros_like(arr))
+        op(gtx.as_field((I, J, K), arr), coeff, out=res, domain=dom)
+        a = res.data
+        a = a.at[OI - h : OI].set(a[OI + NI - h : OI + NI])
+        a = a.at[OI + NI : OI + NI + h].set(a[OI : OI + h])
+        a = a.at[:, OJ - h : OJ].set(a[:, OJ + NJ - h : OJ + NJ])
+        a = a.at[:, OJ + NJ : OJ + NJ + h].set(a[:, OJ : OJ + h])
+        return a
+
+    def timed(iters):
+        @jax.jit
+        def run(arr):
+            import jax.lax as lax
+
+            return jnp.sum(
+                lax.fori_loop(0, iters, lambda _, a: step(a), arr)
+            )
+
+        float(run(inp0))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(inp0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    i1, i2 = 3, 15
+    return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
+
+
 def bench_tpu_shallow_water():
     """Multi-layer C-grid shallow water at 512^2 x 80 (one fused kernel:
     momentum + forward-backward continuity, periodic wrap in the DMA)."""
@@ -556,6 +633,14 @@ def main():
             extra["next_hdiff_512_gpoints"] = round(NI * NJ * NK / nh / 1e9, 3)
         except Exception as e:
             print(f"# next-hdiff bench failed: {e}", file=sys.stderr)
+        try:
+            nhp = bench_tpu_next_hdiff_pallas()
+            extra["next_hdiff_pallas_512_ms"] = round(nhp * 1e3, 2)
+            extra["next_hdiff_pallas_512_gpoints"] = round(
+                NI * NJ * NK / nhp / 1e9, 3
+            )
+        except Exception as e:
+            print(f"# next-hdiff-pallas bench failed: {e}", file=sys.stderr)
 
     # combined BASELINE metric: total points processed per second across
     # the hdiff+vadv dycore step and the FVTP2D advection step

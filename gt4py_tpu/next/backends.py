@@ -30,6 +30,10 @@ class Backend:
     name: str
     namespace: str  # "numpy" | "jax"
     jit: bool = False
+    #: "pallas": lower eligible field operators to fused cartesian Pallas
+    #: kernels (pallas_bridge.py); ineligible ones fall back to jit-staged
+    #: embedded execution transparently
+    compiled: str = ""
 
     def convert(self, value):
         """Move a Field's storage into this backend's namespace."""
@@ -55,6 +59,11 @@ jax_eager = Backend("jax_eager", "jax")
 #: staged + compiled (reference: runners/gtfn.py run_gtfn/run_gtfn_gpu)
 jax_jit = Backend("jax_jit", "jax", jit=True)
 
+#: compiled kernels (reference: the dace/gtfn compiled runners): eligible
+#: cartesian field operators lower to fused Pallas tile kernels; the rest
+#: run jit-staged (see next/pallas_bridge.py)
+pallas = Backend("pallas_cartesian", "jax", jit=True, compiled="pallas")
+
 #: reference-name aliases so ported code keeps working
 roundtrip = numpy_oracle
 gtfn_cpu = jax_jit
@@ -71,6 +80,8 @@ _BY_NAME = {
     "jax_jit": jax_jit,
     "gtfn_cpu": jax_jit,
     "gtfn_gpu": jax_jit,
+    "pallas": pallas,
+    "pallas_cartesian": pallas,
 }
 
 

@@ -233,7 +233,15 @@ class FieldOperator:
             # carry their member names), execute on the flattened values
             arg_types = tuple(_value_type(a) for a in args)
             canon = tuple(_canon_value(a, self._backend) for a in args)
-            if self._backend is not None and self._backend.jit:
+            if self._backend is not None and getattr(
+                self._backend, "compiled", ""
+            ):
+                # out=+domain= restricts the kernel's compute domain up
+                # front (the embedded path computes everything and slices
+                # at write-out -- same values, more work)
+                restrict = domain if out is not None else None
+                result = self._compiled_run(canon, arg_types, restrict)
+            elif self._backend is not None and self._backend.jit:
                 result = self._jit_run(canon, arg_types)
             else:
                 result = self._run_typed(canon, arg_types)
@@ -275,6 +283,52 @@ class FieldOperator:
             )
         return fn(args)
 
+    def _compiled_run(self, args, arg_types, restrict=None):
+        """Lower to a fused cartesian Pallas kernel when eligible; fall
+        back to the jit-staged embedded path otherwise (same numerics --
+        see next/pallas_bridge.py).  ``restrict``: optional Domain/dict
+        limiting the compute domain (the out=+domain= call form)."""
+        import functools
+
+        import jax
+
+        from . import pallas_bridge
+        from .common import domain_like
+
+        restrict_t = None
+        if restrict is not None:
+            rdom = domain_like(restrict)
+            restrict_t = tuple(
+                (d.value, r.start, r.stop)
+                for d, r in zip(rdom.dims, rdom.ranges)
+            )
+        key = (arg_types, tuple(str(t) for t in arg_types))
+        plans = self.__dict__.setdefault("_bridge_plans", {})
+        if key not in plans:
+            try:
+                typed, _ = self._typed_for(arg_types)
+                plans[key] = pallas_bridge.lower_field_operator(typed)
+            except pallas_bridge.Ineligible:
+                plans[key] = None
+        plan = plans[key]
+        if plan is None:
+            return self._jit_run(args, arg_types)
+        fns = self.__dict__.setdefault("_bridge_fns", {})
+        fkey = (key, restrict_t)
+        fn = fns.get(fkey)
+        if fn is None:
+            fn = fns[fkey] = jax.jit(
+                functools.partial(
+                    pallas_bridge.run_plan, plan, restrict=restrict_t
+                )
+            )
+        try:
+            return fn(args)
+        except pallas_bridge.Ineligible:
+            # runtime ineligibility (e.g. empty/unconstrained domain)
+            plans[key] = None
+            return self._jit_run(args, arg_types)
+
     def with_backend(self, backend) -> "FieldOperator":
         """Pick the executor (next/backends.py: numpy_oracle / jax_eager /
         jax_jit or their reference-name aliases); None = embedded."""
@@ -284,6 +338,8 @@ class FieldOperator:
 
         new = copy.copy(self)
         new.__dict__.pop("_jit_fns", None)
+        new.__dict__.pop("_bridge_plans", None)
+        new.__dict__.pop("_bridge_fns", None)
         new._backend = backends.resolve(backend)
         return new
 

@@ -1,0 +1,641 @@
+"""Compile next field operators to fused cartesian Pallas kernels.
+
+The reference dispatches field operators to *compiled* program processors
+(gtfn C++ codegen, dace SDFGs -- src/gt4py/next/program_processors/); the
+jax_jit backend here plays that role by staging the embedded interpreter
+under XLA.  For operators on cartesian dimensions that is still op-by-op
+HBM traffic between whole-field primitives; this module closes the gap by
+LOWERING the typed field-view IR (fvir) to the cartesian stencil IR and
+executing it through the Pallas backend -- the same fused VMEM tile
+kernels the cartesian DSL gets (hdiff written in the next DSL: 5.11 ms
+jit-staged vs 1.07 ms through this bridge at 512^2 x 80 f32).
+
+Eligible subset: field operators (not scans/programs) whose parameters
+are Fields over at most two horizontal and one vertical cartesian
+dimension (plus scalars), with bodies of single-target assignments and a
+final field-typed return, using arithmetic/comparison/boolean operators,
+``where``, ``astype``, ``broadcast``, the math builtins, and chained
+cartesian shifts ``f(Ioff[1])``.  Anything else (unstructured remaps,
+reductions, tuples, operator calls, scans, concat_where, as_offset,
+dimension comparisons) raises :class:`Ineligible` and the caller falls
+back to the jit-staged embedded path -- same numerics, no error.
+
+Domain semantics replicate the embedded executor exactly: the result
+domain is the intersection of every argument's domain shrunk by that
+argument's read extents (computed by the cartesian extent analysis), and
+weak-literal operands are cast to the typing rule's deduced operand kind
+at the same places the interpreter casts (bitwise-equal results).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from gt4py_tpu.cartesian import ir
+from gt4py_tpu.cartesian.analysis import analyze
+
+from . import fvir
+from . import type_system as ts
+from .builtins import FIELD_BUILTINS
+from .common import Dimension, DimensionKind, Domain, Field, UnitRange
+
+
+class Ineligible(Exception):
+    """The operator uses features outside the cartesian-kernel subset."""
+
+
+#: next math-builtin name -> cartesian NativeFunction
+_MATH_MAP = {
+    "abs": ir.NativeFunction.ABS,
+    "minimum": ir.NativeFunction.MIN,
+    "maximum": ir.NativeFunction.MAX,
+    "fmod": ir.NativeFunction.MOD,
+    "power": ir.NativeFunction.POW,
+    "sin": ir.NativeFunction.SIN,
+    "cos": ir.NativeFunction.COS,
+    "tan": ir.NativeFunction.TAN,
+    "arcsin": ir.NativeFunction.ARCSIN,
+    "arccos": ir.NativeFunction.ARCCOS,
+    "arctan": ir.NativeFunction.ARCTAN,
+    "sinh": ir.NativeFunction.SINH,
+    "cosh": ir.NativeFunction.COSH,
+    "tanh": ir.NativeFunction.TANH,
+    "arcsinh": ir.NativeFunction.ARCSINH,
+    "arccosh": ir.NativeFunction.ARCCOSH,
+    "arctanh": ir.NativeFunction.ARCTANH,
+    "sqrt": ir.NativeFunction.SQRT,
+    "exp": ir.NativeFunction.EXP,
+    "log": ir.NativeFunction.LOG,
+    "log10": ir.NativeFunction.LOG10,
+    "gamma": ir.NativeFunction.GAMMA,
+    "cbrt": ir.NativeFunction.CBRT,
+    "isfinite": ir.NativeFunction.ISFINITE,
+    "isinf": ir.NativeFunction.ISINF,
+    "isnan": ir.NativeFunction.ISNAN,
+    "floor": ir.NativeFunction.FLOOR,
+    "ceil": ir.NativeFunction.CEIL,
+    "trunc": ir.NativeFunction.TRUNC,
+}
+
+_BINOPS = {
+    "add": ir.BinaryOperator.ADD,
+    "sub": ir.BinaryOperator.SUB,
+    "mult": ir.BinaryOperator.MUL,
+    "div": ir.BinaryOperator.DIV,
+    "floordiv": ir.BinaryOperator.FLOOR_DIV,
+    "mod": ir.BinaryOperator.MOD,
+    "pow": ir.BinaryOperator.POW,
+}
+_CMPOPS = {
+    "lt": ir.BinaryOperator.LT,
+    "le": ir.BinaryOperator.LE,
+    "gt": ir.BinaryOperator.GT,
+    "ge": ir.BinaryOperator.GE,
+    "eq": ir.BinaryOperator.EQ,
+    "ne": ir.BinaryOperator.NE,
+}
+
+_AXES = ("I", "J", "K")
+
+
+@dataclasses.dataclass
+class BridgePlan:
+    """A lowered operator plus everything the runner needs."""
+
+    stencil: ir.Stencil
+    analysis: Any
+    backend: Any  # PallasBackend
+    #: Dimension.value -> axis index 0/1/2 (I/J/K)
+    axis_of: Dict[str, int]
+    #: per field param: (name, dims tuple as declared, (has_i, has_j, has_k))
+    field_params: List[Tuple[str, Tuple[Dimension, ...], Tuple[bool, bool, bool]]]
+    scalar_params: List[str]
+    #: return field dims (declared order) and dtype
+    out_dims: Tuple[Dimension, ...]
+    out_mask: Tuple[bool, bool, bool]
+    out_dtype: np.dtype
+    #: parameter names in the operator's declared signature order
+    signature_order: List[str] = dataclasses.field(default_factory=list)
+
+
+def _np_dtype(t) -> np.dtype:
+    if isinstance(t, ts.ScalarType):
+        return np.dtype(t.kind)
+    if isinstance(t, ts.FieldType):
+        return np.dtype(t.dtype.kind)
+    raise Ineligible(f"no dtype for {t}")
+
+
+class _Lowerer:
+    def __init__(self, typed: fvir.OperatorIR):
+        self.typed = typed
+        self.axis_of: Dict[str, int] = {}
+        self.field_names: set = set()
+        self.scalar_names: set = set()
+        self.temp_decls: Dict[str, ir.FieldDecl] = {}
+        self.field_decls: Dict[str, ir.FieldDecl] = {}
+        self.scalar_decls: Dict[str, ir.ScalarDecl] = {}
+        #: runtime dims ORDER per field-valued name (the embedded executor
+        #: merges dims in first-seen operand order, which the type
+        #: deduction canonicalizes away -- results must match the
+        #: embedded backend's order exactly)
+        self.dims_env: Dict[str, Tuple[Dimension, ...]] = {}
+
+    # ---- dimension bookkeeping ---- #
+
+    def _register_dims(self, dims: Tuple[Dimension, ...]) -> None:
+        for d in dims:
+            if d.kind == DimensionKind.LOCAL:
+                raise Ineligible("local (sparse) dimension")
+            if d.value in self.axis_of:
+                continue
+            if d.kind == DimensionKind.VERTICAL:
+                if 2 in self.axis_of.values():
+                    raise Ineligible("more than one vertical dimension")
+                self.axis_of[d.value] = 2
+            else:
+                horiz = sorted(a for a in self.axis_of.values() if a < 2)
+                if len(horiz) >= 2:
+                    raise Ineligible("more than two horizontal dimensions")
+                self.axis_of[d.value] = 0 if 0 not in self.axis_of.values() else 1
+        # reject duplicate dims
+        if len({d.value for d in dims}) != len(dims):
+            raise Ineligible("repeated dimension")
+
+    def _mask(self, dims: Tuple[Dimension, ...]) -> Tuple[bool, bool, bool]:
+        axes = {self.axis_of[d.value] for d in dims}
+        return (0 in axes, 1 in axes, 2 in axes)
+
+    # ---- expression lowering ---- #
+
+    def _resolve_name(self, node: fvir.Name):
+        if node.id in self.field_names or node.id in self.temp_decls:
+            return ("field", node.id)
+        if node.id in self.scalar_names:
+            return ("scalar", node.id)
+        if node.id in self.typed.closure:
+            return ("closure", self.typed.closure[node.id])
+        raise Ineligible(f"unresolved name '{node.id}'")
+
+    def _expr(self, node: fvir.Expr) -> ir.Expr:
+        if isinstance(node, fvir.Name):
+            kind, v = self._resolve_name(node)
+            if kind == "field":
+                return ir.FieldAccess(name=v)
+            if kind == "scalar":
+                return ir.ScalarAccess(name=v)
+            # closure constant
+            if isinstance(v, (bool, int, float, np.generic)):
+                dt = None
+                if isinstance(node.type, ts.ScalarType):
+                    dt = np.dtype(node.type.kind)
+                return ir.Literal(value=v, dtype=dt)
+            raise Ineligible(f"closure value of type {type(v).__name__}")
+        if isinstance(node, fvir.Literal):
+            if node.value is None:
+                raise Ineligible("None literal")
+            dt = None
+            if isinstance(node.type, ts.ScalarType):
+                dt = np.dtype(node.type.kind)
+            return ir.Literal(value=node.value, dtype=dt)
+        if isinstance(node, fvir.UnaryOp):
+            opmap = {
+                "neg": ir.UnaryOperator.NEG,
+                "pos": ir.UnaryOperator.POS,
+                "not": ir.UnaryOperator.NOT,
+            }
+            if node.op not in opmap:
+                raise Ineligible(f"unary '{node.op}'")
+            return ir.UnaryOp(op=opmap[node.op], expr=self._expr(node.operand))
+        if isinstance(node, fvir.BinOp):
+            if node.op not in _BINOPS:
+                raise Ineligible(f"binop '{node.op}'")
+            okind = getattr(node, "operand_kind", None)
+            return ir.BinaryOp(
+                op=_BINOPS[node.op],
+                left=self._operand(node.left, okind),
+                right=self._operand(node.right, okind),
+            )
+        if isinstance(node, fvir.Compare):
+            if isinstance(node.left.type, ts.DimensionType):
+                raise Ineligible("dimension comparison (domain literal)")
+            if node.op not in _CMPOPS:
+                raise Ineligible(f"compare '{node.op}'")
+            okind = getattr(node, "operand_kind", None)
+            return ir.BinaryOp(
+                op=_CMPOPS[node.op],
+                left=self._operand(node.left, okind),
+                right=self._operand(node.right, okind),
+            )
+        if isinstance(node, fvir.BoolOp):
+            op = (
+                ir.BinaryOperator.AND
+                if node.op == "and"
+                else ir.BinaryOperator.OR
+            )
+            out = self._expr(node.values[0])
+            for v in node.values[1:]:
+                out = ir.BinaryOp(op=op, left=out, right=self._expr(v))
+            return out
+        if isinstance(node, fvir.Call):
+            return self._call(node)
+        raise Ineligible(f"expression {type(node).__name__}")
+
+    # ---- runtime dims-order replica (embedded merge semantics) ---- #
+
+    @staticmethod
+    def _merge_dims(*dims_list):
+        out: List[Dimension] = []
+        for dims in dims_list:
+            if dims is None:
+                continue
+            for d in dims:
+                if d not in out:
+                    out.append(d)
+        return tuple(out) if out else None
+
+    def dims_of(self, node: fvir.Expr):
+        """The dims ORDER the embedded executor would produce for this
+        expression (None for scalars) -- Field._binary / _merge_domains
+        append right-operand extras to the left operand's order."""
+        if isinstance(node, fvir.Name):
+            if node.id in self.dims_env:
+                return self.dims_env[node.id]
+            return None
+        if isinstance(node, fvir.Literal):
+            return None
+        if isinstance(node, fvir.UnaryOp):
+            return self.dims_of(node.operand)
+        if isinstance(node, (fvir.BinOp, fvir.Compare)):
+            return self._merge_dims(
+                self.dims_of(node.left), self.dims_of(node.right)
+            )
+        if isinstance(node, fvir.BoolOp):
+            return self._merge_dims(*(self.dims_of(v) for v in node.values))
+        if isinstance(node, fvir.Call):
+            ftype = node.func.type
+            if isinstance(ftype, ts.FieldType):  # shift keeps dims
+                return self.dims_of(node.func)
+            if isinstance(node.func, fvir.Name):
+                fn = self.typed.closure.get(node.func.id)
+                name = None
+                for bname, bval in FIELD_BUILTINS.items():
+                    if fn is bval:
+                        name = bname
+                        break
+                if name == "where":
+                    return self._merge_dims(*(self.dims_of(a) for a in node.args))
+                if name == "broadcast":
+                    dims = []
+                    arg = node.args[1]
+                    if not isinstance(arg, fvir.TupleExpr):
+                        raise Ineligible("broadcast dims must be a tuple literal")
+                    for e in arg.elts:
+                        if not isinstance(e, fvir.Name):
+                            raise Ineligible("broadcast dim is not a name")
+                        d = self.typed.closure.get(e.id)
+                        if not isinstance(d, Dimension):
+                            raise Ineligible("broadcast dim is not a Dimension")
+                        dims.append(d)
+                    return tuple(dims)
+                if name in ("astype", "neg") or name in _MATH_MAP and _MATH_MAP[name].arity == 1:
+                    return self.dims_of(node.args[0])
+                if name in _MATH_MAP:  # binary math: left-order merge
+                    return self._merge_dims(*(self.dims_of(a) for a in node.args))
+                if name == "astype":
+                    return self.dims_of(node.args[0])
+        raise Ineligible(f"dims of {type(node).__name__}")
+
+    def _operand(self, node: fvir.Expr, okind) -> ir.Expr:
+        """Lower an operand with the interpreter's weak-operand cast
+        (interpreter._cast_operand): weak scalars/fields convert to the
+        op's deduced kind so results match the oracle bitwise."""
+        e = self._expr(node)
+        if okind is None or isinstance(okind, tuple):
+            return e
+        t = node.type
+        weak = (
+            (isinstance(t, ts.ScalarType) and t.weak)
+            or (isinstance(t, ts.FieldType) and t.dtype.weak)
+        )
+        if not weak:
+            return e
+        target = np.dtype(okind)
+        cur = _np_dtype(t)
+        if cur == target:
+            return e
+        if isinstance(e, ir.Literal):
+            return ir.Literal(value=e.value, dtype=target)
+        return ir.Cast(dtype=target, expr=e)
+
+    def _offset_of_args(self, node: fvir.Call) -> Tuple[int, int, int]:
+        """Cartesian shift arguments ``(Ioff[1], ...)`` -> (di, dj, dk)."""
+        off = [0, 0, 0]
+        for a in node.args:
+            t = a.type
+            if isinstance(t, ts.OffsetIndexType):
+                if len(t.target) != 1 or t.target[0].value != t.source.value:
+                    raise Ineligible("non-cartesian offset")
+                if not isinstance(a, fvir.Subscript):
+                    raise Ineligible("offset index is not a literal subscript")
+                if t.source.value not in self.axis_of:
+                    raise Ineligible(
+                        f"shift along unknown dimension {t.source.value}"
+                    )
+                off[self.axis_of[t.source.value]] += int(a.index)
+            else:
+                raise Ineligible(f"call argument of type {t}")
+        return tuple(off)
+
+    def _call(self, node: fvir.Call) -> ir.Expr:
+        ftype = node.func.type
+        # field shift: f(Ioff[1]) / chained
+        if isinstance(ftype, ts.FieldType):
+            di, dj, dk = self._offset_of_args(node)
+            base = self._expr(node.func)
+            if not isinstance(base, ir.FieldAccess):
+                raise Ineligible("shift of a non-field expression")
+            o = base.offset
+            if not isinstance(o, ir.CartesianOffset):
+                raise Ineligible("chained non-cartesian offset")
+            return ir.FieldAccess(
+                name=base.name,
+                offset=ir.CartesianOffset(i=o.i + di, j=o.j + dj, k=o.k + dk),
+                data_index=base.data_index,
+            )
+        # builtins resolved through the closure
+        if isinstance(node.func, fvir.Name):
+            fn = self.typed.closure.get(node.func.id)
+            name = None
+            for bname, bval in FIELD_BUILTINS.items():
+                if fn is bval:
+                    name = bname
+                    break
+            if name is None:
+                raise Ineligible(f"call of '{node.func.id}'")
+            okind = getattr(node, "operand_kind", None)
+            if name == "where":
+                c, a, b = node.args
+                return ir.TernaryOp(
+                    cond=self._operand(c, okind),
+                    true_expr=self._operand(a, okind),
+                    false_expr=self._operand(b, okind),
+                )
+            if name == "broadcast":
+                # pointwise semantics: dimension masks make the broadcast
+                # implicit; just check the dims are representable
+                dims_arg = node.args[1]
+                if isinstance(node.type, ts.FieldType):
+                    self._register_dims(node.type.dims)
+                return self._expr(node.args[0])
+            if name == "astype":
+                target = _np_dtype(node.type)
+                return ir.Cast(dtype=target, expr=self._expr(node.args[0]))
+            if name == "neg":
+                return ir.UnaryOp(
+                    op=ir.UnaryOperator.NEG, expr=self._expr(node.args[0])
+                )
+            if name == "log2":
+                # log2(x) = log(x) / log(2): not in the cartesian table
+                raise Ineligible("log2")
+            if name in _MATH_MAP:
+                nf = _MATH_MAP[name]
+                args = [self._operand(a, okind) for a in node.args]
+                if len(args) != nf.arity:
+                    raise Ineligible(f"{name} arity")
+                return ir.NativeFuncCall(func=nf, args=args)
+            raise Ineligible(f"builtin '{name}'")
+        raise Ineligible(f"call of {ftype}")
+
+
+def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
+    """Lower a TYPED field operator to a cartesian stencil + backend.
+
+    Raises :class:`Ineligible` for anything outside the subset.
+    """
+    from gt4py_tpu.cartesian.backend.pallas_backend import PallasBackend
+
+    if typed.kind != "field_operator":
+        raise Ineligible(typed.kind)
+
+    lw = _Lowerer(typed)
+
+    # parameters
+    field_params: List[Tuple[str, Tuple[Dimension, ...], Tuple[bool, bool, bool]]] = []
+    scalar_params: List[str] = []
+    for p in typed.params:
+        if isinstance(p.type, ts.FieldType):
+            lw._register_dims(p.type.dims)
+            lw.field_names.add(p.name)
+        elif isinstance(p.type, ts.ScalarType):
+            lw.scalar_names.add(p.name)
+            scalar_params.append(p.name)
+        else:
+            raise Ineligible(f"parameter of type {p.type}")
+
+    for p in typed.params:
+        if isinstance(p.type, ts.FieldType):
+            mask = lw._mask(p.type.dims)
+            lw.field_decls[p.name] = ir.FieldDecl(
+                name=p.name, dtype=_np_dtype(p.type), dimensions=mask
+            )
+            lw.dims_env[p.name] = tuple(p.type.dims)
+            field_params.append((p.name, p.type.dims, mask))
+        else:
+            lw.scalar_decls[p.name] = ir.ScalarDecl(
+                name=p.name, dtype=_np_dtype(p.type)
+            )
+
+    # body
+    body: List[ir.Stmt] = []
+    ret_type: Optional[ts.TypeSpec] = None
+    stmts = list(typed.body)
+    if not stmts or not isinstance(stmts[-1], fvir.Return):
+        raise Ineligible("operator body must end in a return")
+    for st in stmts[:-1]:
+        if not isinstance(st, fvir.Assign) or st.unpack or len(st.targets) != 1:
+            raise Ineligible(f"statement {type(st).__name__}")
+        if not isinstance(st.value.type, ts.FieldType):
+            raise Ineligible("non-field temporary")
+        lw._register_dims(st.value.type.dims)
+        tname = st.targets[0]
+        if tname in lw.field_names or tname in lw.scalar_names:
+            raise Ineligible("parameter reassignment")
+        expr = lw._expr(st.value)
+        lw.dims_env[tname] = lw.dims_of(st.value) or ()
+        lw.temp_decls[tname] = ir.FieldDecl(
+            name=tname,
+            dtype=_np_dtype(st.value.type),
+            dimensions=(True, True, True),
+            is_api=False,
+        )
+        body.append(ir.Assign(target=ir.FieldAccess(name=tname), value=expr))
+    ret = stmts[-1]
+    ret_type = ret.value.type
+    if not isinstance(ret_type, ts.FieldType):
+        raise Ineligible("non-field return")
+    lw._register_dims(ret_type.dims)
+    out_dims = lw.dims_of(ret.value)
+    if out_dims is None or set(d.value for d in out_dims) != set(
+        d.value for d in ret_type.dims
+    ):
+        raise Ineligible("cannot replicate the result dims order")
+    out_mask = lw._mask(ret_type.dims)
+    out_dtype = _np_dtype(ret_type)
+    lw.field_decls["__out"] = ir.FieldDecl(
+        name="__out", dtype=out_dtype, dimensions=out_mask
+    )
+    body.append(
+        ir.Assign(target=ir.FieldAccess(name="__out"), value=lw._expr(ret.value))
+    )
+
+    api_params = (
+        [ir.ApiParam(name=n, is_field=True) for n, _, _ in field_params]
+        + [ir.ApiParam(name="__out", is_field=True)]
+        + [ir.ApiParam(name=n, is_field=False) for n in scalar_params]
+    )
+    stencil = ir.Stencil(
+        name=f"next_{typed.name or 'op'}",
+        api_params=api_params,
+        field_decls=dict(lw.field_decls),
+        scalar_decls=dict(lw.scalar_decls),
+        temp_decls=dict(lw.temp_decls),
+        vertical_loops=[
+            ir.VerticalLoop(
+                ir.LoopOrder.PARALLEL,
+                [
+                    ir.VerticalSection(
+                        interval=ir.Interval(
+                            ir.AxisBound.start(0), ir.AxisBound.end(0)
+                        ),
+                        body=body,
+                    )
+                ],
+            )
+        ],
+    )
+
+    try:
+        analysis = analyze(stencil)
+    except Exception as ex:  # validation errors -> embedded fallback
+        raise Ineligible(f"cartesian analysis rejected: {ex}") from ex
+
+    # the runner maps read extents to domain shrink exactly like the
+    # embedded executor; an extent not containing 0 would need negative
+    # origins, which the executors don't support
+    for name, _, _ in field_params:
+        e = analysis.extents.field_extents.get(name)
+        if e is None:
+            continue
+        for lo, hi in (e.i, e.j, e.k):
+            if lo > 0 or hi < 0:
+                raise Ineligible("read extent excludes the zero offset")
+
+    backend = PallasBackend(analysis, {})
+    return BridgePlan(
+        stencil=stencil,
+        analysis=analysis,
+        backend=backend,
+        axis_of=dict(lw.axis_of),
+        field_params=field_params,
+        scalar_params=scalar_params,
+        out_dims=out_dims,
+        out_mask=out_mask,
+        out_dtype=out_dtype,
+        signature_order=[p.name for p in typed.params],
+    )
+
+
+def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
+    """Execute a lowered operator on canonical (jax-converted) arguments.
+
+    Domain math runs on static Field metadata (Fields are pytrees with
+    the domain as aux data), so this function stages cleanly under jit.
+    """
+    import jax.numpy as jnp
+
+    by_name = dict(zip(plan.signature_order, args))
+    fields: Dict[str, Field] = {n: by_name[n] for n, _, _ in plan.field_params}
+    scalars: Dict[str, Any] = {n: by_name[n] for n in plan.scalar_params}
+
+    ext = plan.analysis.extents
+
+    # output domain: intersect every field's domain shrunk by its read
+    # extent (embedded-executor semantics)
+    starts = [None, None, None]
+    stops = [None, None, None]
+    for n, dims, mask in plan.field_params:
+        f = fields[n]
+        e = ext.field_extents.get(n)
+        if e is None:
+            continue  # never read
+        spans = (e.i, e.j, e.k)
+        for d, r in zip(f.domain.dims, f.domain.ranges):
+            ax = plan.axis_of[d.value]
+            lo, hi = spans[ax]
+            s, t = r.start - lo, r.stop - hi
+            starts[ax] = s if starts[ax] is None else max(starts[ax], s)
+            stops[ax] = t if stops[ax] is None else min(stops[ax], t)
+
+    if restrict:
+        # explicit out=+domain= restriction: intersect before planning
+        for dval, rs, rt in restrict:
+            if dval not in plan.axis_of:
+                raise Ineligible(f"restriction along unknown dim {dval}")
+            ax = plan.axis_of[dval]
+            starts[ax] = rs if starts[ax] is None else max(starts[ax], rs)
+            stops[ax] = rt if stops[ax] is None else min(stops[ax], rt)
+
+    out_axes = [plan.axis_of[d.value] for d in plan.out_dims]
+    for ax in out_axes:
+        if starts[ax] is None:
+            raise Ineligible("output dimension unconstrained by any input")
+        if stops[ax] <= starts[ax]:
+            raise Ineligible("empty output domain")
+
+    domain = tuple(
+        (stops[ax] - starts[ax]) if starts[ax] is not None else 1
+        for ax in range(3)
+    )
+
+    arrays = {}
+    origins = {}
+    for n, dims, mask in plan.field_params:
+        f = fields[n]
+        axes = [plan.axis_of[d.value] for d in f.domain.dims]
+        perm = sorted(range(len(axes)), key=lambda i: axes[i])
+        data = f.data
+        if perm != list(range(len(axes))):
+            data = jnp.transpose(data, perm)
+        arrays[n] = data
+        sorted_axes = sorted(axes)
+        org = []
+        for ax in sorted_axes:
+            r = f.domain.ranges[axes.index(ax)]
+            org.append((starts[ax] if starts[ax] is not None else 0) - r.start)
+        # cartesian origins are per-axis (I, J, K) restricted to present
+        # dims; the backend expects a 3-tuple with entries for present axes
+        full = [0, 0, 0]
+        for ax, o in zip(sorted_axes, org):
+            full[ax] = o
+        origins[n] = tuple(full)
+
+    out_shape = tuple(domain[ax] for ax in sorted(out_axes))
+    arrays["__out"] = jnp.zeros(out_shape, dtype=plan.out_dtype)
+    origins["__out"] = (0, 0, 0)
+
+    res = plan.backend.apply(arrays, scalars, domain, origins)
+    out = res["__out"]
+
+    # back to the declared return dims order
+    sorted_out = sorted(out_axes)
+    perm = [sorted_out.index(ax) for ax in out_axes]
+    if perm != list(range(len(out_axes))):
+        out = jnp.transpose(out, perm)
+    ranges = tuple(
+        UnitRange(starts[ax], stops[ax]) for ax in out_axes
+    )
+    return Field(Domain(tuple(plan.out_dims), ranges), out)

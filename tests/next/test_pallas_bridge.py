@@ -1,0 +1,225 @@
+"""next field operators compiled to fused cartesian Pallas kernels.
+
+``with_backend("pallas")`` lowers eligible operators through
+next/pallas_bridge.py; everything else falls back to the jit-staged
+embedded path transparently.  Reference analog: the compiled program
+processors (gtfn/dace runners, src/gt4py/next/program_processors/).
+
+Every test compares against the numpy_oracle embedded executor --
+values AND result domains.
+"""
+
+import numpy as np
+import pytest
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.next import (
+    Dims,
+    Field,
+    astype,
+    backends,
+    broadcast,
+    exp,
+    log,
+    maximum,
+    sqrt,
+    where,
+)
+from gt4py_tpu.next.builtins import neighbor_sum
+
+I = gtx.Dimension("I")
+J = gtx.Dimension("J")
+K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+Koff = gtx.FieldOffset("Koff", source=K, target=(K,))
+
+F64 = Field[Dims[I, J, K], gtx.float64]
+F64_IJ = Field[Dims[I, J], gtx.float64]
+F32 = Field[Dims[I, J, K], gtx.float32]
+
+
+def _ranges(f):
+    return [(r.start, r.stop) for r in f.domain.ranges]
+
+
+def _check(op, *args, rtol=1e-12, expect_plan=True):
+    ref = op.with_backend(backends.numpy_oracle)(*args)
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    before = len(pallas_backend.FALLBACK_EVENTS)
+    got = op.with_backend("pallas")(*args)
+    assert not pallas_backend.FALLBACK_EVENTS[before:]
+    if expect_plan:
+        plans = op.with_backend("pallas").__dict__  # fresh copy: no state
+    assert _ranges(ref) == _ranges(got)
+    assert got.dims == ref.dims
+    np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=rtol, atol=0)
+    return got
+
+
+def _bridge_plan_of(op, *args):
+    """The BridgePlan the pallas backend builds for these argument types
+    (None = ineligible -> embedded fallback)."""
+    from gt4py_tpu.next import pallas_bridge
+    from gt4py_tpu.next.ffront import _value_type
+
+    arg_types = tuple(_value_type(a) for a in args)
+    typed, _ = op._typed_for(arg_types)
+    try:
+        return pallas_bridge.lower_field_operator(typed)
+    except pallas_bridge.Ineligible:
+        return None
+
+
+def _rand(shape, seed=0, dtype=np.float64):
+    return np.random.default_rng(seed).random(shape).astype(dtype)
+
+
+def test_hdiff_matches_oracle_and_domain():
+    @gtx.field_operator
+    def hdiff(inp: F64, coeff: F64) -> F64:
+        lap = 4.0 * inp - (
+            inp(Ioff[1]) + inp(Ioff[-1]) + inp(Joff[1]) + inp(Joff[-1])
+        )
+        flx = lap(Ioff[1]) - lap
+        flx = where(flx * (inp(Ioff[1]) - inp) > 0.0, 0.0, flx)
+        fly = lap(Joff[1]) - lap
+        fly = where(fly * (inp(Joff[1]) - inp) > 0.0, 0.0, fly)
+        return inp - coeff * (flx - flx(Ioff[-1]) + fly - fly(Joff[-1]))
+
+    inp = gtx.as_field((I, J, K), _rand((20, 18, 5), 1))
+    coeff = gtx.as_field((I, J, K), 0.025 * _rand((20, 18, 5), 2))
+    assert _bridge_plan_of(hdiff, inp, coeff) is not None
+    _check(hdiff, inp, coeff)
+
+
+def test_asymmetric_shift_domain():
+    @gtx.field_operator
+    def sh(a: F64) -> F64:
+        return a(Ioff[1]) + a(Koff[-1]) + a
+
+    a = gtx.as_field((I, J, K), _rand((9, 7, 6), 3))
+    got = _check(sh, a)
+    # reads at I+1 and K-1: domain shrinks on the upper I side and the
+    # lower K side only
+    assert _ranges(got) == [(0, 8), (0, 7), (1, 6)]
+
+
+def test_2d_fields():
+    @gtx.field_operator
+    def grad(a: F64_IJ) -> F64_IJ:
+        return a(Ioff[1]) - 2.0 * a + a(Ioff[-1])
+
+    a = gtx.as_field((I, J), _rand((12, 10), 4))
+    _check(grad, a)
+
+
+def test_scalar_params_and_weak_literals_f32():
+    @gtx.field_operator
+    def saxpy(a: F32, b: F32, w: gtx.float32) -> F32:
+        return w * a + b * 0.5 + 1.0
+
+    a = gtx.as_field((I, J, K), _rand((8, 8, 4), 5, np.float32))
+    b = gtx.as_field((I, J, K), _rand((8, 8, 4), 6, np.float32))
+    got = _check(saxpy, a, b, np.float32(1.25), rtol=1e-6)
+    assert got.dtype == np.float32  # weak literals must not upcast
+
+
+def test_math_builtins_chain():
+    @gtx.field_operator
+    def chain(a: F64) -> F64:
+        return sqrt(exp(log(a + 1.5))) + maximum(a, a(Ioff[1]))
+
+    a = gtx.as_field((I, J, K), _rand((9, 9, 3), 7))
+    _check(chain, a)
+
+
+def test_astype_and_compare():
+    @gtx.field_operator
+    def conv(a: F64) -> F32:
+        return astype(a * 2.0, gtx.float32)
+
+    a = gtx.as_field((I, J, K), _rand((6, 6, 3), 8))
+    got = _check(conv, a, rtol=1e-6)
+    assert got.dtype == np.float32
+
+
+def test_dims_order_transposed():
+    FT = Field[Dims[K, J, I], gtx.float64]
+
+    @gtx.field_operator
+    def lap(a: FT) -> FT:
+        return a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+
+    a = gtx.as_field((K, J, I), _rand((4, 10, 11), 9))
+    _check(lap, a)
+
+
+def test_chained_shift():
+    @gtx.field_operator
+    def diag(a: F64) -> F64:
+        return a(Ioff[1])(Joff[1]) - a
+
+    a = gtx.as_field((I, J, K), _rand((7, 7, 3), 10))
+    _check(diag, a)
+
+
+def test_unstructured_falls_back():
+    from gt4py_tpu.next.testing import Edge, Vertex, simple_mesh_case
+
+    case, mesh = simple_mesh_case(allocator="jax")
+    V2E = mesh.v2e
+
+    @gtx.field_operator
+    def gather(e: Field[Dims[Edge], gtx.float64]) -> Field[Dims[Vertex], gtx.float64]:
+        return neighbor_sum(e(V2E), axis=V2E)
+
+    e = gtx.as_field((Edge,), _rand((mesh.n_edges,), 11))
+    assert _bridge_plan_of(gather, e) is None  # ineligible
+    ref = gather.with_backend(backends.numpy_oracle)(e)
+    got = gather.with_backend("pallas")(e)  # transparent fallback
+    np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=1e-13)
+
+
+def test_broadcast_scalar():
+    @gtx.field_operator
+    def bc(a: F64) -> F64:
+        return a + broadcast(2.5, (I, J, K))
+
+    a = gtx.as_field((I, J, K), _rand((6, 5, 4), 12))
+    _check(bc, a)
+
+
+def test_kernel_path_actually_runs():
+    """The bridge must execute through the cartesian pallas backend (a
+    recorded tile plan), not silently through the embedded path."""
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    @gtx.field_operator
+    def op_unique_name_xyz(a: F64) -> F64:
+        return a(Ioff[1]) - a
+
+    a = gtx.as_field((I, J, K), _rand((16, 16, 4), 13))
+    op_unique_name_xyz.with_backend("pallas")(a)
+    assert "next_op_unique_name_xyz" in pallas_backend.LAST_PLAN
+
+
+def test_out_and_domain_restriction():
+    @gtx.field_operator
+    def lap(a: F64) -> F64:
+        return a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+
+    a = gtx.as_field((I, J, K), _rand((16, 14, 4), 14))
+    dom = gtx.common.Domain(
+        (I, J, K),
+        (gtx.common.UnitRange(3, 9), gtx.common.UnitRange(2, 10),
+         gtx.common.UnitRange(0, 4)),
+    )
+    out_p = gtx.as_field((I, J, K), np.zeros((16, 14, 4)))
+    out_r = gtx.as_field((I, J, K), np.zeros((16, 14, 4)))
+    lap.with_backend("pallas")(a, out=out_p, domain=dom)
+    lap.with_backend(backends.numpy_oracle)(a, out=out_r, domain=dom)
+    np.testing.assert_allclose(out_p.asnumpy(), out_r.asnumpy(), rtol=1e-12)
+    # untouched outside the domain
+    assert out_p.asnumpy()[0, 0, 0] == 0.0
