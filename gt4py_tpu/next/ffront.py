@@ -677,6 +677,22 @@ class Program:
         typed = self._typed_for(tuple(_value_type(a) for a in merged))
         env = {p.name: a for p, a in zip(typed.params, merged)}
         env.update(typed.closure)
+        if self._backend is not None and getattr(self._backend, "compiled", ""):
+            # compiled program backend: operator calls in the body go
+            # through the same compiled path (pallas_bridge lowering with
+            # per-call out=/domain= restriction; ineligible ones fall
+            # back inside the operator, so this is always safe)
+            cache = self.__dict__.setdefault("_rebound_ops", {})
+
+            def rebind(v):
+                if not (isinstance(v, FieldOperator) and v._backend is None):
+                    return v
+                r = cache.get(id(v))
+                if r is None:
+                    r = cache[id(v)] = v.with_backend(self._backend)
+                return r
+
+            env = {k: rebind(v) for k, v in env.items()}
         self._check_domains(typed, env)
         Interpreter(typed, env).run()
 

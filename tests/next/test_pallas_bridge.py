@@ -223,3 +223,24 @@ def test_out_and_domain_restriction():
     np.testing.assert_allclose(out_p.asnumpy(), out_r.asnumpy(), rtol=1e-12)
     # untouched outside the domain
     assert out_p.asnumpy()[0, 0, 0] == 0.0
+
+
+def test_program_routes_operators_through_bridge():
+    from gt4py_tpu.cartesian.backend import pallas_backend
+    from gt4py_tpu.next import program
+
+    @gtx.field_operator
+    def op_prog_probe(a: F64) -> F64:
+        return a(Ioff[1]) + a(Ioff[-1]) - 2.0 * a
+
+    @program
+    def prog(a: F64, o: F64):
+        op_prog_probe(a, out=o[1:-1])
+
+    a = gtx.as_field((I, J, K), _rand((14, 8, 3), 15))
+    o_p = gtx.as_field((I, J, K), np.zeros((14, 8, 3)))
+    o_r = gtx.as_field((I, J, K), np.zeros((14, 8, 3)))
+    prog.with_backend("pallas")(a, o_p)
+    prog.with_backend(backends.numpy_oracle)(a, o_r)
+    np.testing.assert_allclose(o_p.asnumpy(), o_r.asnumpy(), rtol=1e-12)
+    assert "next_op_prog_probe" in pallas_backend.LAST_PLAN
