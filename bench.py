@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _MESH_N = None
 if "--mesh" in sys.argv:
     _i = sys.argv.index("--mesh")
-    _MESH_N = int(sys.argv[_i + 1]) if len(sys.argv) > _i + 1 else 8
+    _nxt = sys.argv[_i + 1] if len(sys.argv) > _i + 1 else ""
+    _MESH_N = int(_nxt) if _nxt.isdigit() else 8
     if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")

@@ -593,26 +593,52 @@ def clip_stencil_to_k_block(
 
 
 def split_serial_passes(stencil: ir.Stencil):
-    """Split into one sub-stencil per vertical loop, with K-carried and
-    cross-loop temporaries promoted to plain (non-API) fields so each pass
-    can be K-blocked independently (the promoted buffers are the HBM
-    fill/flush targets, exactly the reference K-cache fill/flush role).
+    """Split into K-blockable pass units, with K-carried and cross-pass
+    temporaries promoted to plain (non-API) fields so each pass can be
+    K-blocked independently (the promoted buffers are the HBM fill/flush
+    targets, exactly the reference K-cache fill/flush role).
+
+    Pass units: serial loops stay whole (the per-plane statement
+    interleaving inside a block matches the oracle's plane order, and
+    cross-block carries ride the threaded buffers).  PARALLEL loops split
+    per STATEMENT: the oracle evaluates each statement over the FULL
+    domain before the next, so a block-local interleaving would let a
+    K-offset read of a sibling statement's output see stale planes at
+    every block boundary -- each statement must complete all K blocks
+    before the next starts.
 
     Promotion rule (conservative): a temporary is promoted unless every
-    access to it lives in ONE section of ONE loop with zero K offsets --
-    only then is its lifetime provably block-local.
+    access to it lives in ONE pass unit with zero K offsets -- only then
+    is its lifetime provably block-local.
 
     Returns ``(pass_stencils, promoted_names)``."""
-    # classify temp usage
-    temp_sections: Dict[str, Set[int]] = {}
-    temp_loops: Dict[str, Set[int]] = {}
+    units: List[ir.VerticalLoop] = []
+    for loop in stencil.vertical_loops:
+        if loop.loop_order == ir.LoopOrder.PARALLEL:
+            for sec in loop.sections:
+                for stmt in sec.body:
+                    units.append(
+                        ir.VerticalLoop(
+                            loop.loop_order,
+                            [
+                                ir.VerticalSection(
+                                    interval=sec.interval,
+                                    body=[copy.deepcopy(stmt)],
+                                )
+                            ],
+                        )
+                    )
+        else:
+            units.append(copy.deepcopy(loop))
+
+    # classify temp usage at unit granularity
+    temp_units: Dict[str, Set[int]] = {}
     temp_k_offset: Set[str] = set()
-    for li, loop in enumerate(stencil.vertical_loops):
-        for si, sec in enumerate(loop.sections):
+    for ui, unit in enumerate(units):
+        for sec in unit.sections:
             for node in ir.walk_values(sec.body):
                 if isinstance(node, ir.FieldAccess) and node.name in stencil.temp_decls:
-                    temp_sections.setdefault(node.name, set()).add((li, si))
-                    temp_loops.setdefault(node.name, set()).add(li)
+                    temp_units.setdefault(node.name, set()).add(ui)
                     off = node.offset
                     if not isinstance(off, ir.CartesianOffset) or off.k != 0:
                         temp_k_offset.add(node.name)
@@ -620,18 +646,18 @@ def split_serial_passes(stencil: ir.Stencil):
     promoted = {
         name
         for name in stencil.temp_decls
-        if len(temp_sections.get(name, ())) > 1 or name in temp_k_offset
+        if len(temp_units.get(name, ())) > 1 or name in temp_k_offset
     }
 
     passes_out = []
-    for li, loop in enumerate(stencil.vertical_loops):
+    for ui, unit in enumerate(units):
         sub = copy.copy(stencil)
-        sub.name = f"{stencil.name}__pass{li}"
-        sub.vertical_loops = [copy.deepcopy(loop)]
+        sub.name = f"{stencil.name}__pass{ui}"
+        sub.vertical_loops = [unit]
         sub.field_decls = dict(stencil.field_decls)
         sub.temp_decls = {}
         for name, decl in stencil.temp_decls.items():
-            if li not in temp_loops.get(name, ()):
+            if ui not in temp_units.get(name, ()):
                 continue
             if name in promoted:
                 sub.field_decls[name] = ir.FieldDecl(

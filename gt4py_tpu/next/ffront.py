@@ -325,8 +325,9 @@ class FieldOperator:
         try:
             return fn(args)
         except pallas_bridge.Ineligible:
-            # runtime ineligibility (e.g. empty/unconstrained domain)
-            plans[key] = None
+            # per-CALL runtime ineligibility (e.g. empty output domain for
+            # these particular argument domains): fall back for this call
+            # only -- the plan stays cached for later calls
             return self._jit_run(args, arg_types)
 
     def with_backend(self, backend) -> "FieldOperator":
@@ -687,9 +688,12 @@ class Program:
             def rebind(v):
                 if not (isinstance(v, FieldOperator) and v._backend is None):
                     return v
-                r = cache.get(id(v))
+                try:
+                    r = cache.get(v)
+                except TypeError:
+                    return v.with_backend(self._backend)
                 if r is None:
-                    r = cache[id(v)] = v.with_backend(self._backend)
+                    r = cache[v] = v.with_backend(self._backend)
                 return r
 
             env = {k: rebind(v) for k, v in env.items()}

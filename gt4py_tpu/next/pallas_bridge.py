@@ -276,6 +276,8 @@ class _Lowerer:
         if isinstance(node, fvir.BoolOp):
             return self._merge_dims(*(self.dims_of(v) for v in node.values))
         if isinstance(node, fvir.Call):
+            if node.kwargs:
+                raise Ineligible("call with keyword arguments")
             ftype = node.func.type
             if isinstance(ftype, ts.FieldType):  # shift keeps dims
                 return self.dims_of(node.func)
@@ -301,12 +303,12 @@ class _Lowerer:
                             raise Ineligible("broadcast dim is not a Dimension")
                         dims.append(d)
                     return tuple(dims)
-                if name in ("astype", "neg") or name in _MATH_MAP and _MATH_MAP[name].arity == 1:
+                if name in ("astype", "neg") or (
+                    name in _MATH_MAP and _MATH_MAP[name].arity == 1
+                ):
                     return self.dims_of(node.args[0])
                 if name in _MATH_MAP:  # binary math: left-order merge
                     return self._merge_dims(*(self.dims_of(a) for a in node.args))
-                if name == "astype":
-                    return self.dims_of(node.args[0])
         raise Ineligible(f"dims of {type(node).__name__}")
 
     def _operand(self, node: fvir.Expr, okind) -> ir.Expr:
@@ -351,6 +353,10 @@ class _Lowerer:
         return tuple(off)
 
     def _call(self, node: fvir.Call) -> ir.Expr:
+        if node.kwargs:
+            # keyword arguments are legal in the embedded interpreter;
+            # fall back rather than mis-binding positionals
+            raise Ineligible("call with keyword arguments")
         ftype = node.func.type
         # field shift: f(Ioff[1]) / chained
         if isinstance(ftype, ts.FieldType):
@@ -387,7 +393,6 @@ class _Lowerer:
             if name == "broadcast":
                 # pointwise semantics: dimension masks make the broadcast
                 # implicit; just check the dims are representable
-                dims_arg = node.args[1]
                 if isinstance(node.type, ts.FieldType):
                     self._register_dims(node.type.dims)
                 return self._expr(node.args[0])

@@ -195,3 +195,25 @@ def test_shallow_k_does_not_use_kblocked():
     args = dict(a=_mk(shape, 23), out=np.zeros(shape))
     plan = _run_pair(cumsum, args, domain=shape, expect_kb=False)
     assert not (plan or {}).get("kblocked"), plan
+
+
+def test_parallel_cross_statement_k_dependency():
+    """Regression (round-3 review): a PARALLEL statement reading a
+    sibling statement's output at a K offset must see the fully-updated
+    planes -- per-loop blocking interleaved the statements per block and
+    served stale planes at every block boundary.  PARALLEL loops now
+    split into one pass per STATEMENT."""
+    def two_stmt(inp: F, out: F):
+        with computation(PARALLEL):
+            with interval(0, -1):
+                tmp = inp * 2.0
+            with interval(0, -1):
+                out = tmp[0, 0, 1]
+
+    shape = (12, 12, 512)
+    args = dict(inp=_mk(shape, 29), out=np.zeros(shape))
+    plan = _run_pair(two_stmt, args, domain=shape, expect_kb=False)
+    # whichever plan executes it (whole-column kernel or K-blocked),
+    # parity is the invariant; if blocked, tmp must have been promoted
+    if plan and plan.get("kblocked"):
+        assert plan["promoted"], plan
