@@ -341,6 +341,8 @@ class FieldOperator:
         new.__dict__.pop("_jit_fns", None)
         new.__dict__.pop("_bridge_plans", None)
         new.__dict__.pop("_bridge_fns", None)
+        new.__dict__.pop("_scan_bridge_plans", None)
+        new.__dict__.pop("_scan_bridge_fns", None)
         new._backend = backends.resolve(backend)
         return new
 
@@ -412,11 +414,26 @@ class ScanOperator(FieldOperator):
         # the declared carry annotation instead of forcing f64/i64
         # (reference: type_info weak-literal adaptation).
         carry_t = ts.from_value(self.init)
+        decl = self.ir.params[0].type
         if type(self.init) in (float, int) and isinstance(carry_t, ts.ScalarType):
-            decl = self.ir.params[0].type
             if isinstance(decl, ts.ScalarType) and not ts.is_deferred(decl):
                 self.init = np.dtype(decl.kind).type(self.init)
                 carry_t = ts.from_value(self.init)
+        elif (
+            isinstance(self.init, tuple)
+            and isinstance(decl, ts.TupleType)
+            and len(decl.types) == len(self.init)
+        ):
+            # weak tuple elements adapt member-by-member (same rule)
+            self.init = tuple(
+                np.dtype(dt.kind).type(v)
+                if type(v) in (float, int)
+                and isinstance(dt, ts.ScalarType)
+                and not ts.is_deferred(dt)
+                else v
+                for v, dt in zip(self.init, decl.types)
+            )
+            carry_t = ts.from_value(self.init)
         scalar_ts = [
             ts.ScalarType(np.dtype(a.dtype)) if isinstance(a, Field)
             else _value_type(a)
@@ -435,6 +452,27 @@ class ScanOperator(FieldOperator):
         oracle = all(isinstance(f.data, np.ndarray) for f in fields)
         xp = np if oracle else jnp
 
+        result = None
+        if not oracle and self._backend is not None and getattr(
+            self._backend, "compiled", ""
+        ):
+            # serial-K cartesian Pallas kernel when eligible; None ->
+            # the embedded lax.scan path below (see next/pallas_bridge.py)
+            result = self._compiled_scan(typed, args)
+        if result is None:
+            result = self._embedded_scan(typed, args, dom, ax, oracle, xp)
+        if out is None:
+            return result
+        if isinstance(result, tuple):
+            for r, o in zip(result, out):
+                _write_out(r, o, domain)
+        else:
+            _write_out(result, out, domain)
+        return None
+
+    def _embedded_scan(self, typed, args, dom, ax, oracle, xp):
+        """The embedded scan executor: lax.scan over the axis (jax) or the
+        explicit column loop (numpy oracle, the executable spec)."""
         # broadcast all field args onto dom and move the scan axis first
         xs = []
         for a in args:
@@ -483,15 +521,67 @@ class ScanOperator(FieldOperator):
             data = xp.moveaxis(stack, 0, ax)
             return Field(dom, data)
 
-        result = jax.tree_util.tree_map(to_field, ys)
-        if out is None:
-            return result
-        if isinstance(result, tuple):
-            for r, o in zip(result, out):
-                _write_out(r, o, domain)
-        else:
-            _write_out(result, out, domain)
-        return None
+        return jax.tree_util.tree_map(to_field, ys)
+
+    def _compiled_scan(self, typed, args):
+        """Lower to a serial-K cartesian Pallas kernel when eligible (the
+        carry at level k is the out field at k-+1); returns None when the
+        scan is outside the kernel subset -- see next/pallas_bridge.py."""
+        import functools
+
+        from . import pallas_bridge
+
+        arg_info = []
+        key_parts = []
+        for a in args:
+            if isinstance(a, Field):
+                dims = tuple(a.domain.dims)
+                dt = np.dtype(a.dtype)
+                arg_info.append(("field", dims, dt))
+                key_parts.append(
+                    (
+                        "field",
+                        tuple(d.value for d in dims),
+                        tuple(d.kind.value for d in dims),
+                        dt.str,
+                    )
+                )
+            else:
+                arg_info.append(("scalar", None))
+                key_parts.append(("scalar", str(_value_type(a))))
+        key = (
+            tuple(key_parts),
+            str(typed.params[0].type),
+            repr(self.init),
+            self.forward,
+        )
+        plans = self.__dict__.setdefault("_scan_bridge_plans", {})
+        if key not in plans:
+            try:
+                plans[key] = pallas_bridge.lower_scan_operator(
+                    typed,
+                    axis=self.axis,
+                    forward=self.forward,
+                    init=self.init,
+                    arg_info=arg_info,
+                )
+            except pallas_bridge.Ineligible:
+                plans[key] = None
+        plan = plans[key]
+        if plan is None:
+            return None
+        fns = self.__dict__.setdefault("_scan_bridge_fns", {})
+        fn = fns.get(key)
+        if fn is None:
+            fn = fns[key] = jax.jit(
+                functools.partial(pallas_bridge.run_scan_plan, plan)
+            )
+        try:
+            return fn(args)
+        except pallas_bridge.Ineligible:
+            # per-CALL runtime ineligibility (e.g. unbounded domains for
+            # these particular arguments): embedded path for this call only
+            return None
 
 
 def scan_operator(fn=None, *, axis: Dimension, forward: bool = True, init=0.0):

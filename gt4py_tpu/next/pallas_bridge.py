@@ -132,6 +132,10 @@ def _np_dtype(t) -> np.dtype:
 class _Lowerer:
     def __init__(self, typed: fvir.OperatorIR):
         self.typed = typed
+        #: scan mode: the carry parameter's name, and the per-element
+        #: substitution (element index -> ir.Expr; scalar carries use 0)
+        self.carry_name: Optional[str] = None
+        self.carry_subst: Dict[int, ir.Expr] = {}
         self.axis_of: Dict[str, int] = {}
         self.field_names: set = set()
         self.scalar_names: set = set()
@@ -181,6 +185,25 @@ class _Lowerer:
         raise Ineligible(f"unresolved name '{node.id}'")
 
     def _expr(self, node: fvir.Expr) -> ir.Expr:
+        if self.carry_name is not None:
+            # scan mode: the carry (or its tuple elements) resolves to the
+            # section's substitution -- the init literal in the first
+            # written level, the out field at K-offset -/+1 elsewhere
+            if isinstance(node, fvir.Name) and node.id == self.carry_name:
+                if len(self.carry_subst) != 1:
+                    raise Ineligible("whole-tuple carry use")
+                return self.carry_subst[0]
+            if (
+                isinstance(node, fvir.Subscript)
+                and isinstance(node.value, fvir.Name)
+                and node.value.id == self.carry_name
+            ):
+                idx = node.index
+                if isinstance(idx, int) and idx < 0:
+                    idx += len(self.carry_subst)
+                if not isinstance(idx, int) or idx not in self.carry_subst:
+                    raise Ineligible(f"carry subscript {idx!r}")
+                return self.carry_subst[idx]
         if isinstance(node, fvir.Name):
             kind, v = self._resolve_name(node)
             if kind == "field":
@@ -644,3 +667,315 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
         UnitRange(starts[ax], stops[ax]) for ax in out_axes
     )
     return Field(Domain(tuple(plan.out_dims), ranges), out)
+
+
+# --------------------------------------------------------------------------- #
+# Scan operators -> serial-K cartesian kernels
+# --------------------------------------------------------------------------- #
+#
+# A column scan IS the cartesian serial-K pattern: the carry at level k is
+# the out field at k-1 (FORWARD) / k+1 (BACKWARD), seeded by the init
+# literal in the first written level.  Lowering a next scan_operator to a
+# FORWARD/BACKWARD vertical loop hands it to the Pallas mode-B kernels
+# (whole K column in VMEM, one HBM round trip per column) -- the analog of
+# the reference's scan handling in the compiled program processors
+# (gtfn: scan_executor; embedded spec: embedded/operators.py:40-90).
+
+
+@dataclasses.dataclass
+class ScanBridgePlan:
+    """A lowered scan operator plus everything the runner needs."""
+
+    stencil: ir.Stencil
+    analysis: Any
+    backend: Any  # PallasBackend
+    axis_of: Dict[str, int]
+    field_params: List[Tuple[str, Tuple[Dimension, ...], Tuple[bool, bool, bool]]]
+    scalar_params: List[str]
+    #: result dims: union of field-arg dims in first-seen order
+    out_dims: Tuple[Dimension, ...]
+    out_names: List[str]
+    out_dtypes: List[np.dtype]
+    is_tuple: bool
+    #: parameter names bound to the call args (carry excluded)
+    signature_order: List[str] = dataclasses.field(default_factory=list)
+
+
+def _lower_scan_body(
+    lw: _Lowerer,
+    typed: fvir.OperatorIR,
+    out_names: List[str],
+    out_dtypes: List[np.dtype],
+    subst: Dict[int, ir.Expr],
+) -> List[ir.Stmt]:
+    """Lower the scalarized scan body once under a carry substitution."""
+    lw.carry_subst = subst
+    body: List[ir.Stmt] = []
+    stmts = list(typed.body)
+    if not stmts or not isinstance(stmts[-1], fvir.Return):
+        raise Ineligible("scan body must end in a return")
+    for st in stmts[:-1]:
+        if not isinstance(st, fvir.Assign) or st.unpack or len(st.targets) != 1:
+            raise Ineligible(f"statement {type(st).__name__}")
+        t = st.value.type
+        if not isinstance(t, ts.ScalarType):
+            raise Ineligible("non-scalar scan temporary")
+        tname = st.targets[0]
+        if tname in lw.field_names or tname in lw.scalar_names:
+            raise Ineligible("parameter reassignment")
+        body.append(
+            ir.Assign(target=ir.FieldAccess(name=tname), value=lw._expr(st.value))
+        )
+        lw.temp_decls[tname] = ir.FieldDecl(
+            name=tname,
+            dtype=np.dtype(t.kind),
+            dimensions=(True, True, True),
+            is_api=False,
+        )
+    rv = stmts[-1].value
+    if len(out_names) == 1:
+        elts = [rv]
+    elif isinstance(rv, fvir.TupleExpr) and len(rv.elts) == len(out_names):
+        elts = list(rv.elts)
+    else:
+        raise Ineligible("scan return is not a tuple literal")
+    for name, e, dt in zip(out_names, elts, out_dtypes):
+        et = e.type
+        if not isinstance(et, ts.ScalarType):
+            raise Ineligible("non-scalar scan return element")
+        ex = lw._expr(e)
+        if np.dtype(et.kind) != dt:
+            ex = ir.Cast(dtype=dt, expr=ex)
+        body.append(ir.Assign(target=ir.FieldAccess(name=name), value=ex))
+    return body
+
+
+def lower_scan_operator(
+    typed: fvir.OperatorIR,
+    *,
+    axis: Dimension,
+    forward: bool,
+    init: Any,
+    arg_info: List[Tuple[str, Any, Any]],
+) -> ScanBridgePlan:
+    """Lower a TYPED scan operator to a serial-K cartesian stencil.
+
+    ``arg_info`` describes the RUNTIME call args aligned with
+    ``typed.params[1:]``: ``("field", dims, dtype)`` or ``("scalar", dtype)``
+    -- the typed signature scalarizes fields, so the lowering needs the
+    call-site field structure.  Raises :class:`Ineligible` outside the
+    subset (tuple inits with non-scalar elements, non-vertical scan axes,
+    unstructured dims, ...).
+    """
+    from gt4py_tpu.cartesian.backend.pallas_backend import PallasBackend
+
+    if typed.kind != "scan_operator":
+        raise Ineligible(typed.kind)
+    if axis.kind != DimensionKind.VERTICAL:
+        raise Ineligible("scan axis is not a vertical dimension")
+    if not typed.params:
+        raise Ineligible("scan without a carry parameter")
+
+    lw = _Lowerer(typed)
+    carry = typed.params[0]
+    lw.carry_name = carry.name
+
+    # carry structure -> out fields
+    if isinstance(carry.type, ts.TupleType):
+        if not isinstance(init, tuple) or len(init) != len(carry.type.types):
+            raise Ineligible("init does not match the tuple carry")
+        elem_types = list(carry.type.types)
+        init_vals = list(init)
+        is_tuple = True
+    else:
+        elem_types = [carry.type]
+        init_vals = [init]
+        is_tuple = False
+    out_names = (
+        [f"__out_{i}" for i in range(len(elem_types))] if is_tuple else ["__out"]
+    )
+    out_dtypes: List[np.dtype] = []
+    init_exprs: List[ir.Expr] = []
+    for t, v in zip(elem_types, init_vals):
+        if not isinstance(t, ts.ScalarType):
+            raise Ineligible(f"carry element of type {t}")
+        dt = np.dtype(t.kind)
+        if not isinstance(v, (bool, int, float, np.generic)):
+            raise Ineligible(f"init of type {type(v).__name__}")
+        out_dtypes.append(dt)
+        init_exprs.append(ir.Literal(value=dt.type(v), dtype=dt))
+
+    # parameters: fields keep their call-site dims, the rest are scalars
+    field_params: List[Tuple[str, Tuple[Dimension, ...], Tuple[bool, bool, bool]]] = []
+    scalar_params: List[str] = []
+    params = typed.params[1:]
+    if len(params) != len(arg_info):
+        raise Ineligible("argument/parameter arity mismatch")
+    out_dims: List[Dimension] = []
+    for p, info in zip(params, arg_info):
+        if info[0] == "field":
+            _, dims, dtype = info
+            lw._register_dims(tuple(dims))
+            lw.field_names.add(p.name)
+            for d in dims:
+                if d not in out_dims:
+                    out_dims.append(d)
+        else:
+            lw.scalar_names.add(p.name)
+            scalar_params.append(p.name)
+    if axis.value not in lw.axis_of or lw.axis_of[axis.value] != 2:
+        raise Ineligible("no field argument spans the scan axis")
+    for p, info in zip(params, arg_info):
+        if info[0] == "field":
+            _, dims, dtype = info
+            mask = lw._mask(tuple(dims))
+            lw.field_decls[p.name] = ir.FieldDecl(
+                name=p.name, dtype=np.dtype(dtype), dimensions=mask
+            )
+            field_params.append((p.name, tuple(dims), mask))
+        else:
+            if not isinstance(p.type, ts.ScalarType):
+                raise Ineligible(f"scalar parameter of type {p.type}")
+            lw.scalar_decls[p.name] = ir.ScalarDecl(
+                name=p.name, dtype=np.dtype(p.type.kind)
+            )
+
+    out_mask = lw._mask(tuple(out_dims))
+    for nm, dt in zip(out_names, out_dtypes):
+        lw.field_decls[nm] = ir.FieldDecl(name=nm, dtype=dt, dimensions=out_mask)
+
+    # two sections: the first written level seeds the carry with the init
+    # literal; the rest read the out field at the serial K offset
+    if forward:
+        order = ir.LoopOrder.FORWARD
+        init_iv = ir.Interval(ir.AxisBound.start(0), ir.AxisBound.start(1))
+        rest_iv = ir.Interval(ir.AxisBound.start(1), ir.AxisBound.end(0))
+        koff = -1
+    else:
+        order = ir.LoopOrder.BACKWARD
+        init_iv = ir.Interval(ir.AxisBound.end(-1), ir.AxisBound.end(0))
+        rest_iv = ir.Interval(ir.AxisBound.start(0), ir.AxisBound.end(-1))
+        koff = 1
+    subst_init = dict(enumerate(init_exprs))
+    subst_rest = {
+        i: ir.FieldAccess(name=nm, offset=ir.CartesianOffset(i=0, j=0, k=koff))
+        for i, nm in enumerate(out_names)
+    }
+    body_init = _lower_scan_body(lw, typed, out_names, out_dtypes, subst_init)
+    body_rest = _lower_scan_body(lw, typed, out_names, out_dtypes, subst_rest)
+
+    api_params = (
+        [ir.ApiParam(name=n, is_field=True) for n, _, _ in field_params]
+        + [ir.ApiParam(name=nm, is_field=True) for nm in out_names]
+        + [ir.ApiParam(name=n, is_field=False) for n in scalar_params]
+    )
+    stencil = ir.Stencil(
+        name=f"next_scan_{typed.name or 'op'}",
+        api_params=api_params,
+        field_decls=dict(lw.field_decls),
+        scalar_decls=dict(lw.scalar_decls),
+        temp_decls=dict(lw.temp_decls),
+        vertical_loops=[
+            ir.VerticalLoop(
+                order,
+                [
+                    ir.VerticalSection(interval=init_iv, body=body_init),
+                    ir.VerticalSection(interval=rest_iv, body=body_rest),
+                ],
+            )
+        ],
+    )
+
+    try:
+        analysis = analyze(stencil)
+    except Exception as ex:  # validation errors -> embedded fallback
+        raise Ineligible(f"cartesian analysis rejected: {ex}") from ex
+
+    backend = PallasBackend(analysis, {})
+    return ScanBridgePlan(
+        stencil=stencil,
+        analysis=analysis,
+        backend=backend,
+        axis_of=dict(lw.axis_of),
+        field_params=field_params,
+        scalar_params=scalar_params,
+        out_dims=tuple(out_dims),
+        out_names=out_names,
+        out_dtypes=out_dtypes,
+        is_tuple=is_tuple,
+        signature_order=[p.name for p in params],
+    )
+
+
+def run_scan_plan(plan: ScanBridgePlan, args: Tuple[Any, ...]):
+    """Execute a lowered scan on canonical (jax-converted) arguments.
+
+    The result domain replicates the embedded executor's merge: union of
+    field-arg dims in first-seen order, intersection of shared ranges
+    (builtins._merge_domains); inputs are read at zero extent, so there is
+    no extent shrink.  Returns a Field or a tuple of Fields (tuple carry).
+    """
+    import jax.numpy as jnp
+
+    by_name = dict(zip(plan.signature_order, args))
+    fields: Dict[str, Field] = {n: by_name[n] for n, _, _ in plan.field_params}
+    scalars: Dict[str, Any] = {n: by_name[n] for n in plan.scalar_params}
+
+    starts = [None, None, None]
+    stops = [None, None, None]
+    for n, dims, mask in plan.field_params:
+        f = fields[n]
+        for d, r in zip(f.domain.dims, f.domain.ranges):
+            ax = plan.axis_of[d.value]
+            starts[ax] = r.start if starts[ax] is None else max(starts[ax], r.start)
+            stops[ax] = r.stop if stops[ax] is None else min(stops[ax], r.stop)
+
+    out_axes = [plan.axis_of[d.value] for d in plan.out_dims]
+    limit = 1 << 40  # UnitRange.infinite() sentinels are +-1<<60
+    for ax in out_axes:
+        if starts[ax] is None or starts[ax] < -limit or stops[ax] > limit:
+            raise Ineligible("unbounded scan domain")
+        if stops[ax] <= starts[ax]:
+            raise Ineligible("empty scan domain")
+
+    domain = tuple(
+        (stops[ax] - starts[ax]) if starts[ax] is not None else 1
+        for ax in range(3)
+    )
+
+    arrays = {}
+    origins = {}
+    for n, dims, mask in plan.field_params:
+        f = fields[n]
+        axes = [plan.axis_of[d.value] for d in f.domain.dims]
+        perm = sorted(range(len(axes)), key=lambda i: axes[i])
+        data = f.data
+        if perm != list(range(len(axes))):
+            data = jnp.transpose(data, perm)
+        arrays[n] = data
+        full = [0, 0, 0]
+        for ax2 in sorted(axes):
+            r = f.domain.ranges[axes.index(ax2)]
+            full[ax2] = starts[ax2] - r.start
+        origins[n] = tuple(full)
+
+    out_shape = tuple(domain[ax] for ax in sorted(out_axes))
+    for nm, dt in zip(plan.out_names, plan.out_dtypes):
+        arrays[nm] = jnp.zeros(out_shape, dtype=dt)
+        origins[nm] = (0, 0, 0)
+
+    res = plan.backend.apply(arrays, scalars, domain, origins)
+
+    sorted_out = sorted(out_axes)
+    perm = [sorted_out.index(ax) for ax in out_axes]
+    dom = Domain(
+        tuple(plan.out_dims),
+        tuple(UnitRange(starts[ax], stops[ax]) for ax in out_axes),
+    )
+    outs = []
+    for nm in plan.out_names:
+        o = res[nm]
+        if perm != list(range(len(out_axes))):
+            o = jnp.transpose(o, perm)
+        outs.append(Field(dom, o))
+    return tuple(outs) if plan.is_tuple else outs[0]

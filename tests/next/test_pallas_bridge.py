@@ -244,3 +244,167 @@ def test_program_routes_operators_through_bridge():
     prog.with_backend(backends.numpy_oracle)(a, o_r)
     np.testing.assert_allclose(o_p.asnumpy(), o_r.asnumpy(), rtol=1e-12)
     assert "next_op_prog_probe" in pallas_backend.LAST_PLAN
+
+
+# --------------------------------------------------------------------------- #
+# Scan operators -> serial-K cartesian kernels (pallas_bridge.lower_scan_operator)
+# --------------------------------------------------------------------------- #
+
+
+def _check_scan(op, *args, rtol=1e-13):
+    """Compare the pallas-bridged scan against the numpy oracle, values and
+    domains, asserting the kernel path ran (no cartesian fallback)."""
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    ref = op.with_backend(backends.numpy_oracle)(*args)
+    before = len(pallas_backend.FALLBACK_EVENTS)
+    bound = op.with_backend("pallas")
+    got = bound(*args)
+    assert not pallas_backend.FALLBACK_EVENTS[before:]
+    assert bound.__dict__.get("_scan_bridge_plans"), "scan did not lower"
+    assert all(
+        p is not None for p in bound.__dict__["_scan_bridge_plans"].values()
+    ), "scan plan ineligible"
+    for r, g in zip(
+        ref if isinstance(ref, tuple) else (ref,),
+        got if isinstance(got, tuple) else (got,),
+    ):
+        assert _ranges(r) == _ranges(g)
+        assert r.dims == g.dims
+        np.testing.assert_allclose(g.asnumpy(), r.asnumpy(), rtol=rtol, atol=0)
+    return got
+
+
+def test_scan_cumsum_forward():
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def cumsum(carry: gtx.float64, x: gtx.float64) -> gtx.float64:
+        return carry + x
+
+    x = gtx.as_field((I, J, K), _rand((9, 10, 7), 20))
+    _check_scan(cumsum, x)
+
+
+def test_scan_backward_with_scalar_param():
+    @gtx.scan_operator(axis=K, forward=False, init=1.0)
+    def damp(carry: gtx.float64, x: gtx.float64, w: gtx.float64) -> gtx.float64:
+        return carry * w + x
+
+    x = gtx.as_field((I, J, K), _rand((8, 6, 9), 21))
+    _check_scan(damp, x, 0.75)
+
+
+def test_scan_tuple_carry():
+    @gtx.scan_operator(axis=K, forward=True, init=(0.0, 1.0))
+    def ms(carry: tuple[gtx.float64, gtx.float64], x: gtx.float64):
+        s = carry[0] + x
+        p = carry[1] * (x + 0.5)
+        return (s, p)
+
+    x = gtx.as_field((I, J, K), _rand((7, 7, 6), 22))
+    _check_scan(ms, x)
+
+
+def test_scan_where_and_builtins_in_body():
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def relu_sum(carry: gtx.float64, x: gtx.float64) -> gtx.float64:
+        return carry + where(x > 0.5, sqrt(x), maximum(x, 0.25))
+
+    x = gtx.as_field((I, J, K), _rand((6, 8, 5), 23))
+    _check_scan(relu_sum, x)
+
+
+def test_scan_broadcast_arg_without_scan_axis():
+    """A 2D IJ argument broadcasts along K (embedded _merge_domains)."""
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def acc(carry: gtx.float64, x: gtx.float64, g: gtx.float64) -> gtx.float64:
+        return carry + x * g
+
+    x = gtx.as_field((I, J, K), _rand((9, 5, 6), 24))
+    g = gtx.as_field((I, J), _rand((9, 5), 25))
+    _check_scan(acc, x, g)
+
+
+def test_scan_f32_weak_init():
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def cs32(carry: gtx.float32, x: gtx.float32) -> gtx.float32:
+        return carry + x
+
+    x = gtx.as_field((I, J, K), _rand((8, 8, 10), 26, np.float32))
+    got = _check_scan(cs32, x, rtol=1e-6)
+    assert got.dtype == np.float32
+
+
+def test_scan_out_and_program():
+    from gt4py_tpu.cartesian.backend import pallas_backend
+    from gt4py_tpu.next import program
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def csum_prog(carry: gtx.float64, x: gtx.float64) -> gtx.float64:
+        return carry + x
+
+    @program
+    def prog(x: F64, o: F64):
+        csum_prog(x, out=o)
+
+    x = gtx.as_field((I, J, K), _rand((10, 6, 5), 27))
+    o_p = gtx.as_field((I, J, K), np.zeros((10, 6, 5)))
+    o_r = gtx.as_field((I, J, K), np.zeros((10, 6, 5)))
+    prog.with_backend("pallas")(x, o_p)
+    prog.with_backend(backends.numpy_oracle)(x, o_r)
+    np.testing.assert_allclose(o_p.asnumpy(), o_r.asnumpy(), rtol=1e-13)
+    assert "next_scan_csum_prog" in pallas_backend.LAST_PLAN
+
+
+def test_scan_tridiagonal_thomas():
+    """Thomas algorithm as two scans (tuple-carry forward elimination +
+    backward substitution) -- the canonical serial-K kernel; reference
+    pattern: test_execution.py solve_nonhydro_stencil-style scans."""
+
+    @gtx.scan_operator(axis=K, forward=True, init=(0.0, 0.0))
+    def fwd(carry: tuple[gtx.float64, gtx.float64], a: gtx.float64,
+            b: gtx.float64, c: gtx.float64, d: gtx.float64):
+        denom = b - a * carry[0]
+        cp = c / denom
+        dp = (d - a * carry[1]) / denom
+        return (cp, dp)
+
+    @gtx.scan_operator(axis=K, forward=False, init=0.0)
+    def bwd(carry: gtx.float64, cp: gtx.float64, dp: gtx.float64) -> gtx.float64:
+        return dp - cp * carry
+
+    rng = np.random.default_rng(28)
+    shape = (6, 7, 12)
+    a = gtx.as_field((I, J, K), rng.random(shape))
+    b = gtx.as_field((I, J, K), rng.random(shape) + 4.0)  # diag dominant
+    c = gtx.as_field((I, J, K), rng.random(shape))
+    d = gtx.as_field((I, J, K), rng.random(shape))
+
+    cp_r, dp_r = fwd.with_backend(backends.numpy_oracle)(a, b, c, d)
+    x_r = bwd.with_backend(backends.numpy_oracle)(cp_r, dp_r)
+    cp_g, dp_g = fwd.with_backend("pallas")(a, b, c, d)
+    x_g = bwd.with_backend("pallas")(cp_g, dp_g)
+    np.testing.assert_allclose(x_g.asnumpy(), x_r.asnumpy(), rtol=1e-12)
+
+    # and the solution actually solves the system
+    A, B, C, D, X = (v.asnumpy() for v in (a, b, c, d, x_g))
+    res = B * X
+    res[:, :, 1:] += A[:, :, 1:] * X[:, :, :-1]
+    res[:, :, :-1] += C[:, :, :-1] * X[:, :, 1:]
+    np.testing.assert_allclose(res, D, rtol=1e-10)
+
+
+def test_scan_unstructured_falls_back():
+    """Scans over non-vertical / unstructured dims keep the embedded path."""
+    from gt4py_tpu.next.testing import Vertex, simple_mesh_case
+
+    case, mesh = simple_mesh_case(allocator="jax")
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def vsum(carry: gtx.float64, x: gtx.float64) -> gtx.float64:
+        return carry + x
+
+    x = gtx.as_field((Vertex, K), _rand((mesh.n_vertices, 4), 29))
+    ref = vsum.with_backend(backends.numpy_oracle)(x)
+    got = vsum.with_backend("pallas")(x)  # Vertex dim -> Ineligible -> embedded
+    np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=1e-13)

@@ -395,3 +395,56 @@ def test_shallow_water_step_on_chip_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6, err_msg=name
         )
+
+
+def test_next_scan_bridge_on_chip():
+    """next scan operators lowered to serial-K Mosaic kernels
+    (pallas_bridge.lower_scan_operator): tuple-carry forward elimination +
+    backward substitution (Thomas), f32 aligned geometry, vs the oracle."""
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import backends
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+
+    @gtx.scan_operator(axis=K, forward=True, init=(0.0, 0.0))
+    def fwd(carry: tuple[gtx.float32, gtx.float32], a: gtx.float32,
+            b: gtx.float32, c: gtx.float32, d: gtx.float32):
+        denom = b - a * carry[0]
+        cp = c / denom
+        dp = (d - a * carry[1]) / denom
+        return (cp, dp)
+
+    @gtx.scan_operator(axis=K, forward=False, init=0.0)
+    def bwd(carry: gtx.float32, cp: gtx.float32, dp: gtx.float32) -> gtx.float32:
+        return dp - cp * carry
+
+    rng = np.random.default_rng(7)
+    shape = (16, 128, 64)  # (8,128)-aligned IJ, serial K
+    mk = lambda v: gtx.as_field((I, J, K), v.astype(np.float32))
+    a = mk(rng.random(shape))
+    b = mk(rng.random(shape) + 4.0)
+    c = mk(rng.random(shape))
+    d = mk(rng.random(shape))
+
+    before = len(pallas_backend.FALLBACK_EVENTS)
+    cp_g, dp_g = fwd.with_backend("pallas")(a, b, c, d)
+    x_g = bwd.with_backend("pallas")(cp_g, dp_g)
+    assert not pallas_backend.FALLBACK_EVENTS[before:]
+    assert "next_scan_fwd" in pallas_backend.LAST_PLAN
+    assert "next_scan_bwd" in pallas_backend.LAST_PLAN
+
+    cp_r, dp_r = fwd.with_backend(backends.numpy_oracle)(a, b, c, d)
+    x_r = bwd.with_backend(backends.numpy_oracle)(cp_r, dp_r)
+    # XLA compiles with excess-precision FMA fusion (CLAUDE.md): per-level
+    # f32 ulp differences amplify through the 64-level recurrence, and
+    # near-zero solution values inflate the RELATIVE error -- compare with
+    # an absolute floor at the solution scale (|x| ~ 0.1, diff ~ 5e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_g.asnumpy(), np.float64),
+        np.asarray(x_r.asnumpy(), np.float64),
+        rtol=1e-4,
+        atol=1e-5,
+    )
