@@ -113,10 +113,10 @@ class BridgePlan:
     #: per field param: (name, dims tuple as declared, (has_i, has_j, has_k))
     field_params: List[Tuple[str, Tuple[Dimension, ...], Tuple[bool, bool, bool]]]
     scalar_params: List[str]
-    #: return field dims (declared order) and dtype
-    out_dims: Tuple[Dimension, ...]
-    out_mask: Tuple[bool, bool, bool]
-    out_dtype: np.dtype
+    #: one entry per returned field (several for tuple returns):
+    #: (out name, dims in declared order, axis mask, dtype)
+    outs: List[Tuple[str, Tuple[Dimension, ...], Tuple[bool, bool, bool], np.dtype]]
+    is_tuple: bool
     #: parameter names in the operator's declared signature order
     signature_order: List[str] = dataclasses.field(default_factory=list)
 
@@ -502,54 +502,105 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         )
         body.append(ir.Assign(target=ir.FieldAccess(name=tname), value=expr))
     ret = stmts[-1]
-    ret_type = ret.value.type
-    if not isinstance(ret_type, ts.FieldType):
-        raise Ineligible("non-field return")
-    lw._register_dims(ret_type.dims)
-    out_dims = lw.dims_of(ret.value)
-    if out_dims is None or set(d.value for d in out_dims) != set(
-        d.value for d in ret_type.dims
-    ):
-        raise Ineligible("cannot replicate the result dims order")
-    out_mask = lw._mask(ret_type.dims)
-    out_dtype = _np_dtype(ret_type)
-    lw.field_decls["__out"] = ir.FieldDecl(
-        name="__out", dtype=out_dtype, dimensions=out_mask
-    )
-    body.append(
-        ir.Assign(target=ir.FieldAccess(name="__out"), value=lw._expr(ret.value))
-    )
+    rv = ret.value
+    if isinstance(rv, fvir.TupleExpr):
+        members = list(rv.elts)
+        is_tuple = True
+        if not members:
+            raise Ineligible("empty tuple return")
+    elif isinstance(rv.type, ts.TupleType):
+        raise Ineligible("tuple return is not a tuple literal")
+    else:
+        members = [rv]
+        is_tuple = False
 
-    api_params = (
-        [ir.ApiParam(name=n, is_field=True) for n, _, _ in field_params]
-        + [ir.ApiParam(name="__out", is_field=True)]
-        + [ir.ApiParam(name=n, is_field=False) for n in scalar_params]
-    )
-    stencil = ir.Stencil(
-        name=f"next_{typed.name or 'op'}",
-        api_params=api_params,
-        field_decls=dict(lw.field_decls),
-        scalar_decls=dict(lw.scalar_decls),
-        temp_decls=dict(lw.temp_decls),
-        vertical_loops=[
-            ir.VerticalLoop(
-                ir.LoopOrder.PARALLEL,
-                [
-                    ir.VerticalSection(
-                        interval=ir.Interval(
-                            ir.AxisBound.start(0), ir.AxisBound.end(0)
-                        ),
-                        body=body,
-                    )
-                ],
-            )
-        ],
-    )
+    outs: List[Tuple[str, Tuple[Dimension, ...], Tuple[bool, bool, bool], np.dtype]] = []
+    out_exprs: List[ir.Expr] = []
+    for i, m in enumerate(members):
+        mt = m.type
+        if not isinstance(mt, ts.FieldType):
+            raise Ineligible("non-field return")
+        lw._register_dims(mt.dims)
+        m_dims = lw.dims_of(m)
+        if m_dims is None or set(d.value for d in m_dims) != set(
+            d.value for d in mt.dims
+        ):
+            raise Ineligible("cannot replicate the result dims order")
+        nm = f"__out_{i}" if is_tuple else "__out"
+        mask = lw._mask(mt.dims)
+        dt = _np_dtype(mt)
+        lw.field_decls[nm] = ir.FieldDecl(name=nm, dtype=dt, dimensions=mask)
+        outs.append((nm, m_dims, mask, dt))
+        out_exprs.append(lw._expr(m))
+
+    def _build(body_stmts, out_names):
+        api = (
+            [ir.ApiParam(name=n, is_field=True) for n, _, _ in field_params]
+            + [ir.ApiParam(name=nm, is_field=True) for nm in out_names]
+            + [ir.ApiParam(name=n, is_field=False) for n in scalar_params]
+        )
+        decls = {
+            k: v
+            for k, v in lw.field_decls.items()
+            if not k.startswith("__out") or k in out_names
+        }
+        return ir.Stencil(
+            name=f"next_{typed.name or 'op'}",
+            api_params=api,
+            field_decls=decls,
+            scalar_decls=dict(lw.scalar_decls),
+            temp_decls=dict(lw.temp_decls),
+            vertical_loops=[
+                ir.VerticalLoop(
+                    ir.LoopOrder.PARALLEL,
+                    [
+                        ir.VerticalSection(
+                            interval=ir.Interval(
+                                ir.AxisBound.start(0), ir.AxisBound.end(0)
+                            ),
+                            body=body_stmts,
+                        )
+                    ],
+                )
+            ],
+        )
+
+    full_body = body + [
+        ir.Assign(target=ir.FieldAccess(name=nm), value=ex)
+        for (nm, _, _, _), ex in zip(outs, out_exprs)
+    ]
+    stencil = _build(full_body, [nm for nm, _, _, _ in outs])
 
     try:
         analysis = analyze(stencil)
     except Exception as ex:  # validation errors -> embedded fallback
         raise Ineligible(f"cartesian analysis rejected: {ex}") from ex
+
+    if is_tuple:
+        # the fused kernel has ONE compute domain, but the embedded
+        # executor gives each tuple member its OWN domain (shrunk by that
+        # member's reads only) -- fuse only when every member provably
+        # yields the same domain for any argument domains: identical
+        # per-member read-extent maps (same field set, same extents)
+        ref_ext = None
+        for (nm, _, _, _), ex in zip(outs, out_exprs):
+            mini = _build(
+                body + [ir.Assign(target=ir.FieldAccess(name=nm), value=ex)],
+                [nm],
+            )
+            try:
+                m_ana = analyze(mini)
+            except Exception as exc:
+                raise Ineligible(f"cartesian analysis rejected: {exc}") from exc
+            m_ext = {
+                n: (e.i, e.j, e.k)
+                for n, e in m_ana.extents.field_extents.items()
+                if n in {fp[0] for fp in field_params}
+            }
+            if ref_ext is None:
+                ref_ext = m_ext
+            elif m_ext != ref_ext:
+                raise Ineligible("tuple members with differing read extents")
 
     # the runner maps read extents to domain shrink exactly like the
     # embedded executor; an extent not containing 0 would need negative
@@ -570,9 +621,8 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         axis_of=dict(lw.axis_of),
         field_params=field_params,
         scalar_params=scalar_params,
-        out_dims=out_dims,
-        out_mask=out_mask,
-        out_dtype=out_dtype,
+        outs=outs,
+        is_tuple=is_tuple,
         signature_order=[p.name for p in typed.params],
     )
 
@@ -617,12 +667,15 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
             starts[ax] = rs if starts[ax] is None else max(starts[ax], rs)
             stops[ax] = rt if stops[ax] is None else min(stops[ax], rt)
 
-    out_axes = [plan.axis_of[d.value] for d in plan.out_dims]
-    for ax in out_axes:
-        if starts[ax] is None:
-            raise Ineligible("output dimension unconstrained by any input")
-        if stops[ax] <= starts[ax]:
-            raise Ineligible("empty output domain")
+    axes_per_out = [
+        [plan.axis_of[d.value] for d in dims] for _, dims, _, _ in plan.outs
+    ]
+    for out_axes in axes_per_out:
+        for ax in out_axes:
+            if starts[ax] is None:
+                raise Ineligible("output dimension unconstrained by any input")
+            if stops[ax] <= starts[ax]:
+                raise Ineligible("empty output domain")
 
     domain = tuple(
         (stops[ax] - starts[ax]) if starts[ax] is not None else 1
@@ -651,22 +704,25 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
             full[ax] = o
         origins[n] = tuple(full)
 
-    out_shape = tuple(domain[ax] for ax in sorted(out_axes))
-    arrays["__out"] = jnp.zeros(out_shape, dtype=plan.out_dtype)
-    origins["__out"] = (0, 0, 0)
+    for (nm, _, _, dt), out_axes in zip(plan.outs, axes_per_out):
+        arrays[nm] = jnp.zeros(
+            tuple(domain[ax] for ax in sorted(out_axes)), dtype=dt
+        )
+        origins[nm] = (0, 0, 0)
 
     res = plan.backend.apply(arrays, scalars, domain, origins)
-    out = res["__out"]
 
-    # back to the declared return dims order
-    sorted_out = sorted(out_axes)
-    perm = [sorted_out.index(ax) for ax in out_axes]
-    if perm != list(range(len(out_axes))):
-        out = jnp.transpose(out, perm)
-    ranges = tuple(
-        UnitRange(starts[ax], stops[ax]) for ax in out_axes
-    )
-    return Field(Domain(tuple(plan.out_dims), ranges), out)
+    results = []
+    for (nm, dims, _, _), out_axes in zip(plan.outs, axes_per_out):
+        out = res[nm]
+        # back to the declared return dims order
+        sorted_out = sorted(out_axes)
+        perm = [sorted_out.index(ax) for ax in out_axes]
+        if perm != list(range(len(out_axes))):
+            out = jnp.transpose(out, perm)
+        ranges = tuple(UnitRange(starts[ax], stops[ax]) for ax in out_axes)
+        results.append(Field(Domain(tuple(dims), ranges), out))
+    return tuple(results) if plan.is_tuple else results[0]
 
 
 # --------------------------------------------------------------------------- #

@@ -408,3 +408,79 @@ def test_scan_unstructured_falls_back():
     ref = vsum.with_backend(backends.numpy_oracle)(x)
     got = vsum.with_backend("pallas")(x)  # Vertex dim -> Ineligible -> embedded
     np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=1e-13)
+
+
+# ------------------------- tuple-returning operators ------------------------ #
+
+
+def test_tuple_return_fused_kernel():
+    """Tuple members with identical read extents fuse into ONE kernel."""
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    @gtx.field_operator
+    def fluxes(a: F64):
+        lap = a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+        fx = lap * 0.5 + a
+        fy = lap * 0.25 - a
+        return (fx, fy)
+
+    a = gtx.as_field((I, J, K), _rand((14, 12, 5), 30))
+    rx, ry = fluxes.with_backend(backends.numpy_oracle)(a)
+    before = len(pallas_backend.FALLBACK_EVENTS)
+    gx, gy = fluxes.with_backend("pallas")(a)
+    assert not pallas_backend.FALLBACK_EVENTS[before:]
+    assert "next_fluxes" in pallas_backend.LAST_PLAN
+    for r, g in ((rx, gx), (ry, gy)):
+        assert _ranges(r) == _ranges(g)
+        np.testing.assert_allclose(g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0)
+
+
+def test_tuple_return_mixed_dtypes():
+    @gtx.field_operator
+    def two(a: F64):
+        return (a * 2.0, astype(a, gtx.float32))
+
+    a = gtx.as_field((I, J, K), _rand((8, 8, 4), 31))
+    r0, r1 = two.with_backend(backends.numpy_oracle)(a)
+    g0, g1 = two.with_backend("pallas")(a)
+    assert g1.dtype == np.float32
+    np.testing.assert_allclose(g0.asnumpy(), r0.asnumpy(), rtol=1e-12)
+    np.testing.assert_allclose(g1.asnumpy(), r1.asnumpy(), rtol=1e-6)
+
+
+def test_tuple_return_differing_extents_falls_back():
+    """Members whose domains would differ keep the embedded path (each
+    tuple member gets its OWN domain there)."""
+
+    @gtx.field_operator
+    def uneven(a: F64):
+        return (a(Ioff[1]) - a, a(Joff[1]) - a)
+
+    a = gtx.as_field((I, J, K), _rand((9, 9, 3), 32))
+    assert _bridge_plan_of(uneven, a) is None
+    r0, r1 = uneven.with_backend(backends.numpy_oracle)(a)
+    g0, g1 = uneven.with_backend("pallas")(a)  # transparent fallback
+    assert _ranges(r0) == _ranges(g0) and _ranges(r1) == _ranges(g1)
+    np.testing.assert_allclose(g0.asnumpy(), r0.asnumpy(), rtol=1e-13)
+    np.testing.assert_allclose(g1.asnumpy(), r1.asnumpy(), rtol=1e-13)
+
+
+def test_tuple_return_out_in_program():
+    from gt4py_tpu.next import program
+
+    @gtx.field_operator
+    def pair(a: F64):
+        m = a(Ioff[1]) + a(Ioff[-1]) - 2.0 * a
+        return (m + a, m - a)
+
+    @program
+    def prog(a: F64, o1: F64, o2: F64):
+        pair(a, out=(o1[1:-1], o2[1:-1]))
+
+    a = gtx.as_field((I, J, K), _rand((12, 7, 4), 33))
+    zeros = lambda: gtx.as_field((I, J, K), np.zeros((12, 7, 4)))
+    o1p, o2p, o1r, o2r = zeros(), zeros(), zeros(), zeros()
+    prog.with_backend("pallas")(a, o1p, o2p)
+    prog.with_backend(backends.numpy_oracle)(a, o1r, o2r)
+    np.testing.assert_allclose(o1p.asnumpy(), o1r.asnumpy(), rtol=1e-12)
+    np.testing.assert_allclose(o2p.asnumpy(), o2r.asnumpy(), rtol=1e-12)
