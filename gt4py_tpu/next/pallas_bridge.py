@@ -130,23 +130,50 @@ def _np_dtype(t) -> np.dtype:
 
 
 class _Lowerer:
-    def __init__(self, typed: fvir.OperatorIR):
+    """Lowers one operator scope; operator CALLS inline through child
+    lowerers that share the root's declarations/axis map but keep their
+    own name scope (param substitutions, renamed temps, callee closure)."""
+
+    def __init__(self, typed: fvir.OperatorIR, parent: "_Lowerer" = None):
         self.typed = typed
         #: scan mode: the carry parameter's name, and the per-element
         #: substitution (element index -> ir.Expr; scalar carries use 0)
         self.carry_name: Optional[str] = None
         self.carry_subst: Dict[int, ir.Expr] = {}
-        self.axis_of: Dict[str, int] = {}
+        # per-scope name environment
         self.field_names: set = set()
         self.scalar_names: set = set()
-        self.temp_decls: Dict[str, ir.FieldDecl] = {}
-        self.field_decls: Dict[str, ir.FieldDecl] = {}
-        self.scalar_decls: Dict[str, ir.ScalarDecl] = {}
+        #: callee temps renamed to collision-free stencil temp names
+        self.rename: Dict[str, str] = {}
+        #: callee params bound to caller-side lowered expressions
+        self.param_subst: Dict[str, ir.Expr] = {}
         #: runtime dims ORDER per field-valued name (the embedded executor
         #: merges dims in first-seen operand order, which the type
         #: deduction canonicalizes away -- results must match the
         #: embedded backend's order exactly)
         self.dims_env: Dict[str, Tuple[Dimension, ...]] = {}
+        if parent is None:
+            self.axis_of: Dict[str, int] = {}
+            self.temp_decls: Dict[str, ir.FieldDecl] = {}
+            self.field_decls: Dict[str, ir.FieldDecl] = {}
+            self.scalar_decls: Dict[str, ir.ScalarDecl] = {}
+            #: hoisted temp assignments (inlined callee bodies,
+            #: materialized shift bases) flushed before the statement
+            #: whose expression produced them
+            self.pending: List[ir.Stmt] = []
+            #: embedded dims order per inlined Call node (by identity)
+            self.call_dims: Dict[int, Optional[Tuple[Dimension, ...]]] = {}
+            self._uid = [0]
+            self._depth = 0
+        else:
+            self.axis_of = parent.axis_of
+            self.temp_decls = parent.temp_decls
+            self.field_decls = parent.field_decls
+            self.scalar_decls = parent.scalar_decls
+            self.pending = parent.pending
+            self.call_dims = parent.call_dims
+            self._uid = parent._uid
+            self._depth = parent._depth + 1
 
     # ---- dimension bookkeeping ---- #
 
@@ -176,7 +203,9 @@ class _Lowerer:
     # ---- expression lowering ---- #
 
     def _resolve_name(self, node: fvir.Name):
-        if node.id in self.field_names or node.id in self.temp_decls:
+        if node.id in self.rename:  # this scope's (possibly renamed) temps
+            return ("field", self.rename[node.id])
+        if node.id in self.field_names:
             return ("field", node.id)
         if node.id in self.scalar_names:
             return ("scalar", node.id)
@@ -205,6 +234,8 @@ class _Lowerer:
                     raise Ineligible(f"carry subscript {idx!r}")
                 return self.carry_subst[idx]
         if isinstance(node, fvir.Name):
+            if node.id in self.param_subst:
+                return self.param_subst[node.id]
             kind, v = self._resolve_name(node)
             if kind == "field":
                 return ir.FieldAccess(name=v)
@@ -299,6 +330,8 @@ class _Lowerer:
         if isinstance(node, fvir.BoolOp):
             return self._merge_dims(*(self.dims_of(v) for v in node.values))
         if isinstance(node, fvir.Call):
+            if id(node) in self.call_dims:  # inlined operator call
+                return self.call_dims[id(node)]
             if node.kwargs:
                 raise Ineligible("call with keyword arguments")
             ftype = node.func.type
@@ -386,7 +419,13 @@ class _Lowerer:
             di, dj, dk = self._offset_of_args(node)
             base = self._expr(node.func)
             if not isinstance(base, ir.FieldAccess):
-                raise Ineligible("shift of a non-field expression")
+                # shifted inlined-call results / computed fields read at
+                # offsets through a materialized temporary (the cartesian
+                # on-the-fly form -- same extent math as the embedded
+                # executor's field-then-shift)
+                base = self._materialize(
+                    base, _np_dtype(ftype), self.dims_of(node.func)
+                )
             o = base.offset
             if not isinstance(o, ir.CartesianOffset):
                 raise Ineligible("chained non-cartesian offset")
@@ -404,6 +443,12 @@ class _Lowerer:
                     name = bname
                     break
             if name is None:
+                from .ffront import FieldOperator, ScanOperator
+
+                if isinstance(fn, FieldOperator) and not isinstance(
+                    fn, ScanOperator
+                ):
+                    return self._inline_call(fn, node)
                 raise Ineligible(f"call of '{node.func.id}'")
             okind = getattr(node, "operand_kind", None)
             if name == "where":
@@ -437,6 +482,126 @@ class _Lowerer:
                 return ir.NativeFuncCall(func=nf, args=args)
             raise Ineligible(f"builtin '{name}'")
         raise Ineligible(f"call of {ftype}")
+
+    # ---- operator-call inlining ---- #
+
+    def _fresh(self, base: str) -> str:
+        self._uid[0] += 1
+        return f"__inl{self._uid[0]}_{base}"
+
+    def _materialize(
+        self,
+        expr: ir.Expr,
+        dtype: np.dtype,
+        dims: Optional[Tuple[Dimension, ...]],
+    ) -> ir.FieldAccess:
+        """Hoist a computed field expression into a stencil temporary
+        (assignment flushed before the consuming statement) so it can be
+        read at offsets or bound to a callee parameter."""
+        tname = self._fresh("val")
+        self.temp_decls[tname] = ir.FieldDecl(
+            name=tname, dtype=dtype, dimensions=(True, True, True), is_api=False
+        )
+        self.pending.append(
+            ir.Assign(target=ir.FieldAccess(name=tname), value=expr)
+        )
+        if dims is not None:
+            self.dims_env[tname] = dims
+        return ir.FieldAccess(name=tname)
+
+    def _inline_call(self, fn, node: fvir.Call) -> ir.Expr:
+        """Inline a called field operator's body: its params bind to the
+        caller-side lowered argument expressions (complex field args
+        materialize to temporaries so offsets compose), its temporaries
+        get collision-free names, and the call's value is the callee's
+        lowered return expression.  The embedded executor computes the
+        callee on its own shrunk domain; the cartesian extent analysis
+        over the inlined form yields the same domain math."""
+        if self._depth >= 8:
+            raise Ineligible("operator call inlining too deep")
+        try:
+            callee, _ = fn._typed_for(tuple(a.type for a in node.args))
+        except Ineligible:
+            raise
+        except Exception as ex:
+            raise Ineligible(f"callee typing failed: {ex}") from ex
+        if callee.kind != "field_operator":
+            raise Ineligible(callee.kind)
+        if len(callee.params) != len(node.args):
+            raise Ineligible("operator call arity mismatch")
+
+        child = _Lowerer(callee, parent=self)
+        for p, a in zip(callee.params, node.args):
+            at = a.type
+            e = self._expr(a)
+            if isinstance(at, ts.FieldType):
+                if not isinstance(e, ir.FieldAccess):
+                    e = self._materialize(e, _np_dtype(at), self.dims_of(a))
+                child.param_subst[p.name] = e
+                child.dims_env[p.name] = self.dims_of(a)
+            elif isinstance(at, ts.ScalarType):
+                child.param_subst[p.name] = e
+            else:
+                raise Ineligible(f"operator call argument of type {at}")
+
+        stmts = list(callee.body)
+        if not stmts or not isinstance(stmts[-1], fvir.Return):
+            raise Ineligible("callee body must end in a return")
+        for st in stmts[:-1]:
+            if (
+                not isinstance(st, fvir.Assign)
+                or st.unpack
+                or len(st.targets) != 1
+            ):
+                raise Ineligible(f"callee statement {type(st).__name__}")
+            if not isinstance(st.value.type, ts.FieldType):
+                raise Ineligible("non-field callee temporary")
+            expr = child._expr(st.value)
+            dims = child.dims_of(st.value)
+            tname = st.targets[0]
+            new = self._fresh(tname)
+            self.temp_decls[new] = ir.FieldDecl(
+                name=new,
+                dtype=_np_dtype(st.value.type),
+                dimensions=(True, True, True),
+                is_api=False,
+            )
+            self.pending.append(
+                ir.Assign(target=ir.FieldAccess(name=new), value=expr)
+            )
+            child.rename[tname] = new
+            child.dims_env[tname] = dims or ()
+        ret = stmts[-1]
+        if not isinstance(ret.value.type, ts.FieldType):
+            raise Ineligible("non-field callee return")
+        out = child._expr(ret.value)
+        self.call_dims[id(node)] = child.dims_of(ret.value)
+        return out
+
+
+def _demand_slice(
+    stmts: List[ir.Stmt], root: ir.Expr, temp_decls: Dict[str, ir.FieldDecl]
+) -> List[ir.Stmt]:
+    """The backward demand slice of a straight-line assignment list: only
+    statements (transitively) feeding the temporaries read by ``root``.
+    Respects reassignment order (a kept statement re-demands its own
+    target when it reads it, e.g. ``flx = where(c, 0.0, flx)``)."""
+    need = {
+        a.name for a in ir.field_accesses(root) if a.name in temp_decls
+    }
+    keep: List[ir.Stmt] = []
+    for st in reversed(stmts):
+        t = getattr(getattr(st, "target", None), "name", None)
+        if t in need:
+            need.discard(t)
+            keep.append(st)
+            need |= {
+                a.name
+                for a in ir.field_accesses(st.value)
+                if a.name in temp_decls
+            }
+    keep.reverse()
+    return keep
 
 
 def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
@@ -500,6 +665,9 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
             dimensions=(True, True, True),
             is_api=False,
         )
+        lw.rename[tname] = tname
+        body.extend(lw.pending)  # hoisted inlined-callee statements
+        lw.pending.clear()
         body.append(ir.Assign(target=ir.FieldAccess(name=tname), value=expr))
     ret = stmts[-1]
     rv = ret.value
@@ -521,6 +689,7 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         if not isinstance(mt, ts.FieldType):
             raise Ineligible("non-field return")
         lw._register_dims(mt.dims)
+        ex = lw._expr(m)  # before dims_of: inlined calls cache their dims
         m_dims = lw.dims_of(m)
         if m_dims is None or set(d.value for d in m_dims) != set(
             d.value for d in mt.dims
@@ -531,7 +700,9 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         dt = _np_dtype(mt)
         lw.field_decls[nm] = ir.FieldDecl(name=nm, dtype=dt, dimensions=mask)
         outs.append((nm, m_dims, mask, dt))
-        out_exprs.append(lw._expr(m))
+        out_exprs.append(ex)
+    body.extend(lw.pending)  # hoisted statements from the return exprs
+    lw.pending.clear()
 
     def _build(body_stmts, out_names):
         api = (
@@ -584,8 +755,12 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         # per-member read-extent maps (same field set, same extents)
         ref_ext = None
         for (nm, _, _, _), ex in zip(outs, out_exprs):
+            # demand-slice the body to THIS member's dag: the extent sweep
+            # is not demand-driven, so statements dead for this member
+            # would pollute its extents with their zero-extent reads
             mini = _build(
-                body + [ir.Assign(target=ir.FieldAccess(name=nm), value=ex)],
+                _demand_slice(body, ex, lw.temp_decls)
+                + [ir.Assign(target=ir.FieldAccess(name=nm), value=ex)],
                 [nm],
             )
             try:
@@ -779,15 +954,17 @@ def _lower_scan_body(
         tname = st.targets[0]
         if tname in lw.field_names or tname in lw.scalar_names:
             raise Ineligible("parameter reassignment")
-        body.append(
-            ir.Assign(target=ir.FieldAccess(name=tname), value=lw._expr(st.value))
-        )
+        expr = lw._expr(st.value)
+        body.extend(lw.pending)
+        lw.pending.clear()
+        body.append(ir.Assign(target=ir.FieldAccess(name=tname), value=expr))
         lw.temp_decls[tname] = ir.FieldDecl(
             name=tname,
             dtype=np.dtype(t.kind),
             dimensions=(True, True, True),
             is_api=False,
         )
+        lw.rename[tname] = tname
     rv = stmts[-1].value
     if len(out_names) == 1:
         elts = [rv]
@@ -800,6 +977,8 @@ def _lower_scan_body(
         if not isinstance(et, ts.ScalarType):
             raise Ineligible("non-scalar scan return element")
         ex = lw._expr(e)
+        body.extend(lw.pending)
+        lw.pending.clear()
         if np.dtype(et.kind) != dt:
             ex = ir.Cast(dtype=dt, expr=ex)
         body.append(ir.Assign(target=ir.FieldAccess(name=name), value=ex))

@@ -484,3 +484,94 @@ def test_tuple_return_out_in_program():
     prog.with_backend(backends.numpy_oracle)(a, o1r, o2r)
     np.testing.assert_allclose(o1p.asnumpy(), o1r.asnumpy(), rtol=1e-12)
     np.testing.assert_allclose(o2p.asnumpy(), o2r.asnumpy(), rtol=1e-12)
+
+
+# ------------------------- operator-call inlining --------------------------- #
+
+
+@gtx.field_operator
+def _lap(a: F64) -> F64:
+    return a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+
+
+def test_inline_operator_composition():
+    """lap(lap(a)) inlines into ONE fused kernel with composed extents."""
+
+    @gtx.field_operator
+    def laplap(a: F64) -> F64:
+        return _lap(_lap(a))
+
+    a = gtx.as_field((I, J, K), _rand((14, 13, 4), 40))
+    got = _check(laplap, a)
+    assert _ranges(got) == [(2, 12), (2, 11), (0, 4)]
+
+
+def test_inline_complex_arg_materializes():
+    """A computed field argument binds through a hoisted temporary."""
+
+    @gtx.field_operator
+    def mixed(a: F64, w: gtx.float64) -> F64:
+        l = _lap(a * w + 1.0)
+        return l(Ioff[1]) - l
+
+    a = gtx.as_field((I, J, K), _rand((12, 12, 3), 41))
+    _check(mixed, a, 0.3)
+
+
+def test_inline_shifted_call_result():
+    """Shifting a call result reads the materialized temp at the offset."""
+
+    @gtx.field_operator
+    def sc(a: F64) -> F64:
+        return _lap(a)(Ioff[1]) - _lap(a)
+
+    a = gtx.as_field((I, J, K), _rand((11, 11, 3), 42))
+    _check(sc, a)
+
+
+def test_inline_nested_two_levels():
+    @gtx.field_operator
+    def outer1(a: F64) -> F64:
+        return _lap(a) * 0.5
+
+    @gtx.field_operator
+    def outer2(a: F64) -> F64:
+        return outer1(a(Ioff[1])) + outer1(a)
+
+    a = gtx.as_field((I, J, K), _rand((13, 10, 3), 43))
+    _check(outer2, a)
+
+
+def test_inline_name_collision_with_caller_temp():
+    """Callee temp names must not capture same-named caller temps."""
+
+    @gtx.field_operator
+    def helper(x: F64) -> F64:
+        t = x(Ioff[1]) - x
+        return t * 2.0
+
+    @gtx.field_operator
+    def caller(a: F64) -> F64:
+        t = a * 3.0
+        return helper(t) + t
+
+    a = gtx.as_field((I, J, K), _rand((10, 9, 3), 44))
+    _check(caller, a)
+
+
+def test_inline_scan_call_falls_back():
+    """Scan-operator calls inside field operators keep the embedded path."""
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def csum(carry: gtx.float64, x: gtx.float64) -> gtx.float64:
+        return carry + x
+
+    @gtx.field_operator
+    def uses_scan(a: F64) -> F64:
+        return csum(a) + a
+
+    a = gtx.as_field((I, J, K), _rand((8, 8, 5), 45))
+    assert _bridge_plan_of(uses_scan, a) is None
+    ref = uses_scan.with_backend(backends.numpy_oracle)(a)
+    got = uses_scan.with_backend("pallas")(a)
+    np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=1e-13)
