@@ -368,6 +368,69 @@ def bench_tpu_next_hdiff_pallas():
     return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
 
 
+def bench_tpu_next_tridiag(pallas: bool):
+    """next-DSL tridiagonal solve (tuple-carry forward elimination +
+    backward substitution scan operators) at 512^2 x 80 f32: the scan
+    bridge lowers both scans to serial-K mode-B Mosaic kernels
+    (next/pallas_bridge.lower_scan_operator); ``pallas=False`` times the
+    same operators on the jit-staged embedded lax.scan path."""
+    import jax
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import backends
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+
+    @gtx.scan_operator(axis=K, forward=True, init=(0.0, 0.0))
+    def tri_fwd(carry: tuple[gtx.float32, gtx.float32], a: gtx.float32,
+                b: gtx.float32, c: gtx.float32, d: gtx.float32):
+        denom = b - a * carry[0]
+        cp = c / denom
+        dp = (d - a * carry[1]) / denom
+        return (cp, dp)
+
+    @gtx.scan_operator(axis=K, forward=False, init=0.0)
+    def tri_bwd(carry: gtx.float32, cp: gtx.float32,
+                dp: gtx.float32) -> gtx.float32:
+        return dp - cp * carry
+
+    be = "pallas" if pallas else backends.jax_jit
+    fwd_b = tri_fwd.with_backend(be)
+    bwd_b = tri_bwd.with_backend(be)
+
+    rng = np.random.default_rng(9)
+    mk = lambda off: gtx.as_field(
+        (I, J, K), jnp.asarray(rng.random((NI, NJ, NK)).astype(DTYPE) + off)
+    )
+    a, b, c = mk(0.0), mk(4.0), mk(0.0)
+    d0 = jnp.asarray(rng.random((NI, NJ, NK)).astype(DTYPE))
+
+    def solve(dd):
+        cp, dp = fwd_b(a, b, c, gtx.as_field((I, J, K), dd))
+        return bwd_b(cp, dp).data
+
+    def timed(iters):
+        @jax.jit
+        def run(dd):
+            return jnp.sum(
+                jax.lax.fori_loop(0, iters, lambda _, v: solve(v), dd)
+            )
+
+        float(run(d0))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(d0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    i1, i2 = 3, 15
+    return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
+
+
 def bench_tpu_shallow_water():
     """Multi-layer C-grid shallow water at 512^2 x 80 (one fused kernel:
     momentum + forward-backward continuity, periodic wrap in the DMA)."""
@@ -642,6 +705,19 @@ def main():
             )
         except Exception as e:
             print(f"# next-hdiff-pallas bench failed: {e}", file=sys.stderr)
+        try:
+            ntp = bench_tpu_next_tridiag(pallas=True)
+            extra["next_tridiag_pallas_512_ms"] = round(ntp * 1e3, 2)
+            extra["next_tridiag_pallas_512_gpoints"] = round(
+                NI * NJ * NK / ntp / 1e9, 3
+            )
+        except Exception as e:
+            print(f"# next-tridiag-pallas bench failed: {e}", file=sys.stderr)
+        try:
+            ntj = bench_tpu_next_tridiag(pallas=False)
+            extra["next_tridiag_512_ms"] = round(ntj * 1e3, 2)
+        except Exception as e:
+            print(f"# next-tridiag bench failed: {e}", file=sys.stderr)
 
     # combined BASELINE metric: total points processed per second across
     # the hdiff+vadv dycore step and the FVTP2D advection step

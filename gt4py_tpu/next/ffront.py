@@ -308,7 +308,8 @@ class FieldOperator:
             try:
                 typed, _ = self._typed_for(arg_types)
                 plans[key] = pallas_bridge.lower_field_operator(typed)
-            except pallas_bridge.Ineligible:
+            except pallas_bridge.Ineligible as ex:
+                pallas_bridge._record_fallback(self.__name__, str(ex))
                 plans[key] = None
         plan = plans[key]
         if plan is None:
@@ -324,10 +325,11 @@ class FieldOperator:
             )
         try:
             return fn(args)
-        except pallas_bridge.Ineligible:
+        except pallas_bridge.Ineligible as ex:
             # per-CALL runtime ineligibility (e.g. empty output domain for
             # these particular argument domains): fall back for this call
             # only -- the plan stays cached for later calls
+            pallas_bridge._record_fallback(self.__name__, str(ex))
             return self._jit_run(args, arg_types)
 
     def with_backend(self, backend) -> "FieldOperator":
@@ -499,6 +501,12 @@ class ScanOperator(FieldOperator):
             for name, a in zip(param_names[1:], args):
                 env[name] = next(it) if isinstance(a, Field) else next(st)
             new = Interpreter(typed, env).run()
+            # a body whose result depends on neither the carry nor any
+            # per-level argument returns a SCALAR; the result (and the
+            # next carry) is still plane-shaped per the scan semantics
+            new = jax.tree_util.tree_map(
+                lambda v: xp.broadcast_to(xp.asarray(v), plane_shape), new
+            )
             return new, new
 
         xs_stacked = tuple(x for x in xs if x is not None)
@@ -565,7 +573,8 @@ class ScanOperator(FieldOperator):
                     init=self.init,
                     arg_info=arg_info,
                 )
-            except pallas_bridge.Ineligible:
+            except pallas_bridge.Ineligible as ex:
+                pallas_bridge._record_fallback(self.__name__, str(ex))
                 plans[key] = None
         plan = plans[key]
         if plan is None:
@@ -578,9 +587,10 @@ class ScanOperator(FieldOperator):
             )
         try:
             return fn(args)
-        except pallas_bridge.Ineligible:
+        except pallas_bridge.Ineligible as ex:
             # per-CALL runtime ineligibility (e.g. unbounded domains for
             # these particular arguments): embedded path for this call only
+            pallas_bridge._record_fallback(self.__name__, str(ex))
             return None
 
 

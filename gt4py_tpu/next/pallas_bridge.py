@@ -47,6 +47,18 @@ class Ineligible(Exception):
     """The operator uses features outside the cartesian-kernel subset."""
 
 
+#: observable record of operators that fell back to the jit-staged
+#: embedded path: (operator name, reason) -- the bridge-level analog of
+#: pallas_backend.FALLBACK_EVENTS (kernel-level fallbacks)
+FALLBACK_EVENTS: List[Tuple[str, str]] = []
+
+
+def _record_fallback(name: str, reason: str) -> None:
+    FALLBACK_EVENTS.append((name, reason))
+    if len(FALLBACK_EVENTS) > 1024:  # bounded: long-running sweeps
+        del FALLBACK_EVENTS[:512]
+
+
 #: next math-builtin name -> cartesian NativeFunction
 _MATH_MAP = {
     "abs": ir.NativeFunction.ABS,
@@ -579,6 +591,41 @@ class _Lowerer:
         return out
 
 
+def _exact_extents(
+    stmts: List[ir.Stmt], out_names: set, temp_names: set
+) -> Dict[str, Any]:
+    """The embedded executor's demand-EXACT read extents over a lowered
+    straight-line body: the backward sweep of analysis.compute_extents
+    without the union-zero widening of temporaries and without dead
+    statements.  The cartesian executors compute every temporary at least
+    over the domain (union_zero) -- correct but WIDER than the embedded
+    domain algebra when a temp is read only at nonzero offsets; the
+    lowering gates on equality (see lower_field_operator)."""
+    from gt4py_tpu.core.definitions import Extent
+
+    need: Dict[str, Extent] = {}
+    api_ext: Dict[str, Extent] = {}
+    for st in reversed(stmts):
+        t = st.target.name
+        if t in out_names:
+            ext = Extent.zeros()
+        elif t in need:
+            req = need.pop(t)
+            ext = Extent(i=req.i, j=req.j)  # horizontal, like the analysis
+        else:
+            continue  # dead in the embedded dag
+        for r in ir.field_accesses(st.value):
+            off = r.offset
+            if isinstance(off, ir.CartesianOffset):
+                box = ext + Extent.from_offset(off.i, off.j, off.k)
+            else:
+                box = ext
+            target = need if r.name in temp_names else api_ext
+            prev = target.get(r.name)
+            target[r.name] = box if prev is None else prev | box
+    return api_ext
+
+
 def _demand_slice(
     stmts: List[ir.Stmt], root: ir.Expr, temp_decls: Dict[str, ir.FieldDecl]
 ) -> List[ir.Stmt]:
@@ -746,6 +793,24 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         analysis = analyze(stencil)
     except Exception as ex:  # validation errors -> embedded fallback
         raise Ineligible(f"cartesian analysis rejected: {ex}") from ex
+
+    # gate: the kernel's extents must equal the embedded executor's exact
+    # demand (fuzz seed 19: a temp read ONLY at nonzero offsets is widened
+    # by union_zero, shrinking the result domain vs the embedded path)
+    exact = _exact_extents(
+        full_body, {nm for nm, _, _, _ in outs}, set(lw.temp_decls)
+    )
+    for n, _, _ in field_params:
+        a_e = analysis.extents.field_extents.get(n)
+        e_e = exact.get(n)
+        if (a_e is None) != (e_e is None) or (
+            a_e is not None
+            and (a_e.i, a_e.j, a_e.k) != (e_e.i, e_e.j, e_e.k)
+        ):
+            raise Ineligible(
+                "temporary read only at nonzero offsets: kernel extents "
+                "would differ from the embedded domain"
+            )
 
     if is_tuple:
         # the fused kernel has ONE compute domain, but the embedded

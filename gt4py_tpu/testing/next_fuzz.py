@@ -475,3 +475,212 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
                 g, r, rtol=rtol, atol=atol,
                 err_msg=f"seed {seed}: {label} out {j} diverges\n{src_dump}",
             )
+
+
+# --------------------------------------------------------------------- #
+# pallas-bridge differential leg
+# --------------------------------------------------------------------- #
+
+
+def _scan_expr(rng: random.Random, names: List[str], depth: int = 0) -> str:
+    """Random scalar expression over scan-body names (no division: inputs
+    are uniform random and denominators could vanish)."""
+    r = rng.random()
+    if depth >= 3 or r < 0.35:
+        rr = rng.random()
+        if rr < 0.7:
+            return rng.choice(names)
+        return repr(round(rng.uniform(-1.2, 1.2), 3))
+    if r < 0.7:
+        op = rng.choice(["+", "-", "*"])
+        return (
+            f"({_scan_expr(rng, names, depth + 1)} {op} "
+            f"{_scan_expr(rng, names, depth + 1)})"
+        )
+    if r < 0.85:
+        return (
+            f"where(({_scan_expr(rng, names, depth + 1)}) > 0.25, "
+            f"{_scan_expr(rng, names, depth + 1)}, "
+            f"{_scan_expr(rng, names, depth + 1)})"
+        )
+    fn = rng.choice(["minimum", "maximum"])
+    return (
+        f"{fn}({_scan_expr(rng, names, depth + 1)}, "
+        f"{_scan_expr(rng, names, depth + 1)})"
+    )
+
+
+def run_bridge_case(seed: int, rtol=1e-12, atol=1e-12) -> bool:
+    """Differential leg for the pallas bridge (next/pallas_bridge.py): the
+    SAME generated operator runs on the numpy oracle and under
+    ``with_backend("pallas")`` -- kernel lowering when eligible, the
+    transparent embedded fallback otherwise; values, dims AND domains must
+    agree either way.  Returns True when the case actually lowered (the
+    corpus test asserts a minimum lowering rate so this leg cannot
+    silently degrade into fallback-only coverage).
+
+    Families: field operators extended with helper-operator CALLS (the
+    inliner) and tuple returns (fused multi-output kernels, incl.
+    differing-extent fallbacks); scan operators (scalar/tuple carries,
+    forward/backward, K-broadcast args).
+    """
+    import linecache
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import (
+        Dimension,
+        DimensionKind,
+        Field,
+        FieldOffset,
+        as_field,
+        backends,
+        field_operator,
+        maximum,
+        minimum,
+        scan_operator,
+        where,
+    )
+    from gt4py_tpu.next.type_system import Dims
+
+    rng = random.Random(seed ^ 0x5EED)
+    nprng = np.random.default_rng(seed + 424242)
+
+    I = Dimension("I")
+    J = Dimension("J")
+    K = Dimension("K", kind=DimensionKind.VERTICAL)
+    Ioff = FieldOffset("Ioff", source=I, target=(I,))
+    Joff = FieldOffset("Joff", source=J, target=(J,))
+
+    def register(src: str, tag: str):
+        filename = f"<bridge-fuzz-{seed}-{tag}>"
+        linecache.cache[filename] = (
+            len(src), None, src.splitlines(True), filename
+        )
+        return compile(src, filename, "exec")
+
+    scan_case = rng.random() < 0.4
+
+    if scan_case:
+        arity = rng.choice([1, 2])
+        cnames = ["carry"] if arity == 1 else ["carry[0]", "carry[1]"]
+        names = cnames + ["x", "g", "w"]
+        if arity == 1:
+            ret = _scan_expr(rng, names)
+            src = (
+                "def sc(carry: float64, x: float64, g: float64, "
+                "w: float64) -> float64:\n"
+                f"    return {ret}\n"
+            )
+            init = round(rng.uniform(-1, 1), 3)
+        else:
+            e0 = _scan_expr(rng, names)
+            e1 = _scan_expr(rng, names)
+            src = (
+                "def sc(carry: tuple[float64, float64], x: float64, "
+                "g: float64, w: float64):\n"
+                f"    t = {_scan_expr(rng, names)}\n"
+                f"    return ({e0} + 0.0 * t, {e1} + 0.0 * t)\n"
+            )
+            init = (round(rng.uniform(-1, 1), 3), round(rng.uniform(-1, 1), 3))
+        ns = dict(
+            float64=np.float64, where=where, minimum=minimum, maximum=maximum
+        )
+        exec(register(src, "scan"), ns)
+        forward = rng.random() < 0.5
+        op = scan_operator(ns["sc"], axis=K, forward=forward, init=init)
+
+        shape3 = (5, 6, 8)
+        x_np = nprng.random(shape3)
+        g_has_k = rng.random() < 0.5
+        g_np = nprng.random(shape3 if g_has_k else shape3[:2])
+        w = np.float64(nprng.uniform(-1, 1))
+
+        x = as_field((I, J, K), x_np)
+        g = as_field((I, J, K) if g_has_k else (I, J), g_np)
+        ref = op.with_backend(backends.numpy_oracle)(x, g, w)
+        bound = op.with_backend("pallas")
+        got = bound(x, g, w)
+        plans = bound.__dict__.get("_scan_bridge_plans", {})
+        lowered = any(p is not None for p in plans.values())
+    else:
+        gen = OperatorGenerator(rng)
+        gen.field_names = {"a", "b"}
+        names = ["a", "b"]
+        body: List[str] = []
+        helper_src = (
+            "def helper(x: FT, w: float64) -> FT:\n"
+            f"    return ({_scan_expr(rng, ['x', 'w'])}) + 0.0 * x\n"
+        )
+        hns = dict(
+            FT=Field[Dims[I, J], np.float64], float64=np.float64,
+            where=where, minimum=minimum, maximum=maximum,
+        )
+        exec(register(helper_src, "helper"), hns)
+        helper = field_operator(hns["helper"])
+        for i in range(rng.randint(1, 3)):
+            t = f"t{i}"
+            if rng.random() < 0.35:
+                arg = gen._expr(names)
+                if not gen._is_field_expr(arg):
+                    arg = f"({arg}) + 0.0 * a"
+                body.append(f"{t} = helper({arg}, s)")
+                gen.field_names.add(t)
+            else:
+                e = gen._expr(names)
+                body.append(f"{t} = {e}")
+                if gen._is_field_expr(e):
+                    gen.field_names.add(t)
+            names.append(t)
+        tuple_ret = rng.random() < 0.4
+        if tuple_ret:
+            u = gen._expr(names)
+            if not gen._is_field_expr(u):
+                u = f"({u}) + 0.0 * a"
+            body.append(f"u = {u} + 0.0 * (a + b)")
+            if rng.random() < 0.3:
+                # differing member extents: exercises the fallback gate
+                ret = "(u(Ioff[1]) - u, u(Joff[1]) + u)"
+            else:
+                ret = f"(u * {round(rng.uniform(0.5, 2.0), 2)} + s, u - s)"
+        else:
+            ret = gen._expr(names)
+            if not gen._is_field_expr(ret):
+                ret = f"({ret}) + 0.0 * a"
+        src = "def op(a: FT, b: FT, s: float64):\n" + textwrap.indent(
+            "\n".join(body + [f"return {ret}"]), "    "
+        )
+        ns = dict(
+            FT=Field[Dims[I, J], np.float64], float64=np.float64,
+            where=where, minimum=minimum, maximum=maximum,
+            Ioff=Ioff, Joff=Joff, helper=helper,
+        )
+        exec(register(src, "op"), ns)
+        op = field_operator(ns["op"])
+
+        a_np = nprng.random((10, 9))
+        b_np = nprng.random((10, 9))
+        s = np.float64(nprng.uniform(-1, 1))
+        a = as_field((I, J), a_np)
+        b = as_field((I, J), b_np)
+        ref = op.with_backend(backends.numpy_oracle)(a, b, s)
+        bound = op.with_backend("pallas")
+        got = bound(a, b, s)
+        plans = bound.__dict__.get("_bridge_plans", {})
+        lowered = any(p is not None for p in plans.values())
+
+    refs = ref if isinstance(ref, tuple) else (ref,)
+    gots = got if isinstance(got, tuple) else (got,)
+    assert len(refs) == len(gots), f"seed {seed}: arity diverges\n{src}"
+    for j, (r, g) in enumerate(zip(refs, gots)):
+        assert r.dims == g.dims, (
+            f"seed {seed}: out {j} dims diverge {r.dims} vs {g.dims}\n{src}"
+        )
+        assert tuple(r.domain.ranges) == tuple(g.domain.ranges), (
+            f"seed {seed}: out {j} domains diverge "
+            f"{r.domain} vs {g.domain}\n{src}"
+        )
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=rtol, atol=atol,
+            err_msg=f"seed {seed}: out {j} values diverge\n{src}",
+        )
+    return lowered

@@ -72,3 +72,23 @@ def test_static_param_not_trailing():
     np.testing.assert_array_equal(np.asarray(o.ndarray), np.arange(4.0) * 3)
     pj(a, np.int64(5), o)
     np.testing.assert_array_equal(np.asarray(o.ndarray), np.arange(4.0) * 5)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_pallas_bridge_parity(seed):
+    """The pallas bridge (kernel lowering OR transparent fallback) vs the
+    numpy oracle: generated field operators with helper calls and tuple
+    returns, plus scan operators with scalar/tuple carries."""
+    from gt4py_tpu.testing.next_fuzz import run_bridge_case
+
+    run_bridge_case(seed)
+
+
+def test_pallas_bridge_fuzz_lowering_rate():
+    """A minimum fraction of generated cases must actually LOWER to
+    kernel plans -- otherwise the differential leg silently degrades into
+    fallback-only coverage."""
+    from gt4py_tpu.testing.next_fuzz import run_bridge_case
+
+    lowered = sum(run_bridge_case(s) for s in range(40))
+    assert lowered >= 16, f"only {lowered}/40 cases lowered to kernels"

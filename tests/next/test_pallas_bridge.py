@@ -575,3 +575,20 @@ def test_inline_scan_call_falls_back():
     ref = uses_scan.with_backend(backends.numpy_oracle)(a)
     got = uses_scan.with_backend("pallas")(a)
     np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=1e-13)
+
+
+def test_bridge_fallbacks_observable():
+    """Ineligible operators record (name, reason) in
+    pallas_bridge.FALLBACK_EVENTS -- diagnosis parity with the kernel-level
+    pallas_backend.FALLBACK_EVENTS."""
+    from gt4py_tpu.next import pallas_bridge
+
+    @gtx.field_operator
+    def op_obs_probe(a: F64):
+        return (a(Ioff[1]) - a, a(Joff[1]) - a)  # differing member extents
+
+    a = gtx.as_field((I, J, K), _rand((9, 9, 3), 46))
+    before = len(pallas_bridge.FALLBACK_EVENTS)
+    op_obs_probe.with_backend("pallas")(a)
+    ev = pallas_bridge.FALLBACK_EVENTS[before:]
+    assert any(n == "op_obs_probe" and "extent" in r for n, r in ev), ev
