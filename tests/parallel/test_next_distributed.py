@@ -222,3 +222,21 @@ class TestShardMapOperator:
         g = (gp[2:, 1:-1] - gp[1:-1, 1:-1])
         np.testing.assert_allclose(np.asarray(o1.data), 3.0 * g, rtol=0, atol=0)
         np.testing.assert_allclose(np.asarray(o2.data), g * g, rtol=0, atol=0)
+
+
+def test_shard_map_operator_pallas_bridge(cmesh):
+    """The pallas bridge composes with explicit-halo shard_map execution:
+    the operator lowers to a cartesian kernel INSIDE each shard while
+    halos ride ppermute (multi-chip readiness of the compiled next
+    path)."""
+    from gt4py_tpu.next.distributed import shard_map_operator
+
+    data = np.random.default_rng(7).random((16, 32))
+    f = gtx.as_field((I, J), data)
+    ref = shard_map_operator(lap, cmesh, {I: "x", J: "y"}, periodic=True)(f)
+    got = shard_map_operator(
+        lap.with_backend("pallas"), cmesh, {I: "x", J: "y"}, periodic=True
+    )(f)
+    assert got.dims == ref.dims
+    assert tuple(got.domain.ranges) == tuple(ref.domain.ranges)
+    np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=1e-12)

@@ -448,3 +448,66 @@ def test_next_scan_bridge_on_chip():
         rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_next_bridge_tuple_and_inline_on_chip():
+    """Fused multi-output + operator-call-inlined next kernels on real
+    Mosaic: laplacian helper inlined twice, tuple return, aligned
+    restricted domain (pallas_bridge; CPU interpret mode cannot prove the
+    Mosaic compile)."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import backends
+    from gt4py_tpu.next.common import Domain, UnitRange
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+    F32 = gtx.Field[gtx.Dims[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def lap(a: F32) -> F32:
+        return a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+
+    @gtx.field_operator
+    def pair(a: F32):
+        l = lap(a)
+        ll = lap(l)
+        u = ll + 0.25 * l
+        return (u + a, u - a)
+
+    OI, OJ, NI, NJ, NK = 8, 128, 32, 128, 8
+    SI, SJ = OI + NI + 8, OJ + NJ + 128
+    a = gtx.as_field(
+        (I, J, K),
+        jnp.asarray(
+            np.random.default_rng(11).random((SI, SJ, NK)).astype(np.float32)
+        ),
+    )
+    dom = Domain(
+        (I, J, K),
+        (UnitRange(OI, OI + NI), UnitRange(OJ, OJ + NJ), UnitRange(0, NK)),
+    )
+    mk = lambda: gtx.as_field((I, J, K), jnp.zeros((SI, SJ, NK), np.float32))
+    o1, o2 = mk(), mk()
+    before = len(pallas_backend.FALLBACK_EVENTS)
+    pair.with_backend("pallas")(a, out=(o1, o2), domain=dom)
+    assert not pallas_backend.FALLBACK_EVENTS[before:], (
+        pallas_backend.FALLBACK_EVENTS[before:]
+    )
+    assert "next_pair" in pallas_backend.LAST_PLAN
+
+    a_np = gtx.as_field((I, J, K), np.asarray(a.data))
+    r1 = gtx.as_field((I, J, K), np.zeros((SI, SJ, NK), np.float32))
+    r2 = gtx.as_field((I, J, K), np.zeros((SI, SJ, NK), np.float32))
+    pair.with_backend(backends.numpy_oracle)(a_np, out=(r1, r2), domain=dom)
+    np.testing.assert_allclose(
+        o1.asnumpy(), r1.asnumpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        o2.asnumpy(), r2.asnumpy(), rtol=1e-4, atol=1e-5
+    )
