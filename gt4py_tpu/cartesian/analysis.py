@@ -100,7 +100,8 @@ _FLOAT_FUNCS = {
     ir.NativeFunction.ARCTAN2, ir.NativeFunction.SINH, ir.NativeFunction.COSH,
     ir.NativeFunction.TANH, ir.NativeFunction.ARCSINH, ir.NativeFunction.ARCCOSH,
     ir.NativeFunction.ARCTANH, ir.NativeFunction.SQRT, ir.NativeFunction.EXP,
-    ir.NativeFunction.LOG, ir.NativeFunction.LOG10, ir.NativeFunction.GAMMA,
+    ir.NativeFunction.LOG, ir.NativeFunction.LOG10, ir.NativeFunction.LOG2,
+    ir.NativeFunction.GAMMA,
     ir.NativeFunction.CBRT, ir.NativeFunction.ERF, ir.NativeFunction.ERFC,
     ir.NativeFunction.FLOOR, ir.NativeFunction.CEIL, ir.NativeFunction.TRUNC,
     ir.NativeFunction.ROUND, ir.NativeFunction.ROUND_AWAY_FROM_ZERO,

@@ -140,6 +140,7 @@ def _init_native_jnp():
             ir.NativeFunction.EXP: jnp.exp,
             ir.NativeFunction.LOG: jnp.log,
             ir.NativeFunction.LOG10: jnp.log10,
+            ir.NativeFunction.LOG2: jnp.log2,
             ir.NativeFunction.GAMMA: gamma,
             ir.NativeFunction.CBRT: jnp.cbrt,
             ir.NativeFunction.ISFINITE: jnp.isfinite,

@@ -58,6 +58,7 @@ _NATIVE_IMPL = {
     ir.NativeFunction.EXP: np.exp,
     ir.NativeFunction.LOG: np.log,
     ir.NativeFunction.LOG10: np.log10,
+    ir.NativeFunction.LOG2: np.log2,
     ir.NativeFunction.GAMMA: sps.gamma,
     ir.NativeFunction.CBRT: np.cbrt,
     ir.NativeFunction.ISFINITE: np.isfinite,

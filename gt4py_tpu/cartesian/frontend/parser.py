@@ -103,6 +103,7 @@ _NATIVE_FUNCS = {
     "exp": ir.NativeFunction.EXP,
     "log": ir.NativeFunction.LOG,
     "log10": ir.NativeFunction.LOG10,
+    "log2": ir.NativeFunction.LOG2,
     "gamma": ir.NativeFunction.GAMMA,
     "cbrt": ir.NativeFunction.CBRT,
     "isfinite": ir.NativeFunction.ISFINITE,

@@ -254,6 +254,7 @@ sqrt = np.sqrt
 exp = np.exp
 log = np.log
 log10 = np.log10
+log2 = np.log2
 cbrt = np.cbrt
 floor = np.floor
 ceil = np.ceil
@@ -298,6 +299,7 @@ MATH_BUILTINS = {
     "exp",
     "log",
     "log10",
+    "log2",
     "gamma",
     "cbrt",
     "isfinite",

@@ -227,6 +227,7 @@ class NativeFunction(enum.Enum):
     EXP = "exp"
     LOG = "log"
     LOG10 = "log10"
+    LOG2 = "log2"
     GAMMA = "gamma"
     CBRT = "cbrt"
     ISFINITE = "isfinite"

@@ -82,6 +82,7 @@ _MATH_MAP = {
     "exp": ir.NativeFunction.EXP,
     "log": ir.NativeFunction.LOG,
     "log10": ir.NativeFunction.LOG10,
+    "log2": ir.NativeFunction.LOG2,
     "gamma": ir.NativeFunction.GAMMA,
     "cbrt": ir.NativeFunction.CBRT,
     "isfinite": ir.NativeFunction.ISFINITE,
@@ -483,9 +484,6 @@ class _Lowerer:
                 return ir.UnaryOp(
                     op=ir.UnaryOperator.NEG, expr=self._expr(node.args[0])
                 )
-            if name == "log2":
-                # log2(x) = log(x) / log(2): not in the cartesian table
-                raise Ineligible("log2")
             if name in _MATH_MAP:
                 nf = _MATH_MAP[name]
                 args = [self._operand(a, okind) for a in node.args]

@@ -592,7 +592,7 @@ def native_functions_full():
     from gt4py_tpu.cartesian.gtscript import (  # noqa: F401
         acos, acosh, asin, asinh, atan, atanh, cbrt, ceil, cos, cosh,
         erf, erfc, floor, gamma, isfinite, isinf, isnan, log,
-        log10, mod, round_away_from_zero, sinh, tan, tanh, trunc,
+        log10, log2, mod, round_away_from_zero, sinh, tan, tanh, trunc,
     )
 
     def definition(field_a: Field3D, field_b: Field3D):
@@ -616,7 +616,8 @@ def native_functions_full():
             sqrt_res = a_gtscript_function(atanh_res)
             pow10_res = 10.0 ** sqrt_res
             log10_res = log10(pow10_res)
-            exp_res = exp(log10_res)
+            log2_res = log2(2.0 ** log10_res)
+            exp_res = exp(log2_res)
             log_res = log(exp_res)
             gamma_res = gamma(log_res)
             cbrt_res = cbrt(gamma_res)

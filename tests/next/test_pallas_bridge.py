@@ -127,9 +127,11 @@ def test_scalar_params_and_weak_literals_f32():
 
 
 def test_math_builtins_chain():
+    from gt4py_tpu.next.builtins import log2
+
     @gtx.field_operator
     def chain(a: F64) -> F64:
-        return sqrt(exp(log(a + 1.5))) + maximum(a, a(Ioff[1]))
+        return sqrt(exp(log(a + 1.5))) + maximum(a, a(Ioff[1])) + log2(a + 2.0)
 
     a = gtx.as_field((I, J, K), _rand((9, 9, 3), 7))
     _check(chain, a)
