@@ -20,44 +20,22 @@ import enum
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Tuple
 
-import ml_dtypes
 import numpy as np
 
 from gt4py_tpu import config
-from gt4py_tpu.core.definitions import Boundary, Extent
+from gt4py_tpu.core.definitions import (  # noqa: F401  (re-exported)
+    BFLOAT16,
+    Boundary,
+    Extent,
+    is_float_dtype,
+    promote_dtypes,
+)
 from gt4py_tpu.cartesian import ir
 
-#: TPU-native 16-bit float (numpy extension dtype from ml_dtypes; jax's
-#: jnp.bfloat16 is the same type).  Note its numpy ``kind`` is ``'V'``,
-#: so float-ness must be tested with :func:`is_float_dtype`, not ``kind``.
-BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
-
-
-def is_float_dtype(dt) -> bool:
-    """True for IEEE floats AND bfloat16 (whose numpy kind is 'V')."""
-    dt = np.dtype(dt)
-    return dt.kind == "f" or dt == BFLOAT16
-
-
 # --------------------------------------------------------------------------- #
-# dtype promotion / inference
+# dtype defaults (policy: config + per-stencil overrides; the promotion
+# VOCABULARY lives in core.definitions, shared with next/ and testing/)
 # --------------------------------------------------------------------------- #
-
-_RANK = {
-    np.dtype(np.bool_): 0,
-    np.dtype(np.int8): 1,
-    np.dtype(np.int16): 2,
-    np.dtype(np.int32): 3,
-    np.dtype(np.int64): 4,
-    np.dtype(np.uint8): 1,
-    np.dtype(np.uint16): 2,
-    np.dtype(np.uint32): 3,
-    np.dtype(np.uint64): 4,
-    np.dtype(np.float16): 5,
-    BFLOAT16: 5,
-    np.dtype(np.float32): 6,
-    np.dtype(np.float64): 7,
-}
 
 
 def default_float_dtype(stencil: Optional[ir.Stencil] = None) -> np.dtype:
@@ -70,27 +48,6 @@ def default_int_dtype(stencil: Optional[ir.Stencil] = None) -> np.dtype:
     if stencil is not None and stencil.literal_int_dtype is not None:
         return stencil.literal_int_dtype
     return np.dtype(f"i{config.LITERAL_INT_PRECISION // 8}")
-
-
-def promote_dtypes(*dtypes: np.dtype) -> np.dtype:
-    """C-style promotion: highest rank wins; all integer ranks < float32.
-
-    This reproduces the reference's ufunc-signature upcasting for the types
-    GTScript supports (gtir_upcaster._numpy_ufunc_upcasting_rule).
-    """
-    best = dtypes[0]
-    for dt in dtypes[1:]:
-        if _RANK.get(np.dtype(dt), 99) > _RANK.get(np.dtype(best), 99):
-            best = dt
-        elif (
-            np.dtype(dt) != np.dtype(best)
-            and _RANK.get(np.dtype(dt)) == 5
-            and _RANK.get(np.dtype(best)) == 5
-        ):
-            # float16 vs bfloat16: neither holds the other -- promote to
-            # float32 (same rule as numpy/jax promotion lattices)
-            best = np.dtype(np.float32)
-    return np.dtype(best)
 
 
 _BOOL = np.dtype(np.bool_)

@@ -1389,17 +1389,12 @@ def _to_logical(buf, user_shape):
     return buf.reshape(user_shape)
 
 
-def _f16_dtypes() -> frozenset:
-    import ml_dtypes
-
-    return frozenset({np.dtype(ml_dtypes.bfloat16), np.dtype(np.float16)})
-
-
 # 16-bit float dtypes needing Mosaic scalar-core f32 workarounds (no 16-bit
 # negf/cmpf/arith on the v5e scalar core).  Module-level so every
 # ``self.mosaic`` guard shares one definition -- round 2 shipped these guards
 # referencing an undefined name, which only on-chip tracing could catch.
-_F16_DTYPES = _f16_dtypes()
+# The set itself lives in core.definitions (the shared dtype vocabulary).
+from gt4py_tpu.core.definitions import F16_DTYPES as _F16_DTYPES  # noqa: E402
 
 
 _COMPARISON_OPS = frozenset(

@@ -51,6 +51,7 @@ from gt4py_tpu.cartesian.backend.jax_backend import (
     JaxTracer,
     _FieldMeta,
 )
+from gt4py_tpu.core.events import EventLog
 
 
 class _PallasIneligible(Exception):
@@ -59,8 +60,9 @@ class _PallasIneligible(Exception):
 
 #: (stencil_name, traceback_tail) per XLA fallback -- observability for
 #: tests asserting the kernel path covers the language (a bitwise-equal
-#: result alone cannot distinguish the paths)
-FALLBACK_EVENTS: list = []
+#: result alone cannot distinguish the paths).  Bounded; diff with
+#: FALLBACK_EVENTS.cursor()/.since() (trim-stable); .total is monotonic.
+FALLBACK_EVENTS: EventLog = EventLog()
 
 #: stencil_name -> last chosen tile plan (mode_a/circular/TI/TJ/TK) --
 #: lets tests assert WHICH kernel form ran, not just that results match
@@ -215,9 +217,11 @@ class PallasBackend(JaxBackend):
             import traceback
 
             tail = "".join(traceback.format_exc().splitlines(True)[-6:])
-            FALLBACK_EVENTS.append((self.analysis.stencil.name, tail))
-            if len(FALLBACK_EVENTS) > 1024:  # bounded: long-running sweeps
-                del FALLBACK_EVENTS[:512]
+            FALLBACK_EVENTS.record((self.analysis.stencil.name, tail))
+            config.warn_fallback(
+                f"stencil '{self.analysis.stencil.name}'",
+                tail.splitlines()[-1] if tail.splitlines() else "ineligible",
+            )
             if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
                 print(
                     f"[pallas] {self.analysis.stencil.name}: XLA fallback at\n" + tail,

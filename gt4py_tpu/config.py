@@ -85,6 +85,44 @@ if (
         os.environ.get("XLA_FLAGS", "") + " --xla_cpu_use_fusion_emitters=false"
     ).strip()
 
+#: Surface kernel-path fallbacks as Python warnings.  Both compiled
+#: paths (cartesian pallas backend, next pallas bridge) silently drop to
+#: the 3-5x-slower staged-XLA executor when a construct is outside the
+#: kernel subset; the FALLBACK_EVENTS logs record every event, but a
+#: user who did not opt into reading them should still see the cliff.
+#: ``once`` (default) warns one time per (name, reason); ``always``
+#: warns on every event; ``never`` keeps the logs silent.
+WARN_ON_FALLBACK: str = os.environ.get("GT4PY_TPU_WARN_ON_FALLBACK", "once")
+
+
+class PerformanceFallbackWarning(UserWarning):
+    """A stencil/operator fell back from the fused-kernel path to the
+    staged-XLA path (same numerics, typically 2-5x slower)."""
+
+
+_warned_fallbacks: set = set()
+
+
+def warn_fallback(what: str, reason: str) -> None:
+    """Emit a :class:`PerformanceFallbackWarning` per WARN_ON_FALLBACK."""
+    mode = WARN_ON_FALLBACK
+    if mode not in ("once", "always"):
+        return
+    if mode == "once":
+        key = (what, reason)
+        if key in _warned_fallbacks:
+            return
+        _warned_fallbacks.add(key)
+    import warnings
+
+    warnings.warn(
+        f"{what} fell back to the staged-XLA path: {reason} "
+        "(same numerics, slower; silence with GT4PY_TPU_WARN_ON_FALLBACK=never)",
+        PerformanceFallbackWarning,
+        stacklevel=3,
+    )
+
+
 _x64_applied = False
 
 

@@ -555,8 +555,14 @@ class ScanOperator(FieldOperator):
                     )
                 )
             else:
-                arg_info.append(("scalar", None))
-                key_parts.append(("scalar", str(_value_type(a))))
+                st = _value_type(a)
+                arg_info.append(
+                    (
+                        "scalar",
+                        np.dtype(st.kind) if isinstance(st, ts.ScalarType) else None,
+                    )
+                )
+                key_parts.append(("scalar", str(st)))
         key = (
             tuple(key_parts),
             str(typed.params[0].type),

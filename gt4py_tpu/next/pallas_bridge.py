@@ -34,8 +34,10 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
+from gt4py_tpu import config
 from gt4py_tpu.cartesian import ir
 from gt4py_tpu.cartesian.analysis import analyze
+from gt4py_tpu.core.events import EventLog
 
 from . import fvir
 from . import type_system as ts
@@ -49,14 +51,15 @@ class Ineligible(Exception):
 
 #: observable record of operators that fell back to the jit-staged
 #: embedded path: (operator name, reason) -- the bridge-level analog of
-#: pallas_backend.FALLBACK_EVENTS (kernel-level fallbacks)
-FALLBACK_EVENTS: List[Tuple[str, str]] = []
+#: pallas_backend.FALLBACK_EVENTS (kernel-level fallbacks).  Bounded;
+#: diff with FALLBACK_EVENTS.cursor()/.since() (trim-stable), and
+#: FALLBACK_EVENTS.total counts every fallback ever recorded.
+FALLBACK_EVENTS: EventLog = EventLog()
 
 
 def _record_fallback(name: str, reason: str) -> None:
-    FALLBACK_EVENTS.append((name, reason))
-    if len(FALLBACK_EVENTS) > 1024:  # bounded: long-running sweeps
-        del FALLBACK_EVENTS[:512]
+    FALLBACK_EVENTS.record((name, reason))
+    config.warn_fallback(f"next operator '{name}'", reason)
 
 
 #: next math-builtin name -> cartesian NativeFunction
@@ -815,25 +818,26 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         # executor gives each tuple member its OWN domain (shrunk by that
         # member's reads only) -- fuse only when every member provably
         # yields the same domain for any argument domains: identical
-        # per-member read-extent maps (same field set, same extents)
+        # per-member EXACT demand maps.  The zero-widened analysis extents
+        # are NOT a sound gate here: members reading the same input at
+        # asymmetric nonzero offsets (a(I+1)+a(I+2) vs a+a(I+2)) widen to
+        # the same hull while their embedded domains differ.
+        param_names = {fp[0] for fp in field_params}
+        temp_names = set(lw.temp_decls)
         ref_ext = None
         for (nm, _, _, _), ex in zip(outs, out_exprs):
             # demand-slice the body to THIS member's dag: the extent sweep
             # is not demand-driven, so statements dead for this member
-            # would pollute its extents with their zero-extent reads
-            mini = _build(
-                _demand_slice(body, ex, lw.temp_decls)
-                + [ir.Assign(target=ir.FieldAccess(name=nm), value=ex)],
-                [nm],
-            )
-            try:
-                m_ana = analyze(mini)
-            except Exception as exc:
-                raise Ineligible(f"cartesian analysis rejected: {exc}") from exc
+            # would pollute its extents with their reads
+            member_stmts = _demand_slice(body, ex, lw.temp_decls) + [
+                ir.Assign(target=ir.FieldAccess(name=nm), value=ex)
+            ]
             m_ext = {
                 n: (e.i, e.j, e.k)
-                for n, e in m_ana.extents.field_extents.items()
-                if n in {fp[0] for fp in field_params}
+                for n, e in _exact_extents(
+                    member_stmts, {nm}, temp_names
+                ).items()
+                if n in param_names
             }
             if ref_ext is None:
                 ref_ext = m_ext

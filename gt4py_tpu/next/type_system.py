@@ -16,12 +16,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
-import ml_dtypes
 import numpy as np
 
 #: bfloat16's numpy ``kind`` is 'V' (void), so kind-string arithmetic
-#: checks must special-case it
-_BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
+#: checks must special-case it (shared vocabulary: core.definitions)
+from gt4py_tpu.core.definitions import BFLOAT16 as _BFLOAT16
 
 from .common import (
     Connectivity,
@@ -263,7 +262,7 @@ uint32 = np.uint32
 uint64 = np.uint64
 float32 = np.float32
 float64 = np.float64
-bfloat16 = ml_dtypes.bfloat16  # TPU-native (beyond the reference)
+bfloat16 = _BFLOAT16.type  # TPU-native (beyond the reference)
 IndexType = np.int32  # (reference: fbuiltins.IndexType :116)
 
 _SCALAR_ALIASES: Dict[Any, np.dtype] = {

@@ -637,9 +637,17 @@ def run_bridge_case(seed: int, rtol=1e-12, atol=1e-12) -> bool:
             if not gen._is_field_expr(u):
                 u = f"({u}) + 0.0 * a"
             body.append(f"u = {u} + 0.0 * (a + b)")
-            if rng.random() < 0.3:
+            r2 = rng.random()
+            if r2 < 0.3:
                 # differing member extents: exercises the fallback gate
                 ret = "(u(Ioff[1]) - u, u(Joff[1]) + u)"
+            elif r2 < 0.55:
+                # the same INPUT read at asymmetric nonzero offsets across
+                # members: the zero-widened extent hulls coincide while the
+                # exact demands differ -- the r3-advisor shape the tuple
+                # gate must catch with exact (not widened) extents
+                o1, o2 = rng.choice([(1, 2), (-2, -1), (2, 1), (-1, -2)])
+                ret = f"(a(Ioff[{o1}]) + a(Ioff[{o2}]), a + a(Ioff[{o2}]))"
             else:
                 ret = f"(u * {round(rng.uniform(0.5, 2.0), 2)} + s, u - s)"
         else:

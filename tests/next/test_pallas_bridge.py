@@ -467,6 +467,45 @@ def test_tuple_return_differing_extents_falls_back():
     np.testing.assert_allclose(g1.asnumpy(), r1.asnumpy(), rtol=1e-13)
 
 
+def test_tuple_return_asymmetric_nonzero_offsets_falls_back():
+    """The r3-advisor shape: the same input read at asymmetric NONZERO
+    offsets across members.  Zero-widened extent hulls coincide ((0,2)
+    for both members) while the embedded per-member domains differ --
+    the tuple gate must compare EXACT demand, not widened extents."""
+
+    @gtx.field_operator
+    def asym(a: F64):
+        return (a(Ioff[1]) + a(Ioff[2]), a + a(Ioff[2]))
+
+    a = gtx.as_field((I, J, K), _rand((10, 6, 3), 34))
+    assert _bridge_plan_of(asym, a) is None
+    r0, r1 = asym.with_backend(backends.numpy_oracle)(a)
+    g0, g1 = asym.with_backend("pallas")(a)  # transparent fallback
+    # member 0's domain starts one row EARLIER than member 1's
+    assert _ranges(r0)[0] == (-1, 8) and _ranges(r1)[0] == (0, 8)
+    assert _ranges(r0) == _ranges(g0) and _ranges(r1) == _ranges(g1)
+    np.testing.assert_allclose(g0.asnumpy(), r0.asnumpy(), rtol=1e-13)
+    np.testing.assert_allclose(g1.asnumpy(), r1.asnumpy(), rtol=1e-13)
+
+
+def test_tuple_return_equal_nonzero_offsets_still_fuses():
+    """Members reading the same input at the SAME nonzero extents keep
+    the fused kernel (the exact gate must not over-reject)."""
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    @gtx.field_operator
+    def sym(a: F64):
+        return (a(Ioff[1]) - a, a + a(Ioff[1]))
+
+    a = gtx.as_field((I, J, K), _rand((10, 6, 3), 35))
+    assert _bridge_plan_of(sym, a) is not None
+    r0, r1 = sym.with_backend(backends.numpy_oracle)(a)
+    g0, g1 = sym.with_backend("pallas")(a)
+    assert _ranges(r0) == _ranges(g0) and _ranges(r1) == _ranges(g1)
+    np.testing.assert_allclose(g0.asnumpy(), r0.asnumpy(), rtol=1e-13)
+    np.testing.assert_allclose(g1.asnumpy(), r1.asnumpy(), rtol=1e-13)
+
+
 def test_tuple_return_out_in_program():
     from gt4py_tpu.next import program
 

@@ -172,3 +172,45 @@ def test_hook_machinery():
 
     assert ("build", "hooked") in events
     assert ("call-start", "hooked") in events and ("call-end", "hooked") in events
+
+
+def test_event_log_trim_stable_cursor():
+    """FALLBACK_EVENTS logs stay diffable across head trims (advisor r3):
+    cursor()/since() never miss or duplicate events; total is monotonic."""
+    from gt4py_tpu.core.events import EventLog
+
+    log = EventLog(maxlen=8)
+    for i in range(6):
+        log.record(i)
+    cur = log.cursor()
+    assert cur == 6 and len(log) == 6
+    for i in range(6, 12):  # crosses maxlen -> head trim
+        log.record(i)
+    assert log.total == 12
+    assert len(log) <= 8
+    # naive len()-slice idiom would now be wrong; since() is exact
+    assert log.since(cur) == [6, 7, 8, 9, 10, 11][-len(log.since(cur)):]
+    assert log.since(cur)[-1] == 11
+    assert log.dropped_since(0) == log.trimmed
+    log.clear()
+    assert log.total == 12 and len(log) == 0
+    log.record("x")
+    assert log.since(12) == ["x"]
+
+
+def test_fallback_warning_fires_once():
+    """A kernel-path fallback surfaces as a PerformanceFallbackWarning
+    (VERDICT r3: nothing surfaced the 3-5x cliff to non-opted-in users)."""
+    import warnings
+
+    from gt4py_tpu import config
+
+    config._warned_fallbacks.clear()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        config.warn_fallback("stencil 'x'", "test reason")
+        config.warn_fallback("stencil 'x'", "test reason")  # deduped (once)
+        config.warn_fallback("stencil 'y'", "test reason")
+    msgs = [w for w in rec if issubclass(w.category, config.PerformanceFallbackWarning)]
+    assert len(msgs) == 2
+    assert "staged-XLA" in str(msgs[0].message)
