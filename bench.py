@@ -368,6 +368,126 @@ def bench_tpu_next_hdiff_pallas():
     return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
 
 
+def bench_tpu_next_hdiff_program(fused: bool = True):
+    """hdiff written as a 4-statement next-DSL PROGRAM (lap -> flx/fly ->
+    out, each a small operator writing a user-visible intermediate
+    Field).  ``fused=True`` runs it through program fusion
+    (pallas_bridge.lower_program: one Mosaic kernel + thin halo strips);
+    ``fused=False`` disables fusion so every statement pays its own
+    kernel + HBM round trip -- the r3 behavior this row exists to beat."""
+    import jax
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu import config as _cfg
+    from gt4py_tpu.next import Dims, Field, program, where
+    from gt4py_tpu.next.common import Domain, UnitRange
+
+    OI, OJ = 8, 128
+    SI, SJ = OI + NI + 16, OJ + NJ + 128
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+    FT = Field[Dims[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def lap_op(inp: FT) -> FT:
+        return 4.0 * inp - (
+            inp(Ioff[1]) + inp(Ioff[-1]) + inp(Joff[1]) + inp(Joff[-1])
+        )
+
+    @gtx.field_operator
+    def flx_op(inp: FT, lap: FT) -> FT:
+        fx = lap(Ioff[1]) - lap
+        return where(fx * (inp(Ioff[1]) - inp) > 0.0, 0.0, fx)
+
+    @gtx.field_operator
+    def fly_op(inp: FT, lap: FT) -> FT:
+        fy = lap(Joff[1]) - lap
+        return where(fy * (inp(Joff[1]) - inp) > 0.0, 0.0, fy)
+
+    @gtx.field_operator
+    def out_op(inp: FT, fx: FT, fy: FT, coeff: FT) -> FT:
+        return inp - coeff * (fx - fx(Ioff[-1]) + fy - fy(Joff[-1]))
+
+    @program
+    def hdiff_prog(inp: FT, coeff: FT, lap: FT, fx: FT, fy: FT, res: FT):
+        lap_op(inp, out=lap)
+        flx_op(inp, lap, out=fx)
+        fly_op(inp, lap, out=fy)
+        out_op(inp, fx, fy, coeff, out=res)
+
+    rng = np.random.default_rng(5)
+    inp0 = jnp.asarray(rng.random((SI, SJ, NK)).astype("float32"))
+    U = UnitRange
+    full = Domain((I, J, K), (U(0, SI), U(0, SJ), U(0, NK)))
+    coeff = gtx.Field(
+        full, jnp.asarray(0.025 * rng.random((SI, SJ, NK)).astype("float32"))
+    )
+
+    def fld(ilo, ihi, jlo, jhi):
+        dom = Domain(
+            (I, J, K),
+            (
+                U(OI - ilo, OI + NI + ihi),
+                U(OJ - jlo, OJ + NJ + jhi),
+                U(0, NK),
+            ),
+        )
+        return dom, tuple(len(r) for r in dom.ranges)
+
+    # exact halo sizing: lap is consumed at (0,+1) by flx (I) / fly (J);
+    # fx/fy are consumed at (-1,0) by the final update
+    lap_dom, lap_shape = fld(1, 1, 1, 1)
+    fx_dom, fx_shape = fld(1, 0, 0, 0)
+    fy_dom, fy_shape = fld(0, 0, 1, 0)
+    res_dom, res_shape = fld(0, 0, 0, 0)
+    prog = hdiff_prog.with_backend("pallas")
+    h = 2
+
+    def step(arr):
+        lap = gtx.Field(lap_dom, jnp.zeros(lap_shape, jnp.float32))
+        fx = gtx.Field(fx_dom, jnp.zeros(fx_shape, jnp.float32))
+        fy = gtx.Field(fy_dom, jnp.zeros(fy_shape, jnp.float32))
+        res = gtx.Field(res_dom, jnp.zeros(res_shape, jnp.float32))
+        prog(gtx.Field(full, arr), coeff, lap, fx, fy, res)
+        a = arr.at[OI : OI + NI, OJ : OJ + NJ].set(res.data)
+        a = a.at[OI - h : OI].set(a[OI + NI - h : OI + NI])
+        a = a.at[OI + NI : OI + NI + h].set(a[OI : OI + h])
+        a = a.at[:, OJ - h : OJ].set(a[:, OJ + NJ - h : OJ + NJ])
+        a = a.at[:, OJ + NJ : OJ + NJ + h].set(a[:, OJ : OJ + h])
+        return a
+
+    old = _cfg.PROGRAM_FUSION
+    _cfg.PROGRAM_FUSION = fused
+    try:
+
+        def timed(iters):
+            @jax.jit
+            def run(arr):
+                import jax.lax as lax
+
+                return jnp.sum(
+                    lax.fori_loop(0, iters, lambda _, a: step(a), arr)
+                )
+
+            float(run(inp0))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(run(inp0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        i1, i2 = 3, 15
+        return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
+    finally:
+        _cfg.PROGRAM_FUSION = old
+
+
 def bench_tpu_next_tridiag(pallas: bool):
     """next-DSL tridiagonal solve (tuple-carry forward elimination +
     backward substitution scan operators) at 512^2 x 80 f32: the scan
@@ -705,6 +825,19 @@ def main():
             )
         except Exception as e:
             print(f"# next-hdiff-pallas bench failed: {e}", file=sys.stderr)
+        try:
+            nhf = bench_tpu_next_hdiff_program(fused=True)
+            extra["next_hdiff_program_fused_512_ms"] = round(nhf * 1e3, 2)
+            extra["next_hdiff_program_fused_512_gpoints"] = round(
+                NI * NJ * NK / nhf / 1e9, 3
+            )
+        except Exception as e:
+            print(f"# next-hdiff-program bench failed: {e}", file=sys.stderr)
+        try:
+            nhs = bench_tpu_next_hdiff_program(fused=False)
+            extra["next_hdiff_program_stmtwise_512_ms"] = round(nhs * 1e3, 2)
+        except Exception as e:
+            print(f"# next-hdiff-program-stmtwise bench failed: {e}", file=sys.stderr)
         try:
             ntp = bench_tpu_next_tridiag(pallas=True)
             extra["next_tridiag_pallas_512_ms"] = round(ntp * 1e3, 2)

@@ -85,6 +85,12 @@ if (
         os.environ.get("XLA_FLAGS", "") + " --xla_cpu_use_fusion_emitters=false"
     ).strip()
 
+#: Fuse eligible multi-statement next-DSL programs into one Pallas
+#: kernel (pallas_bridge.lower_program).  Off -> every statement
+#: dispatches its own operator kernel (the pre-r4 behavior); useful for
+#: debugging and for measuring the fusion win.
+PROGRAM_FUSION: bool = _env_bool("GT4PY_TPU_PROGRAM_FUSION", True)
+
 #: Surface kernel-path fallbacks as Python warnings.  Both compiled
 #: paths (cartesian pallas backend, next pallas bridge) silently drop to
 #: the 3-5x-slower staged-XLA executor when a construct is outside the

@@ -145,6 +145,16 @@ class CompiledProgramsPool:
         missing = [n for n in self.static_params if n not in static_kw]
         if missing:
             raise TypeError(f"missing static arguments: {missing}")
+        import jax
+
+        if any(
+            isinstance(x, jax.core.Tracer)
+            for x in jax.tree_util.tree_leaves((args, kwargs))
+        ):
+            # called under an outer trace (a program stepped inside a user
+            # jit/fori_loop): an AOT executable cannot accept tracers --
+            # inline the jitted form into the outer computation instead
+            return self._jitted()(*args, **kwargs, **static_kw)
         key = (self._static_key(static_kw), _abstract_key(args, kwargs))
         with self._lock:
             program = self._programs.get(key)

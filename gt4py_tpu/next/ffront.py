@@ -785,6 +785,14 @@ class Program:
         env = {p.name: a for p, a in zip(typed.params, merged)}
         env.update(typed.closure)
         if self._backend is not None and getattr(self._backend, "compiled", ""):
+            # whole-program fusion: splice the statements' kernels into
+            # ONE fused stencil (intermediates stay in VMEM) when every
+            # statement is an eligible cartesian operator call -- the
+            # reference's global-tmps + as_fieldop fusion re-done
+            # TPU-first (see pallas_bridge.lower_program)
+            self._check_domains(typed, env)
+            if self._run_fused(typed, merged):
+                return
             # compiled program backend: operator calls in the body go
             # through the same compiled path (pallas_bridge lowering with
             # per-call out=/domain= restriction; ineligible ones fall
@@ -805,6 +813,41 @@ class Program:
             env = {k: rebind(v) for k, v in env.items()}
         self._check_domains(typed, env)
         Interpreter(typed, env).run()
+
+    def _run_fused(self, typed, merged) -> bool:
+        """Try the whole-program fused kernel (pallas_bridge.lower_program
+        + run_program_plan); False -> caller uses the per-statement path.
+        Structural ineligibility is cached per typed signature; per-call
+        gates (domain coverage, cross-statement read regions) re-check on
+        each new domain signature."""
+        from gt4py_tpu import config
+
+        from . import pallas_bridge
+
+        if not config.PROGRAM_FUSION:
+            return False
+        plans = self.__dict__.setdefault("_prog_bridge_plans", {})
+        key = id(typed)  # typed IRs are cached for the Program's lifetime
+        if key not in plans:
+            try:
+                plans[key] = pallas_bridge.lower_program(typed)
+            except pallas_bridge.Ineligible as ex:
+                pallas_bridge._record_fallback(
+                    self.__name__,
+                    f"program fusion: {ex}",
+                    warn=not getattr(ex, "quiet", False),
+                )
+                plans[key] = None
+        pplan = plans[key]
+        if pplan is None:
+            return False
+        env = {p.name: a for p, a in zip(typed.params, merged)}
+        try:
+            pallas_bridge.run_program_plan(pplan, env)
+            return True
+        except pallas_bridge.Ineligible as ex:
+            pallas_bridge._record_fallback(self.__name__, f"program fusion: {ex}")
+            return False
 
     def _check_domains(self, typed, env) -> None:
         """Domain inference check (reference: transforms/infer_domain.py):

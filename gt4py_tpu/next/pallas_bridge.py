@@ -57,9 +57,10 @@ class Ineligible(Exception):
 FALLBACK_EVENTS: EventLog = EventLog()
 
 
-def _record_fallback(name: str, reason: str) -> None:
+def _record_fallback(name: str, reason: str, warn: bool = True) -> None:
     FALLBACK_EVENTS.record((name, reason))
-    config.warn_fallback(f"next operator '{name}'", reason)
+    if warn:
+        config.warn_fallback(f"next operator '{name}'", reason)
 
 
 #: next math-builtin name -> cartesian NativeFunction
@@ -934,17 +935,14 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
         if perm != list(range(len(axes))):
             data = jnp.transpose(data, perm)
         arrays[n] = data
-        sorted_axes = sorted(axes)
-        org = []
-        for ax in sorted_axes:
-            r = f.domain.ranges[axes.index(ax)]
-            org.append((starts[ax] if starts[ax] is not None else 0) - r.start)
-        # cartesian origins are per-axis (I, J, K) restricted to present
-        # dims; the backend expects a 3-tuple with entries for present axes
-        full = [0, 0, 0]
-        for ax, o in zip(sorted_axes, org):
-            full[ax] = o
-        origins[n] = tuple(full)
+        # the backend's _prepare consumes origins per PRESENT axis in
+        # sorted-axis order (compressed, not a full 3-tuple): a gap in the
+        # dimension mask -- e.g. an (I, K) field -- shifts later entries
+        origins[n] = tuple(
+            (starts[ax] if starts[ax] is not None else 0)
+            - f.domain.ranges[axes.index(ax)].start
+            for ax in sorted(axes)
+        )
 
     for (nm, _, _, dt), out_axes in zip(plan.outs, axes_per_out):
         arrays[nm] = jnp.zeros(
@@ -1255,11 +1253,11 @@ def run_scan_plan(plan: ScanBridgePlan, args: Tuple[Any, ...]):
         if perm != list(range(len(axes))):
             data = jnp.transpose(data, perm)
         arrays[n] = data
-        full = [0, 0, 0]
-        for ax2 in sorted(axes):
-            r = f.domain.ranges[axes.index(ax2)]
-            full[ax2] = starts[ax2] - r.start
-        origins[n] = tuple(full)
+        # compressed per-present-axis origins (see run_plan)
+        origins[n] = tuple(
+            starts[ax2] - f.domain.ranges[axes.index(ax2)].start
+            for ax2 in sorted(axes)
+        )
 
     out_shape = tuple(domain[ax] for ax in sorted(out_axes))
     for nm, dt in zip(plan.out_names, plan.out_dtypes):
@@ -1281,3 +1279,637 @@ def run_scan_plan(plan: ScanBridgePlan, args: Tuple[Any, ...]):
             o = jnp.transpose(o, perm)
         outs.append(Field(dom, o))
     return tuple(outs) if plan.is_tuple else outs[0]
+
+
+# --------------------------------------------------------------------------- #
+# Programs -> one fused multi-output kernel + boundary strips
+# --------------------------------------------------------------------------- #
+#
+# A multi-statement ``@program`` dispatched per operator pays one HBM
+# round trip per statement for every intermediate Field.  The reference
+# fuses across statements with global-temporaries extraction +
+# as_fieldop fusion (reference:
+# src/gt4py/next/iterator/transforms/global_tmps.py:312,
+# fuse_as_fieldop.py:245).  The TPU-first equivalent here: splice every
+# statement's already-lowered cartesian kernel body into ONE stencil --
+# intermediates become in-VMEM temporaries the existing planner already
+# handles -- over the INTERSECTION of the statements' write domains, and
+# complete each intermediate's halo region (its write domain minus the
+# intersection) with thin restricted per-operator runs on the XLA
+# executor (O(n*halo) work vs the kernel's O(n^2)).
+#
+# Semantics replicated exactly (the embedded executor is the spec):
+# each statement writes ``out_i`` over TD_i = explicit domain= or
+# intersect(result domain, out buffer domain); a later statement reading
+# a written parameter sees new values inside TD_i and the ORIGINAL
+# buffer content outside.  The fused kernel binds later reads to the
+# producing temporary, which holds formula values everywhere computed --
+# so fusion gates on every cross-statement read landing inside the
+# producer's TD_i (checked per call on the static Field domains); any
+# violation falls back to the per-statement path, same numerics.
+
+
+@dataclasses.dataclass
+class ProgramStmt:
+    """One lowered ``op(args..., out=..., domain=...)`` statement."""
+
+    op_name: str
+    plan: BridgePlan
+    #: per op positional parameter (signature order):
+    #: ("field", prog_param) | ("scalar", prog_param) | ("literal", value)
+    bindings: List[Tuple[str, Any]]
+    #: per returned member: (prog out param, relative slices or None)
+    targets: List[Tuple[str, Optional[Tuple]]]
+    domain_expr: Optional[Any]  # fvir node for domain=, or None
+
+
+@dataclasses.dataclass
+class ProgramBridgePlan:
+    typed: Any  # the program's typed OperatorIR
+    stmts: List[ProgramStmt]
+    axis_of: Dict[str, int]
+    #: runtime instances (or cached Ineligible) keyed by domain signature
+    instances: Dict[Any, Any] = dataclasses.field(default_factory=dict)
+
+
+def lower_program(typed: fvir.OperatorIR) -> ProgramBridgePlan:
+    """Structurally lower a TYPED program: every statement must be an
+    eligible cartesian field-operator call with Name/sliced-Name out
+    targets.  Domain math happens per call (Field domains are static
+    under jit) in :func:`_build_instance`."""
+    from .ffront import FieldOperator, ScanOperator
+
+    if typed.kind != "program":
+        raise Ineligible(typed.kind)
+    param_types = {p.name: p.type for p in typed.params}
+    axis_of: Dict[str, int] = {}
+    stmts: List[ProgramStmt] = []
+    for st in typed.body:
+        if (
+            isinstance(st, fvir.Assign)
+            and not st.targets
+            and isinstance(st.value, fvir.Literal)
+        ):
+            continue  # docstring no-op
+        if not (
+            isinstance(st, fvir.Assign)
+            and not st.targets
+            and isinstance(st.value, fvir.Call)
+        ):
+            raise Ineligible(f"program statement {type(st).__name__}")
+        call = st.value
+        if not isinstance(call.func, fvir.Name):
+            raise Ineligible("computed operator reference")
+        fn = typed.closure.get(call.func.id)
+        if isinstance(fn, ScanOperator) or not isinstance(fn, FieldOperator):
+            raise Ineligible(
+                f"statement calls {type(fn).__name__} (only field operators fuse)"
+            )
+        extra = set(call.kwargs) - {"out", "domain"}
+        if extra:
+            raise Ineligible(f"call kwargs {sorted(extra)}")
+        out_expr = call.kwargs.get("out")
+        if out_expr is None:
+            raise Ineligible("operator statement without out=")
+        bindings: List[Tuple[str, Any]] = []
+        for a in call.args:
+            if isinstance(a, fvir.Name) and a.id in param_types:
+                t = a.type
+                if isinstance(t, ts.FieldType):
+                    bindings.append(("field", a.id))
+                elif isinstance(t, ts.ScalarType):
+                    bindings.append(("scalar", a.id))
+                else:
+                    raise Ineligible(f"argument of type {t}")
+            elif isinstance(a, fvir.Literal) and isinstance(a.type, ts.ScalarType):
+                bindings.append(("literal", np.dtype(a.type.kind).type(a.value)))
+            else:
+                raise Ineligible(f"argument {type(a).__name__}")
+        try:
+            op_typed, _ = fn._typed_for(tuple(a.type for a in call.args))
+            plan = lower_field_operator(op_typed)
+        except Ineligible:
+            raise
+        except Exception as ex:
+            raise Ineligible(f"operator typing failed: {ex}") from ex
+        # spliced bodies reuse each op's i/j/k offset meaning: the
+        # dimension->axis maps must agree across statements
+        for dval, ax in plan.axis_of.items():
+            if axis_of.setdefault(dval, ax) != ax:
+                raise Ineligible("inconsistent dimension->axis maps")
+
+        def target_spec(e):
+            if isinstance(e, fvir.Name):
+                if e.id not in param_types:
+                    raise Ineligible("out target is not a program parameter")
+                return (e.id, None)
+            if isinstance(e, fvir.FieldSlice) and isinstance(e.value, fvir.Name):
+                if e.value.id not in param_types:
+                    raise Ineligible("out target is not a program parameter")
+                return (e.value.id, tuple(e.slices))
+            raise Ineligible(f"out target {type(e).__name__}")
+
+        if isinstance(out_expr, fvir.TupleExpr):
+            targets = [target_spec(x) for x in out_expr.elts]
+        else:
+            targets = [target_spec(out_expr)]
+        if len(targets) != len(plan.outs):
+            raise Ineligible("out arity mismatch")
+        stmts.append(
+            ProgramStmt(
+                call.func.id, plan, bindings, targets, call.kwargs.get("domain")
+            )
+        )
+    if len(stmts) < 2:
+        ex = Ineligible(
+            "single-statement program (the per-operator kernel path already "
+            "fuses it)"
+        )
+        ex.quiet = True  # not a perf cliff: no user-facing warning
+        raise ex
+    return ProgramBridgePlan(typed, stmts, axis_of)
+
+
+@dataclasses.dataclass
+class _MemberWrite:
+    out_name: str  # fused API out field
+    temp_name: str  # the producing in-kernel temporary
+    prog_param: str
+    member_idx: int
+    dims: Tuple  # member dims in declared (== buffer) order
+    axes: List[int]
+    dtype: np.dtype
+    #: absolute write region per axis of the member
+    td: Dict[int, Tuple[int, int]]
+    #: halo completion boxes: each a restrict list [(dval, lo, hi), ...]
+    strips: List[List[Tuple[str, int, int]]]
+
+
+@dataclasses.dataclass
+class _FusedInstance:
+    backend: Any  # PallasBackend over the fused stencil
+    analysis: Any
+    domain: Tuple[int, int, int]
+    starts: List[Optional[int]]  # absolute D start per axis (None: unused)
+    in_fields: List[str]  # program params fed as kernel inputs
+    #: fused scalar name -> ("scalar", prog name) | ("literal", value)
+    scalar_feeds: List[Tuple[str, Tuple[str, Any]]]
+    stmt_writes: List[List[_MemberWrite]]
+    #: per statement: the op plan re-targeted at the XLA executor for
+    #: thin strip runs (no Mosaic tiling constraints, no fallback noise)
+    strip_plans: List[Optional[BridgePlan]]
+
+
+def _rename_accesses(nodes, fmap: Dict[str, str], smap: Dict[str, str]) -> None:
+    for n in ir.walk_values(nodes):
+        if isinstance(n, ir.FieldAccess) and n.name in fmap:
+            n.name = fmap[n.name]
+        elif isinstance(n, ir.ScalarAccess) and n.name in smap:
+            n.name = smap[n.name]
+
+
+def _stmt_windows(pstmt: ProgramStmt, env: Dict[str, Any]):
+    """The statement's result window per axis (run_plan's domain math)."""
+    ext = pstmt.plan.analysis.extents
+    starts: List[Optional[int]] = [None, None, None]
+    stops: List[Optional[int]] = [None, None, None]
+    by_name = dict(zip(pstmt.plan.signature_order, pstmt.bindings))
+    for n, dims, mask in pstmt.plan.field_params:
+        kind, q = by_name[n]
+        f = env[q]
+        e = ext.field_extents.get(n)
+        if e is None:
+            continue
+        spans = (e.i, e.j, e.k)
+        for d, r in zip(f.domain.dims, f.domain.ranges):
+            ax = pstmt.plan.axis_of[d.value]
+            lo, hi = spans[ax]
+            s, t = r.start - lo, r.stop - hi
+            starts[ax] = s if starts[ax] is None else max(starts[ax], s)
+            stops[ax] = t if stops[ax] is None else min(stops[ax], t)
+    return starts, stops
+
+
+def _instance_key(pplan: ProgramBridgePlan, env: Dict[str, Any], dom_vals):
+    parts = []
+    for p in pplan.typed.params:
+        v = env.get(p.name)
+        if isinstance(v, Field):
+            parts.append(
+                (
+                    p.name,
+                    tuple(d.value for d in v.domain.dims),
+                    tuple((int(r.start), int(r.stop)) for r in v.domain.ranges),
+                    str(np.dtype(v.dtype)),
+                    tuple(v.data.shape),
+                )
+            )
+    return (tuple(parts), tuple(dom_vals))
+
+
+def _eval_stmt_domains(pplan: ProgramBridgePlan, env: Dict[str, Any]):
+    """Evaluate each statement's domain= expression to a static tuple
+    ((dval, start, stop), ...) or None.  Traced values -> Ineligible."""
+    from .common import domain_like
+    from .interpreter import Interpreter
+
+    out = []
+    full_env = dict(pplan.typed.closure)
+    full_env.update(env)
+    for st in pplan.stmts:
+        if st.domain_expr is None:
+            out.append(None)
+            continue
+        try:
+            d = domain_like(Interpreter(pplan.typed, full_env).eval(st.domain_expr))
+            out.append(
+                tuple(
+                    (dd.value, int(r.start), int(r.stop))
+                    for dd, r in zip(d.dims, d.ranges)
+                )
+            )
+        except Exception as ex:
+            raise Ineligible(f"domain= not statically evaluable: {ex}") from ex
+    return out
+
+
+def _build_instance(
+    pplan: ProgramBridgePlan, env: Dict[str, Any], dom_vals
+) -> _FusedInstance:
+    import copy
+
+    from gt4py_tpu.cartesian.backend.jax_backend import JaxBackend
+    from gt4py_tpu.cartesian.backend.pallas_backend import PallasBackend
+
+    axis_of = pplan.axis_of
+    axis_dim: Dict[int, str] = {}
+
+    # ---- per-statement write regions (embedded _write_out math) ---- #
+    all_writes: List[List[dict]] = []
+    for pstmt, dval in zip(pplan.stmts, dom_vals):
+        starts, stops = _stmt_windows(pstmt, env)
+        writes = []
+        for mi, ((nm, dims, mask, dt), (prog_param, slices)) in enumerate(
+            zip(pstmt.plan.outs, pstmt.targets)
+        ):
+            parent = env[prog_param]
+            if not isinstance(parent, Field):
+                raise Ineligible(f"out parameter '{prog_param}' is not a Field")
+            if tuple(parent.domain.dims) != tuple(dims):
+                raise Ineligible("out buffer dims order differs from the result")
+            for ax_i, d in enumerate(parent.domain.dims):
+                if parent.data.shape[ax_i] != len(parent.domain.ranges[ax_i]):
+                    raise Ineligible("broadcast-backed out buffer")
+            if slices is not None:
+                try:
+                    outdom, _ = parent._slice_spec(
+                        tuple(slice(lo, hi) for lo, hi in slices)
+                    )
+                except Exception as ex:
+                    raise Ineligible(f"out slice: {ex}") from ex
+            else:
+                outdom = parent.domain
+            axes = [axis_of[d.value] for d in dims]
+            for d in dims:
+                axis_dim[axis_of[d.value]] = d.value
+            td: Dict[int, Tuple[int, int]] = {}
+            if dval is not None:
+                dmap = {v: (s, t) for v, s, t in dval}
+                if set(dmap) != {d.value for d in dims}:
+                    raise Ineligible("domain= dims mismatch")
+                for d in dims:
+                    ax = axis_of[d.value]
+                    s, t = dmap[d.value]
+                    rs, rt = starts[ax], stops[ax]
+                    od = outdom[d]
+                    if rs is None or s < rs or t > rt or s < od.start or t > od.stop:
+                        # the embedded path raises the located error
+                        raise Ineligible("domain= outside result/out coverage")
+                    td[ax] = (s, t)
+            else:
+                for d in dims:
+                    ax = axis_of[d.value]
+                    rs, rt = starts[ax], stops[ax]
+                    if rs is None:
+                        raise Ineligible("output dimension unconstrained by any input")
+                    od = outdom[d]
+                    s, t = max(rs, od.start), min(rt, od.stop)
+                    if t <= s:
+                        raise Ineligible("empty statement write domain")
+                    td[ax] = (s, t)
+            writes.append(
+                dict(
+                    member_idx=mi,
+                    prog_param=prog_param,
+                    dims=tuple(dims),
+                    axes=axes,
+                    dtype=dt,
+                    td=td,
+                )
+            )
+        all_writes.append(writes)
+
+    # ---- fused compute domain D = intersection of write regions ---- #
+    D: Dict[int, Tuple[int, int]] = {}
+    for writes in all_writes:
+        for w in writes:
+            for ax, (s, t) in w["td"].items():
+                if ax in D:
+                    D[ax] = (max(D[ax][0], s), min(D[ax][1], t))
+                else:
+                    D[ax] = (s, t)
+    for ax, (s, t) in D.items():
+        if t <= s:
+            raise Ineligible("empty fused domain (disjoint statement domains)")
+    starts3: List[Optional[int]] = [None, None, None]
+    domain = [1, 1, 1]
+    for ax, (s, t) in D.items():
+        starts3[ax] = s
+        domain[ax] = t - s
+
+    # ---- splice the per-op kernels into one stencil ---- #
+    current: Dict[str, str] = {}  # prog out param -> producing temp
+    fused_body: List[ir.Stmt] = []
+    temp_decls: Dict[str, ir.FieldDecl] = {}
+    field_decls: Dict[str, ir.FieldDecl] = {}
+    scalar_decls: Dict[str, ir.ScalarDecl] = {}
+    in_fields: List[str] = []
+    out_names: List[str] = []
+    scalar_feeds: List[Tuple[str, Tuple[str, Any]]] = []
+    stmt_writes: List[List[_MemberWrite]] = []
+    strip_plans: List[Optional[BridgePlan]] = []
+
+    for si, (pstmt, writes) in enumerate(zip(pplan.stmts, all_writes)):
+        plan = pstmt.plan
+        sten = copy.deepcopy(plan.stencil)
+        by_name = dict(zip(plan.signature_order, pstmt.bindings))
+        fmap: Dict[str, str] = {}
+        smap: Dict[str, str] = {}
+        for pname, dims, mask in plan.field_params:
+            kind, q = by_name[pname]
+            if q in current:
+                fmap[pname] = current[q]
+            else:
+                fmap[pname] = q
+                if q not in field_decls:
+                    decl = sten.field_decls[pname]
+                    field_decls[q] = ir.FieldDecl(
+                        name=q,
+                        dtype=decl.dtype,
+                        dimensions=decl.dimensions,
+                        data_dims=decl.data_dims,
+                    )
+                    in_fields.append(q)
+        for sname in plan.scalar_params:
+            kind, qv = by_name[sname]
+            new = f"__sc{si}_{sname}"
+            smap[sname] = new
+            scalar_decls[new] = ir.ScalarDecl(
+                name=new, dtype=sten.scalar_decls[sname].dtype
+            )
+            scalar_feeds.append((new, (kind, qv)))
+        for tname, decl in sten.temp_decls.items():
+            new = f"__p{si}_{tname}"
+            fmap[tname] = new
+            temp_decls[new] = ir.FieldDecl(
+                name=new,
+                dtype=decl.dtype,
+                dimensions=decl.dimensions,
+                data_dims=decl.data_dims,
+                is_api=False,
+            )
+        mwrites: List[_MemberWrite] = []
+        for w, (nm, dims, mask, dt) in zip(writes, plan.outs):
+            tnew = f"__t{si}_{w['member_idx']}"
+            fmap[nm] = tnew
+            temp_decls[tnew] = ir.FieldDecl(
+                name=tnew, dtype=dt, dimensions=(True, True, True), is_api=False
+            )
+        body = [s for loop in sten.vertical_loops for sec in loop.sections for s in sec.body]
+        _rename_accesses(body, fmap, smap)
+        fused_body.extend(body)
+        for w, (nm, dims, mask, dt) in zip(writes, plan.outs):
+            tnew = fmap[nm]
+            po = f"__po{si}_{w['member_idx']}"
+            field_decls[po] = ir.FieldDecl(name=po, dtype=dt, dimensions=mask)
+            out_names.append(po)
+            fused_body.append(
+                ir.Assign(target=ir.FieldAccess(name=po), value=ir.FieldAccess(name=tnew))
+            )
+            # halo completion boxes: td \ D, peeled per axis
+            strips: List[List[Tuple[str, int, int]]] = []
+            cur = dict(w["td"])
+            for ax in sorted(cur):
+                lo, hi = cur[ax]
+                dlo, dhi = D[ax]
+                if lo < dlo:
+                    strips.append(
+                        [
+                            (axis_dim[a], (lo, dlo) if a == ax else cur[a])
+                            for a in sorted(cur)
+                        ]
+                    )
+                if hi > dhi:
+                    strips.append(
+                        [
+                            (axis_dim[a], (dhi, hi) if a == ax else cur[a])
+                            for a in sorted(cur)
+                        ]
+                    )
+                cur[ax] = (max(lo, dlo), min(hi, dhi))
+            strips = [
+                [(dv, r[0], r[1]) for dv, r in box] for box in strips
+            ]
+            mwrites.append(
+                _MemberWrite(
+                    out_name=po,
+                    temp_name=tnew,
+                    prog_param=w["prog_param"],
+                    member_idx=w["member_idx"],
+                    dims=w["dims"],
+                    axes=w["axes"],
+                    dtype=dt,
+                    td=w["td"],
+                    strips=strips,
+                )
+            )
+            current[w["prog_param"]] = tnew
+        stmt_writes.append(mwrites)
+        strip_plans.append(
+            dataclasses.replace(plan, backend=JaxBackend(plan.analysis, {}))
+            if any(m.strips for m in mwrites)
+            else None
+        )
+
+    api = (
+        [ir.ApiParam(name=n, is_field=True) for n in in_fields]
+        + [ir.ApiParam(name=n, is_field=True) for n in out_names]
+        + [ir.ApiParam(name=n, is_field=False) for n, _ in scalar_feeds]
+    )
+    stencil = ir.Stencil(
+        name=f"next_prog_{pplan.typed.name or 'program'}",
+        api_params=api,
+        field_decls=field_decls,
+        scalar_decls=scalar_decls,
+        temp_decls=temp_decls,
+        vertical_loops=[
+            ir.VerticalLoop(
+                ir.LoopOrder.PARALLEL,
+                [
+                    ir.VerticalSection(
+                        interval=ir.Interval(
+                            ir.AxisBound.start(0), ir.AxisBound.end(0)
+                        ),
+                        body=fused_body,
+                    )
+                ],
+            )
+        ],
+    )
+    try:
+        analysis = analyze(stencil)
+    except Exception as ex:
+        raise Ineligible(f"cartesian analysis rejected the fusion: {ex}") from ex
+
+    # ---- gates on the static domains ---- #
+    ext = analysis.extents
+    # (G2) every cross-statement read of an intermediate must land inside
+    # the producer's written region: demand(temp) within td - D
+    for writes in stmt_writes:
+        for m in writes:
+            fe = ext.field_extents.get(m.temp_name)
+            if fe is None:
+                continue
+            spans = (fe.i, fe.j, fe.k)
+            for ax in m.td:
+                lo, hi = spans[ax]
+                e_lo = m.td[ax][0] - D[ax][0]
+                e_hi = m.td[ax][1] - D[ax][1]
+                if lo < e_lo or hi > e_hi:
+                    raise Ineligible(
+                        f"statement reads '{m.prog_param}' outside the region "
+                        "written by its producer (stale halo content)"
+                    )
+    # input halo coverage (guaranteed by the domain math; safety net)
+    for q in in_fields:
+        f = env[q]
+        b = ext.boundary(q)
+        blo = b.lower_indices
+        bhi = b.upper_indices
+        for d, r in zip(f.domain.dims, f.domain.ranges):
+            ax = axis_of[d.value]
+            if starts3[ax] is None:
+                continue
+            org = starts3[ax] - r.start
+            if org < blo[ax] or org + domain[ax] + bhi[ax] > len(r):
+                raise Ineligible(f"input '{q}' does not cover the fused halo")
+
+    return _FusedInstance(
+        backend=PallasBackend(analysis, {}),
+        analysis=analysis,
+        domain=tuple(domain),
+        starts=starts3,
+        in_fields=in_fields,
+        scalar_feeds=scalar_feeds,
+        stmt_writes=stmt_writes,
+        strip_plans=strip_plans,
+    )
+
+
+def run_program_plan(pplan: ProgramBridgePlan, env: Dict[str, Any]) -> None:
+    """Execute a fused program on the current parameter values, mutating
+    the out-parameter Field holders (like the embedded interpreter).
+
+    Stages cleanly under jit: all domain math runs on static Field
+    metadata; the instance (fused stencil + kernel plan) is cached per
+    domain signature."""
+    import jax.numpy as jnp
+
+    dom_vals = _eval_stmt_domains(pplan, env)
+    key = _instance_key(pplan, env, dom_vals)
+    inst = pplan.instances.get(key)
+    if inst is None:
+        try:
+            inst = _build_instance(pplan, env, dom_vals)
+        except Ineligible as ex:
+            pplan.instances[key] = ex
+            raise
+        pplan.instances[key] = inst
+    if isinstance(inst, Ineligible):
+        raise Ineligible(str(inst))
+
+    # ---- kernel inputs ---- #
+    arrays: Dict[str, Any] = {}
+    origins: Dict[str, Tuple[int, int, int]] = {}
+    for q in inst.in_fields:
+        f = env[q]
+        axes = [pplan.axis_of[d.value] for d in f.domain.dims]
+        perm = sorted(range(len(axes)), key=lambda i: axes[i])
+        data = f.data
+        if perm != list(range(len(axes))):
+            data = jnp.transpose(data, perm)
+        arrays[q] = data
+        # compressed per-present-axis origins (see run_plan)
+        origins[q] = tuple(
+            (
+                inst.starts[ax]
+                if inst.starts[ax] is not None
+                else f.domain.ranges[axes.index(ax)].start
+            )
+            - f.domain.ranges[axes.index(ax)].start
+            for ax in sorted(axes)
+        )
+    for writes in inst.stmt_writes:
+        for m in writes:
+            shp = tuple(inst.domain[ax] for ax in sorted(m.axes))
+            arrays[m.out_name] = jnp.zeros(shp, dtype=m.dtype)
+            origins[m.out_name] = (0, 0, 0)
+    scalars = {
+        new: (env[qv] if kind == "scalar" else qv)
+        for new, (kind, qv) in inst.scalar_feeds
+    }
+
+    res = inst.backend.apply(arrays, scalars, inst.domain, origins)
+
+    # ---- assemble the out buffers in statement order ---- #
+    def write_region(parent: Field, dims, region: Dict[int, Tuple[int, int]], value):
+        idx = []
+        for d in dims:
+            ax = pplan.axis_of[d.value]
+            own = parent.domain[d]
+            s, t = region[ax]
+            idx.append(slice(s - own.start, t - own.start))
+        val = value.astype(np.dtype(parent.dtype)) if value.dtype != np.dtype(
+            parent.dtype
+        ) else value
+        if isinstance(parent.data, np.ndarray):
+            parent.data[tuple(idx)] = np.asarray(val)
+        else:
+            parent.data = parent.data.at[tuple(idx)].set(val)
+
+    for pstmt, writes, xplan in zip(pplan.stmts, inst.stmt_writes, inst.strip_plans):
+        # strips read the PRE-statement buffers (embedded order)
+        strip_vals = []
+        if xplan is not None:
+            args = tuple(
+                env[qv] if kind != "literal" else qv
+                for kind, qv in pstmt.bindings
+            )
+            for m in writes:
+                for box in m.strips:
+                    r = run_plan(xplan, args, restrict=box)
+                    rm = r[m.member_idx] if xplan.is_tuple else r
+                    region = {
+                        pplan.axis_of[dv]: (s, t) for dv, s, t in box
+                    }
+                    strip_vals.append((m, region, rm.data))
+        for m in writes:
+            out = res[m.out_name]
+            sorted_axes = sorted(m.axes)
+            perm = [sorted_axes.index(ax) for ax in m.axes]
+            if perm != list(range(len(m.axes))):
+                out = jnp.transpose(out, perm)
+            region = {ax: (inst.starts[ax], inst.starts[ax] + inst.domain[ax]) for ax in m.axes}
+            write_region(env[m.prog_param], m.dims, region, out)
+        for m, region, data in strip_vals:
+            write_region(env[m.prog_param], m.dims, region, data)

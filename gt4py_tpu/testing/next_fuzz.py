@@ -458,6 +458,11 @@ def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
     for label, backend, alloc in (
         ("embedded-jax", None, None),
         ("jax_jit", backends.jax_jit, None),
+        # the compiled backend: multi-statement programs fuse into one
+        # Pallas kernel (pallas_bridge.lower_program) when eligible --
+        # slices/domain=/tuple targets, scan statements and stale-halo
+        # reads all fall back to the per-statement path transparently
+        ("pallas", backends.pallas, None),
     ):
         got = run(backend, alloc)
         src_dump = psrc + "\n" + "\n".join(

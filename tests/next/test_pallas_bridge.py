@@ -527,6 +527,25 @@ def test_tuple_return_out_in_program():
     np.testing.assert_allclose(o2p.asnumpy(), o2r.asnumpy(), rtol=1e-12)
 
 
+def test_gap_masked_field_with_restricted_k_offset():
+    """(I, K) fields (no J) read at a K offset under out=+domain=: the
+    backend consumes origins per PRESENT axis (compressed), so the K
+    origin must not land in the absent-J slot (r4 program-fuzz seed 1:
+    the full-3-tuple form built a zero-size K window)."""
+
+    @gtx.field_operator
+    def op(a: Field[Dims[I, K], gtx.float64]):
+        return where(a > 0.25, a - (a(Koff[-2]) - 0.4), a * 0.5)
+
+    a = gtx.as_field((I, K), _rand((10, 9), 40))
+    o_r = gtx.as_field((I, K), np.full((10, 9), -3.0))
+    o_p = gtx.as_field((I, K), np.full((10, 9), -3.0))
+    dom = {I: (2, 7), K: (2, 7)}
+    op.with_backend(backends.numpy_oracle)(a, out=o_r, domain=dom)
+    op.with_backend("pallas")(a, out=o_p, domain=dom)
+    np.testing.assert_allclose(o_p.asnumpy(), o_r.asnumpy(), rtol=1e-13)
+
+
 # ------------------------- operator-call inlining --------------------------- #
 
 

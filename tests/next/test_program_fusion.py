@@ -1,0 +1,301 @@
+"""Whole-program kernel fusion on the next pallas backend.
+
+A multi-statement ``@program`` lowers to ONE fused cartesian Pallas
+kernel (intermediate Fields become in-VMEM temporaries) plus thin
+restricted runs that complete each intermediate's halo region.
+Reference analog: global-temporaries extraction + as_fieldop fusion
+(src/gt4py/next/iterator/transforms/global_tmps.py:312,
+fuse_as_fieldop.py:245).  The embedded executor is the spec: values,
+written regions, and the stale-halo semantics of partially-written
+buffers must match on every path.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.next import Dims, Field, backends, program, where
+from gt4py_tpu.next import pallas_bridge
+
+I = gtx.Dimension("I")
+J = gtx.Dimension("J")
+K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+F = Field[Dims[I, J, K], gtx.float64]
+U = gtx.UnitRange
+
+N, M, NK = 24, 20, 5
+
+
+def _fld(ilo, ihi, jlo, jhi, seed=None, nk=NK):
+    shape = (ihi - ilo, jhi - jlo, nk)
+    data = (
+        np.random.default_rng(seed).random(shape)
+        if seed is not None
+        else np.zeros(shape)
+    )
+    dom = gtx.Domain((I, J, K), (U(ilo, ihi), U(jlo, jhi), U(0, nk)))
+    return gtx.Field(dom, data)
+
+
+@gtx.field_operator
+def lap_op(a: F) -> F:
+    return a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+
+
+@gtx.field_operator
+def flx_op(a: F, lap: F) -> F:
+    fx = lap(Ioff[1]) - lap
+    return where(fx * (a(Ioff[1]) - a) > 0.0, 0.0, fx)
+
+
+@gtx.field_operator
+def fly_op(a: F, lap: F) -> F:
+    fy = lap(Joff[1]) - lap
+    return where(fy * (a(Joff[1]) - a) > 0.0, 0.0, fy)
+
+
+@gtx.field_operator
+def out_op(a: F, fx: F, fy: F, coeff: F) -> F:
+    return a - coeff * (fx - fx(Ioff[-1]) + fy - fy(Joff[-1]))
+
+
+@program
+def hdiff_prog(a: F, coeff: F, lap: F, fx: F, fy: F, out: F):
+    lap_op(a, out=lap)
+    flx_op(a, lap, out=fx)
+    fly_op(a, lap, out=fy)
+    out_op(a, fx, fy, coeff, out=out)
+
+
+def _hdiff_args():
+    return [
+        _fld(-2, N + 2, -2, M + 2, seed=7),
+        _fld(0, N, 0, M, seed=8),
+        _fld(-1, N + 1, -1, M + 1),
+        _fld(-1, N, -1, M + 1),
+        _fld(-1, N + 1, -1, M),
+        _fld(0, N, 0, M),
+    ]
+
+
+def _fused_plan(prog):
+    plans = prog.__dict__.get("_prog_bridge_plans", {})
+    return next((v for v in plans.values() if v is not None), None)
+
+
+def test_hdiff_program_fuses_into_one_kernel():
+    """The flagship: lap -> flx/fly -> out as a program of small
+    operators runs as ONE kernel; every buffer (including the
+    halo-extended lap/fx/fy intermediates) matches the oracle."""
+    refs = _hdiff_args()
+    hdiff_prog.with_backend(backends.numpy_oracle)(*refs)
+
+    gots = _hdiff_args()
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    p = hdiff_prog.with_backend("pallas")
+    p(*gots)
+    assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    for name, r, g in zip(("lap", "fx", "fy", "out"), refs[2:], gots[2:]):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+    pplan = _fused_plan(p)
+    assert pplan is not None
+    inst = next(
+        v for v in pplan.instances.values() if not isinstance(v, Exception)
+    )
+    # one kernel over the out domain; halo strips only for the extended
+    # intermediates (lap: 4, flx/fly: 3 each, out: none)
+    assert inst.domain == (N, M, NK)
+    assert [[len(m.strips) for m in w] for w in inst.stmt_writes] == [
+        [4],
+        [3],
+        [3],
+        [0],
+    ]
+
+
+def test_fused_program_runs_through_aot_pool_jit():
+    """Second call with identical domains reuses the cached instance; a
+    different domain signature builds a new one (no wrong-shape reuse)."""
+    p = hdiff_prog.with_backend("pallas")
+    args = _hdiff_args()
+    p(*args)
+    p(*args)  # cache hit
+    pplan = _fused_plan(p)
+    n_inst = len(pplan.instances)
+    # shifted domains: new signature
+    shift = [
+        _fld(-1, N + 3, -2, M + 2, seed=7),
+        _fld(1, N + 1, 0, M, seed=8),
+        _fld(0, N + 2, -1, M + 1),
+        _fld(0, N + 1, -1, M + 1),
+        _fld(0, N + 2, -1, M),
+        _fld(1, N + 1, 0, M),
+    ]
+    refs = [f for f in shift]
+    hdiff_prog.with_backend(backends.numpy_oracle)(
+        *[gtx.Field(f.domain, np.array(f.asnumpy())) for f in refs]
+    )
+    p(*shift)
+    assert len(pplan.instances) == n_inst + 1
+
+
+@gtx.field_operator
+def pair_op(a: F) -> tuple[F, F]:
+    mid = a(Ioff[1]) + a(Ioff[-1]) - 2.0 * a
+    return (mid + a, mid - a)
+
+
+@gtx.field_operator
+def scale_op(x: F, s: gtx.float64) -> F:
+    return x * s
+
+
+@program
+def tuple_slice_prog(a: F, p1: F, p2: F, o: F):
+    pair_op(a, out=(p1, p2))
+    scale_op(p1, 3.0, out=o[1:-1, 1:-1], domain={I: (2, 14), J: (2, 12), K: (0, 4)})
+
+
+def test_tuple_statement_slice_target_and_static_domain():
+    n, m, nk = 16, 14, 4
+
+    def run(backend):
+        a = _fld(-1, n + 1, 0, m, seed=3, nk=nk)
+        p1 = _fld(0, n, 0, m, nk=nk)
+        p2 = _fld(0, n, 0, m, nk=nk)
+        o = _fld(0, n, 0, m, nk=nk)
+        pr = tuple_slice_prog.with_backend(backend)
+        pr(a, p1, p2, o)
+        return [p1, p2, o], pr
+
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    refs, _ = run(backends.numpy_oracle)
+    gots, pr = run("pallas")
+    assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    assert _fused_plan(pr) is not None
+    for name, r, g in zip(("p1", "p2", "o"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@gtx.field_operator
+def incr_op(x: F) -> F:
+    return x + 1.0
+
+
+@program
+def rewrite_prog(a: F, t: F, o: F):
+    incr_op(a, out=t)
+    incr_op(t, out=t)
+    scale_op(t, 0.5, out=o)
+
+
+def test_repeated_writes_to_same_param():
+    def run(backend):
+        a = _fld(0, N, 0, M, seed=9)
+        t = _fld(0, N, 0, M)
+        o = _fld(0, N, 0, M)
+        rewrite_prog.with_backend(backend)(a, t, o)
+        return [t, o]
+
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    refs = run(backends.numpy_oracle)
+    gots = run("pallas")
+    assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    for name, r, g in zip(("t", "o"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@program
+def stale_prog(a: F, lap: F, fx: F):
+    lap_op(a, out=lap, domain={I: (0, 24), J: (0, 20), K: (0, 5)})
+    flx_op(a, lap, out=fx)
+
+
+def test_stale_halo_read_falls_back_and_matches():
+    """fx's statement reads lap at I+1 beyond the region lap_op wrote
+    (lap's buffer is bigger than its written region, so the embedded
+    path reads the ORIGINAL zeros there).  The fused kernel would read
+    formula values instead -- the gate must reject and fall back."""
+
+    def run(backend):
+        a = _fld(-1, N + 1, -1, M + 1, seed=4)
+        lap = _fld(-5, N + 5, -5, M + 5)  # big, zero-init, written [0,N)
+        fx = _fld(0, N, 0, M)  # its statement reads lap over I [0, N+1)
+        stale_prog.with_backend(backend)(a, lap, fx)
+        return [lap, fx]
+
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        refs = run(backends.numpy_oracle)
+        gots = run("pallas")
+    ev = pallas_bridge.FALLBACK_EVENTS.since(cur)
+    assert any("program fusion" in e[1] for e in ev), ev
+    for name, r, g in zip(("lap", "fx"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@gtx.scan_operator(axis=K, forward=True, init=0.0)
+def cumsum_op(carry: gtx.float64, x: gtx.float64) -> gtx.float64:
+    return carry + x
+
+
+@program
+def scan_prog(a: F, c: F, o: F):
+    cumsum_op(a, out=c)
+    scale_op(c, 2.0, out=o)
+
+
+def test_scan_statement_falls_back_to_per_statement_kernels():
+    def run(backend):
+        a = _fld(0, N, 0, M, seed=5)
+        c = _fld(0, N, 0, M)
+        o = _fld(0, N, 0, M)
+        scan_prog.with_backend(backend)(a, c, o)
+        return [c, o]
+
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        refs = run(backends.numpy_oracle)
+        gots = run("pallas")
+    ev = pallas_bridge.FALLBACK_EVENTS.since(cur)
+    assert any("ScanOperator" in e[1] for e in ev)
+    for name, r, g in zip(("c", "o"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+def test_single_statement_program_uses_per_operator_path_quietly():
+    @program
+    def single(a: F, o: F):
+        lap_op(a, out=o)
+
+    a = _fld(-1, N + 1, -1, M + 1, seed=6)
+    o_ref, o_got = _fld(0, N, 0, M), _fld(0, N, 0, M)
+    single.with_backend(backends.numpy_oracle)(a, o_ref)
+    from gt4py_tpu import config
+
+    config._warned_fallbacks.clear()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        single.with_backend("pallas")(
+            gtx.Field(a.domain, np.array(a.asnumpy())), o_got
+        )
+    assert not [
+        w for w in rec if issubclass(w.category, config.PerformanceFallbackWarning)
+    ]
+    np.testing.assert_allclose(o_got.asnumpy(), o_ref.asnumpy(), rtol=1e-12)
