@@ -551,6 +551,73 @@ def bench_tpu_next_tridiag(pallas: bool):
     return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
 
 
+def bench_tpu_unstructured(n: int = 512):
+    """Unstructured FVM diffusion step (edge gradient + signed divergence,
+    the examples/unstructured_fvm.py operators) on an n x n quad patch
+    exposed as connectivity tables: ~2*n^2 gather-heavy edges through the
+    jit-staged XLA path (the bridge correctly declines local dims; this
+    row gives the gather path a measured number and a documented floor --
+    see docs/performance.md 'Unstructured gather path')."""
+    import jax
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, FieldOffset, backends, neighbor_sum
+    from gt4py_tpu.next.testing import E2VDim, Edge, V2EDim, Vertex, grid_mesh
+
+    mesh = grid_mesh(n)
+    E2V = FieldOffset("E2V", source=Vertex, target=(Edge, E2VDim))
+    V2E = FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
+    f64 = gtx.float32
+
+    @gtx.field_operator
+    def gradient(psi: Field[Dims[Vertex], gtx.float32]) -> Field[Dims[Edge], gtx.float32]:
+        return psi(E2V[1]) - psi(E2V[0])
+
+    @gtx.field_operator
+    def divergence(
+        flux: Field[Dims[Edge], gtx.float32],
+        sign: Field[Dims[Vertex, V2EDim], gtx.float32],
+    ) -> Field[Dims[Vertex], gtx.float32]:
+        return neighbor_sum(flux(V2E) * sign, axis=V2EDim)
+
+    provider = {"E2V": mesh.e2v, "V2E": mesh.v2e}
+    grad_b = gradient.with_backend(backends.jax_jit)
+    div_b = divergence.with_backend(backends.jax_jit)
+
+    t = mesh.v2e.table
+    first = mesh.e2v.table[np.clip(t, 0, mesh.n_edges - 1), 0]
+    sign_np = np.where(
+        t == -1, 0.0, np.where(first == np.arange(mesh.n_vertices)[:, None], 1.0, -1.0)
+    ).astype(np.float32)
+    sign = gtx.as_field((Vertex, V2EDim), jnp.asarray(sign_np))
+    psi0 = jnp.asarray(
+        np.random.default_rng(3).random(mesh.n_vertices).astype(np.float32)
+    )
+
+    def step(psi_data):
+        psi = gtx.as_field((Vertex,), psi_data)
+        g = grad_b(psi, offset_provider=provider)
+        d = div_b(g, sign, offset_provider=provider)
+        return psi_data + 0.05 * d.data
+
+    def timed(iters):
+        @jax.jit
+        def run(p):
+            return jnp.sum(jax.lax.fori_loop(0, iters, lambda _, x: step(x), p))
+
+        float(run(psi0))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(psi0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    i1, i2 = 4, 20
+    return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9), mesh.n_edges
+
+
 def bench_tpu_shallow_water():
     """Multi-layer C-grid shallow water at 512^2 x 80 (one fused kernel:
     momentum + forward-backward continuity, periodic wrap in the DMA)."""
@@ -811,6 +878,12 @@ def main():
             extra["shallow_water_512_gpoints"] = round(NI * NJ * NK / sw / 1e9, 3)
         except Exception as e:
             print(f"# shallow-water bench failed: {e}", file=sys.stderr)
+        try:
+            tu, n_edges = bench_tpu_unstructured()
+            extra["unstructured_fvm_ms"] = round(tu * 1e3, 2)
+            extra["unstructured_fvm_medges_s"] = round(n_edges / tu / 1e6, 1)
+        except Exception as e:
+            print(f"# unstructured bench failed: {e}", file=sys.stderr)
         try:
             nh = bench_tpu_next_hdiff()
             extra["next_hdiff_512_ms"] = round(nh * 1e3, 2)

@@ -17,6 +17,7 @@ as a traced functional program instead of generated source.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -368,6 +369,10 @@ class JaxTracer:
         """Periodic J offset as a lane roll: out[..., j] = x[..., (j+dj)%nj]."""
         import jax.numpy as jnp
 
+        if os.environ.get("GT4PY_TPU_TIMING_NO_ROLL"):
+            # PERF EXPERIMENT ONLY (wrong values): no-op the roll to bound
+            # the lane-rotate share of a circular kernel's runtime
+            return x
         if self.pltpu_roll:
             from jax.experimental.pallas import tpu as pltpu
 

@@ -14,6 +14,8 @@ temporaries in HBM.
 from __future__ import annotations
 
 import copy
+
+import numpy as np
 from typing import Dict, List, Optional, Set, Tuple
 
 from gt4py_tpu.cartesian import ir
@@ -671,3 +673,132 @@ def split_serial_passes(stencil: ir.Stencil):
                 sub.temp_decls[name] = decl
         passes_out.append(sub)
     return passes_out, promoted
+
+
+# --------------------------------------------------------------------------- #
+# 16-bit floats as a STORAGE format (f32 statement compute)
+# --------------------------------------------------------------------------- #
+
+
+def widen_f16_compute(stencil: ir.Stencil) -> ir.Stencil:
+    """Canonicalize bf16/f16 stencils to mixed-precision semantics:
+    16-bit values live in HBM/buffers, every statement COMPUTES in f32
+    (one widen per 16-bit read, one round per 16-bit store).
+
+    This defines the cartesian DSL's sub-f32 float semantics (applied to
+    every backend identically in StencilBuilder, so the numpy oracle IS
+    this spec).  Motivation is both numeric (f32 accumulation instead of
+    per-op bf16 rounding) and TPU-mechanical: Mosaic has no 16-bit
+    scalar-core arith / cmpf / rolls / transcendentals, so per-op bf16
+    kernels paid widen+round around nearly every op -- halved DMA bytes
+    bought nothing (r3 bench: bf16 dycore 3.03 ms vs f32 2.01).  With
+    storage-format semantics the kernel body is pure f32 (temps resolve
+    to f32), and 16-bit stays where it pays: the HBM traffic.
+
+    User-visible rounding points are preserved: explicit ``astype`` to a
+    16-bit dtype still rounds there (then widens again), and every store
+    to a 16-bit field rounds once.
+    """
+    import copy
+
+    from gt4py_tpu.core.definitions import F16_DTYPES
+
+    f16_decls = {
+        n
+        for n, d in list(stencil.field_decls.items())
+        if d.dtype is not None and np.dtype(d.dtype) in F16_DTYPES
+    }
+    f16_scalars = {
+        n
+        for n, d in stencil.scalar_decls.items()
+        if d.dtype is not None and np.dtype(d.dtype) in F16_DTYPES
+    }
+    # temporaries with already-resolved 16-bit dtypes become f32 holders;
+    # unresolved ones will infer f32 from the rewritten expressions
+    f16_temps = {
+        n
+        for n, d in stencil.temp_decls.items()
+        if d.dtype is not None and np.dtype(d.dtype) in F16_DTYPES
+    }
+    if not (f16_decls or f16_scalars or f16_temps):
+        return stencil
+
+    stencil = copy.deepcopy(stencil)
+    F32 = np.dtype(np.float32)
+    for n in f16_temps:
+        stencil.temp_decls[n].dtype = F32
+
+    def widen(expr: ir.Expr) -> ir.Expr:
+        if isinstance(expr, ir.FieldAccess):
+            expr.data_index = tuple(widen(d) for d in expr.data_index)
+            if isinstance(expr.offset, (ir.VariableKOffset, ir.AbsoluteKIndex)):
+                expr.offset = type(expr.offset)(k=widen(expr.offset.k))
+            if expr.name in f16_decls:
+                return ir.Cast(dtype=F32, expr=expr)
+            return expr
+        if isinstance(expr, ir.ScalarAccess):
+            if expr.name in f16_scalars:
+                return ir.Cast(dtype=F32, expr=expr)
+            return expr
+        if isinstance(expr, ir.Literal):
+            if expr.dtype is not None and np.dtype(expr.dtype) in F16_DTYPES:
+                # the literal was already rounded to 16 bits at parse
+                # time; widening is exact
+                expr.dtype = F32
+            return expr
+        if isinstance(expr, ir.Cast):
+            expr.expr = widen(expr.expr)
+            if np.dtype(expr.dtype) in F16_DTYPES:
+                # user-requested rounding point: round, then continue f32
+                return ir.Cast(dtype=F32, expr=expr)
+            return expr
+        if isinstance(expr, ir.UnaryOp):
+            expr.expr = widen(expr.expr)
+            return expr
+        if isinstance(expr, ir.BinaryOp):
+            expr.left = widen(expr.left)
+            expr.right = widen(expr.right)
+            return expr
+        if isinstance(expr, ir.TernaryOp):
+            expr.cond = widen(expr.cond)
+            expr.true_expr = widen(expr.true_expr)
+            expr.false_expr = widen(expr.false_expr)
+            return expr
+        if isinstance(expr, ir.NativeFuncCall):
+            expr.args = [widen(a) for a in expr.args]
+            return expr
+        return expr  # AxisPosition / AxisSize / anything value-free
+
+    def rewrite_stmt(stmt: ir.Stmt) -> None:
+        if isinstance(stmt, ir.Assign):
+            v = widen(stmt.value)
+            stmt.target.data_index = tuple(
+                widen(d) for d in stmt.target.data_index
+            )
+            if isinstance(
+                stmt.target.offset, (ir.VariableKOffset, ir.AbsoluteKIndex)
+            ):
+                stmt.target.offset = type(stmt.target.offset)(
+                    k=widen(stmt.target.offset.k)
+                )
+            if stmt.target.name in f16_decls:
+                # one rounding point per 16-bit store (all backends cast
+                # identically; explicit so masked writes stay typed)
+                decl = stencil.field_decls[stmt.target.name]
+                v = ir.Cast(dtype=np.dtype(decl.dtype), expr=v)
+            stmt.value = v
+        elif isinstance(stmt, (ir.If, ir.While)):
+            stmt.cond = widen(stmt.cond)
+            for s in stmt.body:
+                rewrite_stmt(s)
+            for s in getattr(stmt, "orelse", []):
+                rewrite_stmt(s)
+        elif isinstance(stmt, ir.HorizontalRestriction):
+            for s in stmt.body:
+                rewrite_stmt(s)
+
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            for stmt in section.body:
+                rewrite_stmt(stmt)
+    return stencil

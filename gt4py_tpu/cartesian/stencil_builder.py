@@ -143,6 +143,14 @@ class StencilBuilder:
                     name=self.name,
                     literal_precision=self.options.get("literal_precision"),
                 )
+                # sub-f32 float semantics: 16-bit dtypes are STORAGE
+                # formats; statements compute in f32 (one widen per
+                # 16-bit read, one round per store) -- applied before
+                # analysis so every backend, including the numpy oracle,
+                # executes the same canonical form
+                from gt4py_tpu.cartesian import passes as passes_mod
+
+                stencil_ir = passes_mod.widen_f16_compute(stencil_ir)
                 self._analysis = analysis_mod.analyze(stencil_ir)
                 artifact_cache.save(sid, self._analysis)
         return self._analysis

@@ -811,7 +811,8 @@ class Program:
                 return r
 
             env = {k: rebind(v) for k, v in env.items()}
-        self._check_domains(typed, env)
+        else:
+            self._check_domains(typed, env)
         Interpreter(typed, env).run()
 
     def _run_fused(self, typed, merged) -> bool:

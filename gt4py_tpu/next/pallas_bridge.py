@@ -119,6 +119,23 @@ _AXES = ("I", "J", "K")
 
 
 @dataclasses.dataclass
+class CwSlot:
+    """A ``concat_where`` occurrence hoisted to a temporary: per vertical
+    region the temp is assigned the true or false branch (the lowering
+    becomes K-partitioned vertical sections at instantiation time --
+    reference: iterator/transforms/concat_where/ lowers to
+    domain-partitioned SetAts)."""
+
+    target: str
+    #: condition range [lo, hi) along the vertical dim, absolute next
+    #: coordinates; None = unbounded on that side
+    lo: Optional[int]
+    hi: Optional[int]
+    t_expr: ir.Expr = None
+    f_expr: ir.Expr = None
+
+
+@dataclasses.dataclass
 class BridgePlan:
     """A lowered operator plus everything the runner needs."""
 
@@ -136,6 +153,14 @@ class BridgePlan:
     is_tuple: bool
     #: parameter names in the operator's declared signature order
     signature_order: List[str] = dataclasses.field(default_factory=list)
+    #: concat_where plans: the mixed statement/CwSlot body (None for
+    #: plain operators -- then ``stencil``/``backend`` are final), the
+    #: per-temp/per-out K-domain recipes replicating the embedded domain
+    #: algebra, and the per-K-partition instantiation cache
+    cw_body: Optional[List[Any]] = None
+    recipes: Optional[Dict[str, Any]] = None
+    out_recipes: Optional[List[Any]] = None
+    cw_cache: Dict[Any, Any] = dataclasses.field(default_factory=dict)
 
 
 def _np_dtype(t) -> np.dtype:
@@ -349,8 +374,6 @@ class _Lowerer:
         if isinstance(node, fvir.Call):
             if id(node) in self.call_dims:  # inlined operator call
                 return self.call_dims[id(node)]
-            if node.kwargs:
-                raise Ineligible("call with keyword arguments")
             ftype = node.func.type
             if isinstance(ftype, ts.FieldType):  # shift keeps dims
                 return self.dims_of(node.func)
@@ -361,11 +384,26 @@ class _Lowerer:
                     if fn is bval:
                         name = bname
                         break
+                if name is None and node.kwargs:
+                    raise Ineligible("call with keyword arguments")
+                cargs = (
+                    self._canon_args(node, fn)
+                    if name is not None
+                    else list(node.args)
+                )
                 if name == "where":
-                    return self._merge_dims(*(self.dims_of(a) for a in node.args))
+                    return self._merge_dims(*(self.dims_of(a) for a in cargs))
+                if name == "concat_where":
+                    from .common import promote_dims
+
+                    d = self._cw_dim(cargs[0])
+                    merged = self._merge_dims(
+                        *(self.dims_of(a) for a in cargs[1:])
+                    )
+                    return promote_dims(merged or (), (d,))
                 if name == "broadcast":
                     dims = []
-                    arg = node.args[1]
+                    arg = cargs[1]
                     if not isinstance(arg, fvir.TupleExpr):
                         raise Ineligible("broadcast dims must be a tuple literal")
                     for e in arg.elts:
@@ -379,9 +417,9 @@ class _Lowerer:
                 if name in ("astype", "neg") or (
                     name in _MATH_MAP and _MATH_MAP[name].arity == 1
                 ):
-                    return self.dims_of(node.args[0])
+                    return self.dims_of(cargs[0])
                 if name in _MATH_MAP:  # binary math: left-order merge
-                    return self._merge_dims(*(self.dims_of(a) for a in node.args))
+                    return self._merge_dims(*(self.dims_of(a) for a in cargs))
         raise Ineligible(f"dims of {type(node).__name__}")
 
     def _operand(self, node: fvir.Expr, okind) -> ir.Expr:
@@ -425,14 +463,29 @@ class _Lowerer:
                 raise Ineligible(f"call argument of type {t}")
         return tuple(off)
 
+    def _canon_args(self, node: fvir.Call, fn) -> List[fvir.Expr]:
+        """Canonicalize keyword arguments into positional order through
+        the callee's Python signature (the reference canonicalizes in
+        func_to_foast; same effect here at lowering time)."""
+        if not node.kwargs:
+            return list(node.args)
+        import inspect
+
+        target = getattr(fn, "definition", fn)
+        try:
+            bound = inspect.signature(target).bind(*node.args, **node.kwargs)
+        except TypeError as ex:
+            raise Ineligible(f"cannot bind call arguments: {ex}") from ex
+        if bound.kwargs:
+            raise Ineligible("**kwargs call")
+        return list(bound.args)
+
     def _call(self, node: fvir.Call) -> ir.Expr:
-        if node.kwargs:
-            # keyword arguments are legal in the embedded interpreter;
-            # fall back rather than mis-binding positionals
-            raise Ineligible("call with keyword arguments")
         ftype = node.func.type
         # field shift: f(Ioff[1]) / chained
         if isinstance(ftype, ts.FieldType):
+            if node.kwargs:
+                raise Ineligible("shift with keyword arguments")
             di, dj, dk = self._offset_of_args(node)
             base = self._expr(node.func)
             if not isinstance(base, ir.FieldAccess):
@@ -468,34 +521,107 @@ class _Lowerer:
                     return self._inline_call(fn, node)
                 raise Ineligible(f"call of '{node.func.id}'")
             okind = getattr(node, "operand_kind", None)
+            cargs = self._canon_args(node, fn)
             if name == "where":
-                c, a, b = node.args
+                c, a, b = cargs
                 return ir.TernaryOp(
                     cond=self._operand(c, okind),
                     true_expr=self._operand(a, okind),
                     false_expr=self._operand(b, okind),
                 )
+            if name == "concat_where":
+                return self._concat_where(node, cargs, okind)
             if name == "broadcast":
                 # pointwise semantics: dimension masks make the broadcast
                 # implicit; just check the dims are representable
                 if isinstance(node.type, ts.FieldType):
                     self._register_dims(node.type.dims)
-                return self._expr(node.args[0])
+                return self._expr(cargs[0])
             if name == "astype":
                 target = _np_dtype(node.type)
-                return ir.Cast(dtype=target, expr=self._expr(node.args[0]))
+                return ir.Cast(dtype=target, expr=self._expr(cargs[0]))
             if name == "neg":
                 return ir.UnaryOp(
-                    op=ir.UnaryOperator.NEG, expr=self._expr(node.args[0])
+                    op=ir.UnaryOperator.NEG, expr=self._expr(cargs[0])
                 )
             if name in _MATH_MAP:
                 nf = _MATH_MAP[name]
-                args = [self._operand(a, okind) for a in node.args]
+                args = [self._operand(a, okind) for a in cargs]
                 if len(args) != nf.arity:
                     raise Ineligible(f"{name} arity")
                 return ir.NativeFuncCall(func=nf, args=args)
             raise Ineligible(f"builtin '{name}'")
         raise Ineligible(f"call of {ftype}")
+
+    # ---- concat_where -> vertical-section slots ---- #
+
+    def _cw_dim(self, cond: fvir.Expr) -> Dimension:
+        """The (vertical) dimension a concat_where condition splits."""
+        if not isinstance(cond, fvir.Compare) or not isinstance(
+            getattr(cond.left, "type", None), ts.DimensionType
+        ):
+            raise Ineligible("concat_where condition is not 'Dim <op> bound'")
+        if not isinstance(cond.left, fvir.Name):
+            raise Ineligible("concat_where dimension is not a name")
+        d = self.typed.closure.get(cond.left.id)
+        if not isinstance(d, Dimension):
+            raise Ineligible("concat_where dimension unresolved")
+        return d
+
+    def _cw_bound(self, cond: fvir.Compare) -> int:
+        """The static split value (literal or closure int constant)."""
+        r = cond.right
+        if isinstance(r, fvir.Literal) and isinstance(
+            r.value, (int, np.integer)
+        ) and not isinstance(r.value, bool):
+            return int(r.value)
+        if isinstance(r, fvir.Name):
+            v = self.typed.closure.get(r.id)
+            if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+                return int(v)
+        raise Ineligible("concat_where bound is not a static integer")
+
+    def _concat_where(self, node: fvir.Call, cargs, okind) -> ir.Expr:
+        """Hoist ``concat_where(K < c, t, f)`` into a per-vertical-region
+        temporary (a CwSlot in the pending stream): the stencil is later
+        instantiated with one PARALLEL section per K region, each
+        assigning the branch active there.  Reference analog:
+        iterator/transforms/concat_where/ (domain-partitioned lowering)."""
+        if self.carry_name is not None:
+            raise Ineligible("concat_where inside a scan body")
+        cond, tb, fb = cargs
+        d = self._cw_dim(cond)
+        if d.kind != DimensionKind.VERTICAL:
+            raise Ineligible("concat_where along a horizontal dimension")
+        self._register_dims((d,))
+        if self.axis_of[d.value] != 2:
+            raise Ineligible("concat_where dim is not the vertical axis")
+        if isinstance(tb.type, ts.TupleType) or isinstance(fb.type, ts.TupleType):
+            raise Ineligible("tuple-branch concat_where")
+        c = self._cw_bound(cond)
+        rel = cond.op
+        if rel == "lt":
+            lo, hi = None, c
+        elif rel == "le":
+            lo, hi = None, c + 1
+        elif rel == "ge":
+            lo, hi = c, None
+        elif rel == "gt":
+            lo, hi = c + 1, None
+        else:
+            raise Ineligible(f"concat_where comparison '{rel}'")
+        t_e = self._operand(tb, okind)
+        f_e = self._operand(fb, okind)
+        dt = _np_dtype(node.type)
+        tname = self._fresh("cw")
+        self.temp_decls[tname] = ir.FieldDecl(
+            name=tname, dtype=dt, dimensions=(True, True, True), is_api=False
+        )
+        self.pending.append(
+            CwSlot(target=tname, lo=lo, hi=hi, t_expr=t_e, f_expr=f_e)
+        )
+        self.dims_env[tname] = self.dims_of(node)
+        return ir.FieldAccess(name=tname)
 
     # ---- operator-call inlining ---- #
 
@@ -533,19 +659,20 @@ class _Lowerer:
         over the inlined form yields the same domain math."""
         if self._depth >= 8:
             raise Ineligible("operator call inlining too deep")
+        cargs = self._canon_args(node, fn)
         try:
-            callee, _ = fn._typed_for(tuple(a.type for a in node.args))
+            callee, _ = fn._typed_for(tuple(a.type for a in cargs))
         except Ineligible:
             raise
         except Exception as ex:
             raise Ineligible(f"callee typing failed: {ex}") from ex
         if callee.kind != "field_operator":
             raise Ineligible(callee.kind)
-        if len(callee.params) != len(node.args):
+        if len(callee.params) != len(cargs):
             raise Ineligible("operator call arity mismatch")
 
         child = _Lowerer(callee, parent=self)
-        for p, a in zip(callee.params, node.args):
+        for p, a in zip(callee.params, cargs):
             at = a.type
             e = self._expr(a)
             if isinstance(at, ts.FieldType):
@@ -591,6 +718,129 @@ class _Lowerer:
         out = child._expr(ret.value)
         self.call_dims[id(node)] = child.dims_of(ret.value)
         return out
+
+
+def _hull_stmt(entry) -> ir.Stmt:
+    """A CwSlot as a single-section statement for the I/J analyses: the
+    embedded executor evaluates BOTH branches over the orthogonal
+    intersection, so a both-branch select has exactly its read set."""
+    if isinstance(entry, CwSlot):
+        return ir.Assign(
+            target=ir.FieldAccess(name=entry.target),
+            value=ir.TernaryOp(
+                cond=ir.Literal(value=True, dtype=np.dtype(np.bool_)),
+                true_expr=entry.t_expr,
+                false_expr=entry.f_expr,
+            ),
+        )
+    return entry
+
+
+def _k_atoms(expr: ir.Expr, temp_names) -> Tuple:
+    """K-domain atoms of a lowered expression: the embedded executor
+    intersects every operand's domain, so the expression's K range is the
+    intersection over field reads of (source K range shifted by -koff)."""
+    atoms = []
+    for acc in ir.field_accesses(expr):
+        off = acc.offset
+        if not isinstance(off, ir.CartesianOffset):
+            raise Ineligible("variable/absolute K inside a concat_where operator")
+        kind = "temp" if acc.name in temp_names else "field"
+        atoms.append((kind, acc.name, off.k))
+    return tuple(atoms)
+
+
+def _build_recipes(body, out_exprs, temp_names):
+    """Ordered per-statement K-domain recipes for the runtime algebra
+    (a list, not a dict: reassigned temps must see their previous
+    version's range in their own right-hand side)."""
+    recipes: List[Tuple[str, Any]] = []
+    for entry in body:
+        if isinstance(entry, CwSlot):
+            recipes.append(
+                (
+                    entry.target,
+                    (
+                        "cw",
+                        entry.lo,
+                        entry.hi,
+                        _k_atoms(entry.t_expr, temp_names),
+                        _k_atoms(entry.f_expr, temp_names),
+                    ),
+                )
+            )
+        else:
+            recipes.append(
+                (entry.target.name, ("isect", _k_atoms(entry.value, temp_names)))
+            )
+    outs = [("isect", _k_atoms(ex, temp_names)) for ex in out_exprs]
+    return recipes, outs
+
+
+def _eval_recipes(recipes, out_recipes, kranges: Dict[str, Tuple[int, int]]):
+    """Run the embedded K-domain algebra on concrete field K ranges.
+
+    ``kranges``: api field -> (start, stop) (absent = the field has no
+    vertical axis).  Returns the per-out (start, stop); raises
+    :class:`Ineligible` exactly where the embedded executor would raise
+    (gaps, overlaps, both-branches-unbounded, no data) -- the fallback
+    then reproduces the located error."""
+    INF = 1 << 60
+    env: Dict[str, Tuple[int, int]] = {}
+
+    def atom_range(kind, name, koff):
+        if kind == "temp":
+            r = env.get(name)
+            if r is None:  # assigned later / not K-constrained
+                return None
+        else:
+            r = kranges.get(name)
+            if r is None:
+                return None
+        return (r[0] - koff, r[1] - koff)
+
+    def isect(atoms):
+        lo, hi = -INF, INF
+        for a in atoms:
+            r = atom_range(*a)
+            if r is None:
+                continue
+            lo, hi = max(lo, r[0]), min(hi, r[1])
+        return (lo, hi)
+
+    def eval_one(recipe):
+        if recipe[0] == "isect":
+            return isect(recipe[1])
+        _, clo, chi, t_atoms, f_atoms = recipe
+        t_rng = isect(t_atoms)
+        f_rng = isect(f_atoms)
+        starts = [r[0] for r in (t_rng, f_rng) if r[0] > -INF]
+        stops = [r[1] for r in (t_rng, f_rng) if r[1] < INF]
+        if not starts or not stops:
+            raise Ineligible("concat_where: both branches unbounded")
+        b_lo, b_hi = min(starts), max(stops)
+        cond = (clo if clo is not None else -INF, chi if chi is not None else INF)
+        pieces = []
+        t_piece = (max(t_rng[0], cond[0], b_lo), min(t_rng[1], cond[1], b_hi))
+        if t_piece[1] > t_piece[0]:
+            pieces.append(t_piece)
+        for comp in ((-INF, cond[0]), (cond[1], INF)):
+            p = (max(f_rng[0], comp[0], b_lo), min(f_rng[1], comp[1], b_hi))
+            if p[1] > p[0]:
+                pieces.append(p)
+        if not pieces:
+            raise Ineligible("concat_where: no data in either region")
+        pieces.sort()
+        for (s0, e0), (s1, e1) in zip(pieces, pieces[1:]):
+            if e0 != s1:
+                raise Ineligible(
+                    "concat_where: non-contiguous or overlapping pieces"
+                )
+        return (pieces[0][0], pieces[-1][1])
+
+    for name, recipe in recipes:
+        env[name] = eval_one(recipe)
+    return [eval_one(r) for r in out_recipes]
 
 
 def _exact_extents(
@@ -789,7 +1039,9 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         ir.Assign(target=ir.FieldAccess(name=nm), value=ex)
         for (nm, _, _, _), ex in zip(outs, out_exprs)
     ]
-    stencil = _build(full_body, [nm for nm, _, _, _ in outs])
+    has_cw = any(isinstance(e, CwSlot) for e in full_body)
+    hull_body = [_hull_stmt(e) for e in full_body]
+    stencil = _build(hull_body, [nm for nm, _, _, _ in outs])
 
     try:
         analysis = analyze(stencil)
@@ -798,17 +1050,22 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
 
     # gate: the kernel's extents must equal the embedded executor's exact
     # demand (fuzz seed 19: a temp read ONLY at nonzero offsets is widened
-    # by union_zero, shrinking the result domain vs the embedded path)
+    # by union_zero, shrinking the result domain vs the embedded path).
+    # For concat_where plans the K axis is handled by the runtime domain
+    # algebra (recipes) instead -- compare the horizontal components only.
     exact = _exact_extents(
-        full_body, {nm for nm, _, _, _ in outs}, set(lw.temp_decls)
+        hull_body, {nm for nm, _, _, _ in outs}, set(lw.temp_decls)
     )
     for n, _, _ in field_params:
         a_e = analysis.extents.field_extents.get(n)
         e_e = exact.get(n)
-        if (a_e is None) != (e_e is None) or (
-            a_e is not None
-            and (a_e.i, a_e.j, a_e.k) != (e_e.i, e_e.j, e_e.k)
-        ):
+        a_t = None if a_e is None else (
+            (a_e.i, a_e.j) if has_cw else (a_e.i, a_e.j, a_e.k)
+        )
+        e_t = None if e_e is None else (
+            (e_e.i, e_e.j) if has_cw else (e_e.i, e_e.j, e_e.k)
+        )
+        if a_t != e_t:
             raise Ineligible(
                 "temporary read only at nonzero offsets: kernel extents "
                 "would differ from the embedded domain"
@@ -825,16 +1082,19 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         # the same hull while their embedded domains differ.
         param_names = {fp[0] for fp in field_params}
         temp_names = set(lw.temp_decls)
+        hull_pre = [_hull_stmt(e) for e in body]
         ref_ext = None
         for (nm, _, _, _), ex in zip(outs, out_exprs):
             # demand-slice the body to THIS member's dag: the extent sweep
             # is not demand-driven, so statements dead for this member
             # would pollute its extents with their reads
-            member_stmts = _demand_slice(body, ex, lw.temp_decls) + [
+            member_stmts = _demand_slice(hull_pre, ex, lw.temp_decls) + [
                 ir.Assign(target=ir.FieldAccess(name=nm), value=ex)
             ]
             m_ext = {
-                n: (e.i, e.j, e.k)
+                n: (
+                    (e.i, e.j) if has_cw else (e.i, e.j, e.k)
+                )
                 for n, e in _exact_extents(
                     member_stmts, {nm}, temp_names
                 ).items()
@@ -847,15 +1107,23 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
 
     # the runner maps read extents to domain shrink exactly like the
     # embedded executor; an extent not containing 0 would need negative
-    # origins, which the executors don't support
+    # origins, which the executors don't support (K exempt for
+    # concat_where plans: sections + the recipe algebra handle it)
     for name, _, _ in field_params:
         e = analysis.extents.field_extents.get(name)
         if e is None:
             continue
-        for lo, hi in (e.i, e.j, e.k):
+        spans = (e.i, e.j) if has_cw else (e.i, e.j, e.k)
+        for lo, hi in spans:
             if lo > 0 or hi < 0:
                 raise Ineligible("read extent excludes the zero offset")
 
+    cw_body = recipes = out_recipes = None
+    if has_cw:
+        recipes, out_recipes = _build_recipes(
+            body, out_exprs, set(lw.temp_decls)
+        )
+        cw_body = full_body
     backend = PallasBackend(analysis, {})
     return BridgePlan(
         stencil=stencil,
@@ -867,7 +1135,101 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
         outs=outs,
         is_tuple=is_tuple,
         signature_order=[p.name for p in typed.params],
+        cw_body=cw_body,
+        recipes=recipes,
+        out_recipes=out_recipes,
     )
+
+
+def _instantiate_cw(plan: BridgePlan, k0: int, k1: int):
+    """Build (and cache) the K-sectioned stencil for a concat_where plan
+    over the kernel K window [k0, k1): one PARALLEL section per region
+    between the split bounds, each assigning every CwSlot its active
+    branch."""
+    import copy
+
+    from gt4py_tpu.cartesian.backend.pallas_backend import PallasBackend
+
+    key = (k0, k1)
+    hit = plan.cw_cache.get(key)
+    if hit is not None:
+        if isinstance(hit, Ineligible):
+            raise Ineligible(str(hit))
+        return hit
+    cuts = set()
+    for entry in plan.cw_body:
+        if isinstance(entry, CwSlot):
+            for b in (entry.lo, entry.hi):
+                if b is not None and k0 < b < k1:
+                    cuts.add(b)
+    out_names = {nm for nm, _, _, _ in plan.outs}
+
+    def _dce(stmts: List[ir.Stmt]) -> List[ir.Stmt]:
+        """Per-section dead-code elimination: a statement only feeding
+        the INACTIVE branches of this section's concat_wheres must not
+        execute here -- the embedded executor never evaluates it on this
+        K range, and its reads may be out of bounds there (e.g. the
+        interior branch reading K-1 dropped from the surface section)."""
+        need: set = set()
+        keep: List[ir.Stmt] = []
+        for st in reversed(stmts):
+            t = st.target.name
+            if t in out_names or t in need:
+                need.discard(t)
+                keep.append(st)
+                need |= {a.name for a in ir.field_accesses(st.value)}
+        keep.reverse()
+        return keep
+
+    edges = [k0] + sorted(cuts) + [k1]
+    sections = []
+    for a, b in zip(edges, edges[1:]):
+        body_r: List[ir.Stmt] = []
+        for entry in plan.cw_body:
+            if isinstance(entry, CwSlot):
+                active = (entry.lo is None or entry.lo <= a) and (
+                    entry.hi is None or b <= entry.hi
+                )
+                body_r.append(
+                    ir.Assign(
+                        target=ir.FieldAccess(name=entry.target),
+                        value=copy.deepcopy(
+                            entry.t_expr if active else entry.f_expr
+                        ),
+                    )
+                )
+            else:
+                body_r.append(copy.deepcopy(entry))
+        body_r = _dce(body_r)
+        sections.append(
+            ir.VerticalSection(
+                interval=ir.Interval(
+                    ir.AxisBound.start(a - k0),
+                    ir.AxisBound.start(b - k0)
+                    if b < k1
+                    else ir.AxisBound.end(0),
+                ),
+                body=body_r,
+            )
+        )
+    base = plan.stencil
+    stencil = ir.Stencil(
+        name=base.name,
+        api_params=list(base.api_params),
+        field_decls=dict(base.field_decls),
+        scalar_decls=dict(base.scalar_decls),
+        temp_decls=dict(base.temp_decls),
+        vertical_loops=[ir.VerticalLoop(ir.LoopOrder.PARALLEL, sections)],
+    )
+    try:
+        analysis = analyze(stencil)
+        inst = (analysis, PallasBackend(analysis, {}))
+    except Exception as ex:
+        inst = Ineligible(f"cartesian analysis rejected the sections: {ex}")
+        plan.cw_cache[key] = inst
+        raise Ineligible(str(inst)) from ex
+    plan.cw_cache[key] = inst
+    return inst
 
 
 def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
@@ -900,6 +1262,30 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
             s, t = r.start - lo, r.stop - hi
             starts[ax] = s if starts[ax] is None else max(starts[ax], s)
             stops[ax] = t if stops[ax] is None else min(stops[ax], t)
+
+    if plan.cw_body is not None:
+        # concat_where plans: the K window comes from the runtime domain
+        # algebra (the embedded piece semantics), not the extent hull
+        INF = 1 << 60
+        kranges = {}
+        for n, dims, mask in plan.field_params:
+            f = fields[n]
+            for d, r in zip(f.domain.dims, f.domain.ranges):
+                if plan.axis_of[d.value] == 2:
+                    lim = 1 << 40  # UnitRange.infinite() sentinels
+                    kranges[n] = (
+                        max(int(r.start), -INF),
+                        min(int(r.stop), INF),
+                    )
+                    if r.start < -lim or r.stop > lim:
+                        kranges[n] = (-INF, INF)
+        out_ks = _eval_recipes(plan.recipes, plan.out_recipes, kranges)
+        if any(k != out_ks[0] for k in out_ks[1:]):
+            raise Ineligible("tuple members with differing concat_where domains")
+        k0, k1 = out_ks[0]
+        if k0 <= -(1 << 40) or k1 >= (1 << 40):
+            raise Ineligible("unbounded concat_where result domain")
+        starts[2], stops[2] = k0, k1
 
     if restrict:
         # explicit out=+domain= restriction: intersect before planning
@@ -950,7 +1336,25 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
         )
         origins[nm] = (0, 0, 0)
 
-    res = plan.backend.apply(arrays, scalars, domain, origins)
+    backend = plan.backend
+    if plan.cw_body is not None:
+        analysis2, backend = _instantiate_cw(plan, starts[2], stops[2])
+        # per-section K reads must stay inside each argument's buffer
+        # (interval-aware compute_k_boundary over the STATIC sections)
+        for n, dims, mask in plan.field_params:
+            f = fields[n]
+            axes = [plan.axis_of[d.value] for d in f.domain.dims]
+            if 2 not in axes:
+                continue
+            r = f.domain.ranges[axes.index(2)]
+            kb0, kb1 = analysis2.k_boundary.get(n, (0, 0))
+            org_k = starts[2] - r.start
+            if org_k < kb0 or org_k + domain[2] + kb1 > len(r):
+                raise Ineligible(
+                    f"'{n}' does not cover the sectioned K reads"
+                )
+
+    res = backend.apply(arrays, scalars, domain, origins)
 
     results = []
     for (nm, dims, _, _), out_axes in zip(plan.outs, axes_per_out):
@@ -1035,6 +1439,18 @@ def _lower_scan_body(
         elts = [rv]
     elif isinstance(rv, fvir.TupleExpr) and len(rv.elts) == len(out_names):
         elts = list(rv.elts)
+    elif (
+        isinstance(rv, fvir.Name)
+        and rv.id == lw.carry_name
+        and isinstance(rv.type, ts.TupleType)
+        and len(rv.type.types) == len(out_names)
+    ):
+        # whole-tuple carry return (`return carry`): expand to synthetic
+        # per-element subscripts so the carry substitution applies
+        elts = [
+            fvir.Subscript(loc=rv.loc, type=t, value=rv, index=i)
+            for i, t in enumerate(rv.type.types)
+        ]
     else:
         raise Ineligible("scan return is not a tuple literal")
     for name, e, dt in zip(out_names, elts, out_dtypes):
@@ -1392,6 +1808,10 @@ def lower_program(typed: fvir.OperatorIR) -> ProgramBridgePlan:
             raise
         except Exception as ex:
             raise Ineligible(f"operator typing failed: {ex}") from ex
+        if plan.cw_body is not None:
+            # a concat_where operator has piecewise K domains; the
+            # program splicer assumes one rectangular write per member
+            raise Ineligible("concat_where operator inside a program")
         # spliced bodies reuse each op's i/j/k offset meaning: the
         # dimension->axis maps must agree across statements
         for dval, ax in plan.axis_of.items():

@@ -207,6 +207,46 @@ class SimpleMesh:
         )
 
 
+def grid_mesh(n: int) -> SimpleMesh:
+    """An n x n structured quad patch as unstructured connectivity
+    tables (the SimpleMesh layout at arbitrary scale): 2*n*(n-1) edges,
+    skip values at boundary vertices.  Used by the unstructured bench
+    (bench.py) at >= 1e5 edges."""
+    nv = n * n
+    vid = np.arange(nv).reshape(n, n)
+    h = np.stack([vid[:, :-1].ravel(), vid[:, 1:].ravel()], axis=1)
+    v = np.stack([vid[:-1, :].ravel(), vid[1:, :].ravel()], axis=1)
+    e2v_table = np.concatenate([h, v], axis=0).astype(np.int64)
+    ne = len(e2v_table)
+    # incident edges per vertex, skip-padded to width 4
+    counts = np.zeros(nv, dtype=np.int64)
+    v2e_table = np.full((nv, 4), -1, dtype=np.int64)
+    for col in (0, 1):
+        vs = e2v_table[:, col]
+        order = np.argsort(vs, kind="stable")
+        for e, vtx in zip(order, vs[order]):
+            v2e_table[vtx, counts[vtx]] = e
+            counts[vtx] += 1
+    return SimpleMesh(
+        n_vertices=nv,
+        n_edges=ne,
+        v2e=Connectivity(
+            table=v2e_table,
+            source=Vertex,
+            codomain=Edge,
+            local_dim=V2EDim,
+            skip_value=-1,
+        ),
+        e2v=Connectivity(
+            table=e2v_table,
+            source=Edge,
+            codomain=Vertex,
+            local_dim=E2VDim,
+            skip_value=None,
+        ),
+    )
+
+
 def simple_mesh_case(allocator: str = "numpy") -> Tuple[Case, SimpleMesh]:
     mesh = SimpleMesh.make()
     case = Case(

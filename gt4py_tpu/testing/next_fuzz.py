@@ -304,6 +304,19 @@ def _check_transform_invariance(
             err_msg=f"seed {seed}: vmap row {i} diverges from eager\n{src}",
         )
 
+    # the COMPOSITIONS (r3 verdict: claimed composable, only jit fuzzed):
+    # jit(vmap(op)) and vmap(jit(op)) must both match the plain vmap rows
+    jv = jax.jit(jax.vmap(lambda z: call(a, b, z).ndarray))(jnp.asarray(svals))
+    np.testing.assert_allclose(
+        np.asarray(jv), np.asarray(batched), rtol=rtol, atol=atol,
+        err_msg=f"seed {seed}: jit(vmap) diverges from vmap\n{src}",
+    )
+    vj = jax.vmap(jax.jit(lambda z: call(a, b, z).ndarray))(jnp.asarray(svals))
+    np.testing.assert_allclose(
+        np.asarray(vj), np.asarray(batched), rtol=rtol, atol=atol,
+        err_msg=f"seed {seed}: vmap(jit) diverges from vmap\n{src}",
+    )
+
 
 def run_program_case(seed: int, rtol=1e-12, atol=1e-12) -> None:
     """Random multi-statement PROGRAMS: operator calls with out= targets
@@ -564,6 +577,87 @@ def run_bridge_case(seed: int, rtol=1e-12, atol=1e-12) -> bool:
         return compile(src, filename, "exec")
 
     scan_case = rng.random() < 0.4
+    cw_case = not scan_case and rng.random() < 0.35
+
+    if cw_case:
+        # concat_where family (r4): K-partitioned vertical sections in
+        # the bridge (pallas_bridge._concat_where); branches may shift
+        # along K so the piece algebra's result domains get exercised,
+        # including the fall-back shapes (uncoverable negative origins)
+        Koff = FieldOffset("Koff", source=K, target=(K,))
+
+        def cw_expr(depth=0):
+            r = rng.random()
+            if depth >= 2 or r < 0.4:
+                rr = rng.random()
+                if rr < 0.5:
+                    nm = rng.choice(["a", "b"])
+                    if rng.random() < 0.4:
+                        off = rng.choice(["Ioff", "Joff", "Koff"])
+                        return f"{nm}({off}[{rng.randint(-2, 2)}])"
+                    return nm
+                if rr < 0.75:
+                    return "s"
+                return repr(round(rng.uniform(-1.5, 1.5), 3))
+            op2 = rng.choice(["+", "-", "*"])
+            return f"({cw_expr(depth + 1)} {op2} {cw_expr(depth + 1)})"
+
+        names = ["a", "b"]
+        lines = []
+        for i in range(rng.randint(1, 2)):
+            c = rng.randint(1, 7)
+            rel = rng.choice(["<", "<=", ">", ">="])
+            ea = f"({cw_expr()}) + 0.0 * a"
+            eb = f"({cw_expr()}) + 0.0 * b"
+            lines.append(f"    t{i} = concat_where(K {rel} {c}, {ea}, {eb})")
+            names.append(f"t{i}")
+        ret = f"({cw_expr()}) + 0.0 * {names[-1]}"
+        src = (
+            "def op(a: FT3, b: FT3, s: float64):\n"
+            + "\n".join(lines)
+            + f"\n    return {ret}\n"
+        )
+        from gt4py_tpu.next import concat_where as _cw
+
+        ns = dict(
+            FT3=Field[Dims[I, J, K], np.float64], float64=np.float64,
+            where=where, minimum=minimum, maximum=maximum,
+            Ioff=Ioff, Joff=Joff, Koff=Koff, K=K, concat_where=_cw,
+        )
+        exec(register(src, "cw"), ns)
+        op = field_operator(ns["op"])
+
+        a = as_field((I, J, K), nprng.random((7, 6, 9)))
+        b = as_field((I, J, K), nprng.random((7, 6, 9)))
+        s = np.float64(nprng.uniform(-1, 1))
+
+        def run_cw(backend):
+            try:
+                return backend(a, b, s)
+            except (ValueError, Exception) as e:
+                if type(e).__name__ in ("ValueError", "FieldViewError"):
+                    return type(e).__name__
+                raise
+
+        ref = run_cw(op.with_backend(backends.numpy_oracle))
+        bound = op.with_backend("pallas")
+        got = run_cw(bound)
+        if isinstance(ref, str) or isinstance(got, str):
+            assert ref == got, (
+                f"seed {seed}: cw error-path diverges ({ref!r} vs {got!r})\n{src}"
+            )
+            return False
+        plans = bound.__dict__.get("_bridge_plans", {})
+        lowered = any(p is not None for p in plans.values())
+        assert ref.dims == got.dims, f"seed {seed}: cw dims\n{src}"
+        assert tuple(ref.domain.ranges) == tuple(got.domain.ranges), (
+            f"seed {seed}: cw domains {ref.domain} vs {got.domain}\n{src}"
+        )
+        np.testing.assert_allclose(
+            got.asnumpy(), ref.asnumpy(), rtol=rtol, atol=atol,
+            err_msg=f"seed {seed}: cw values diverge\n{src}",
+        )
+        return lowered
 
     if scan_case:
         arity = rng.choice([1, 2])

@@ -546,6 +546,170 @@ def test_gap_masked_field_with_restricted_k_offset():
     np.testing.assert_allclose(o_p.asnumpy(), o_r.asnumpy(), rtol=1e-13)
 
 
+def test_kwargs_calls_lower():
+    """Keyword arguments canonicalize through the callee's signature at
+    lowering time (reference: func_to_foast canonicalization) -- both on
+    builtins and on inlined operator calls (r3 verdict: these silently
+    dropped to the 3-5x jit path)."""
+
+    @gtx.field_operator
+    def helper(x: F64, w: gtx.float64) -> F64:
+        return x * w + x(Ioff[1])
+
+    @gtx.field_operator
+    def op(a: F64, s: gtx.float64):
+        t = where(a > 0.5, a * 2.0, a - 1.0)
+        u = helper(w=s, x=t)
+        return maximum(u, helper(t, w=0.25))
+
+    a = gtx.as_field((I, J, K), _rand((9, 7, 4), 60))
+    assert _bridge_plan_of(op, a, np.float64(0.3)) is not None
+    _check(op, a, np.float64(0.3))
+
+
+def test_whole_tuple_carry_return_lowers():
+    """`return carry` on a tuple-carry scan expands to per-element
+    subscripts instead of falling back."""
+
+    @gtx.scan_operator(axis=K, forward=True, init=(2.0, 3.0))
+    def ident(carry: tuple[gtx.float64, gtx.float64], x: gtx.float64):
+        return carry
+
+    a = gtx.as_field((I, J, K), _rand((6, 5, 7), 61))
+    r0, r1 = ident.with_backend(backends.numpy_oracle)(a)
+    bound = ident.with_backend("pallas")
+    g0, g1 = bound(a)
+    plans = bound.__dict__.get("_scan_bridge_plans", {})
+    assert any(p is not None for p in plans.values())
+    np.testing.assert_allclose(g0.asnumpy(), r0.asnumpy(), rtol=1e-13)
+    np.testing.assert_allclose(g1.asnumpy(), r1.asnumpy(), rtol=1e-13)
+
+
+# ------------------------- concat_where (K sections) ------------------------ #
+
+
+def _check_cw(op, *args, expect_lower=True, rtol=1e-13):
+    """Oracle-vs-pallas for concat_where operators: values, dims AND
+    domains; `expect_lower` asserts zero bridge fallbacks."""
+    from gt4py_tpu.next import pallas_bridge
+
+    ref = op.with_backend(backends.numpy_oracle)(*args)
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    got = op.with_backend("pallas")(*args)
+    ev = pallas_bridge.FALLBACK_EVENTS.since(cur)
+    if expect_lower:
+        assert not ev, ev
+    assert _ranges(ref) == _ranges(got)
+    np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=rtol, atol=0)
+    return got
+
+
+def test_concat_where_simple_split():
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def bc(a: F64, b: F64):
+        return concat_where(K < 2, a * 2.0, b + 1.0)
+
+    a = gtx.as_field((I, J, K), _rand((8, 6, 10), 50))
+    b = gtx.as_field((I, J, K), _rand((8, 6, 10), 51))
+    _check_cw(bc, a, b)
+
+
+def test_concat_where_boundary_reads_interior_at_k_minus_1():
+    """The classic boundary-condition pattern: the interior branch reads
+    K-1, legal only because the sections restrict it to K >= 1 (a
+    pointwise select would read out of bounds at K=0)."""
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def bc(a: F64):
+        return concat_where(K < 1, a * 10.0, a(Koff[-1]) + a)
+
+    a = gtx.as_field((I, J, K), _rand((8, 6, 10), 52))
+    _check_cw(bc, a)
+
+
+def test_concat_where_branch_via_temp_statement():
+    """The interior branch computed in a SEPARATE statement: per-section
+    dead-code elimination must drop it from the surface section, where
+    its K-1 read would be out of bounds (r4 verify finding)."""
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def column_bc(t: F64, t_sfc: F64) -> F64:
+        interior = 0.5 * (t(Koff[-1]) + t)
+        return concat_where(K < 1, t_sfc * 1.0, interior)
+
+    t = gtx.as_field((I, J, K), _rand((10, 8, 12), 62))
+    sfc = gtx.as_field((I, J, K), _rand((10, 8, 12), 63))
+    _check_cw(column_bc, t, sfc)
+
+
+def test_concat_where_nested_and_double():
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def bc(a: F64, b: F64):
+        t = concat_where(K >= 3, a(Ioff[1]) - b, where(a > 0.5, b, a))
+        return t * 0.5 + concat_where(K <= 6, a, b)
+
+    a = gtx.as_field((I, J, K), _rand((8, 6, 10), 53))
+    b = gtx.as_field((I, J, K), _rand((8, 6, 10), 54))
+    _check_cw(bc, a, b)
+
+
+def test_concat_where_scalar_branch():
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def bc(a: F64):
+        return concat_where(K < 3, 0.0, a)
+
+    a = gtx.as_field((I, J, K), _rand((8, 6, 10), 55))
+    _check_cw(bc, a)
+
+
+def test_concat_where_extended_domain_falls_back():
+    """Branch K shifts whose piece algebra EXTENDS the result beyond the
+    input buffer need negative kernel origins -- correctly rejected, and
+    the transparent fallback reproduces the embedded extended domain."""
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def bc(a: F64):
+        return concat_where(K < 5, a(Koff[1]), a(Koff[-1]))
+
+    a = gtx.as_field((I, J, K), _rand((8, 6, 10), 56))
+    got = _check_cw(bc, a, expect_lower=False)
+    assert _ranges(got)[2] == (-1, 11)
+
+
+def test_concat_where_horizontal_falls_back():
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def bc(a: F64, b: F64):
+        return concat_where(I < 4, a, b)
+
+    a = gtx.as_field((I, J, K), _rand((8, 6, 5), 57))
+    b = gtx.as_field((I, J, K), _rand((8, 6, 5), 58))
+    _check_cw(bc, a, b, expect_lower=False)
+
+
+def test_concat_where_kernel_path_actually_runs():
+    from gt4py_tpu.next import concat_where
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    @gtx.field_operator
+    def bc_probe(a: F64):
+        return concat_where(K < 1, a * 10.0, a(Koff[-1]) + a)
+
+    a = gtx.as_field((I, J, K), _rand((8, 6, 10), 59))
+    _check_cw(bc_probe, a)
+    assert "next_bc_probe" in pallas_backend.LAST_PLAN
+
+
 # ------------------------- operator-call inlining --------------------------- #
 
 
