@@ -102,3 +102,41 @@ def test_grad_backward_scan():
 
     g = jax.grad(loss)(jnp.asarray(data))
     np.testing.assert_allclose(np.asarray(g), _fd_grad(loss, data), atol=5e-9)
+
+
+def test_grad_through_pallas_bridge_kernel():
+    """jax.grad composes with the bridge's compiled kernels: the pallas
+    backend's custom_vjp routes the backward pass through the XLA
+    executor (identical numerics), so Mosaic-speed forward + adjoints
+    also hold on the next pallas backend (r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    J = gtx.Dimension("J")
+    FT = Field[Dims[I, J, K], gtx.float64]
+
+    @gtx.field_operator
+    def op(a: FT) -> FT:
+        return (a(Ioff[1]) - a) * (a(Ioff[-1]) + 2.0)
+
+    data = np.random.default_rng(0).random((10, 6, 4))
+    dom = gtx.Domain(
+        (I, J, K),
+        (gtx.UnitRange(0, 10), gtx.UnitRange(0, 6), gtx.UnitRange(0, 4)),
+    )
+    bound = op.with_backend("pallas")
+
+    def loss(x):
+        return jnp.sum(bound(gtx.Field(dom, x)).data ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(data))
+    eps = 1e-6
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        i, j, k = rng.integers(2, 8), rng.integers(0, 6), rng.integers(0, 4)
+        d = np.zeros_like(data)
+        d[i, j, k] = eps
+        fd = (loss(jnp.asarray(data + d)) - loss(jnp.asarray(data - d))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(np.asarray(g)[i, j, k], float(fd), rtol=1e-5)

@@ -511,3 +511,126 @@ def test_next_bridge_tuple_and_inline_on_chip():
     np.testing.assert_allclose(
         o2.asnumpy(), r2.asnumpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_next_concat_where_sections_on_chip():
+    """concat_where lowered to K-partitioned vertical sections runs as a
+    Mosaic kernel (r4): the interior branch reads K-1, legal only
+    through the section split."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import backends, concat_where, pallas_bridge
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Koff = gtx.FieldOffset("Koff", source=K, target=(K,))
+    F32 = gtx.Field[[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def bc_chip(a: F32):
+        interior = 0.5 * (a(Koff[-1]) + a)
+        return concat_where(K < 1, a * 10.0, interior)
+
+    a_np = np.random.default_rng(21).random((64, 256, 16)).astype(np.float32)
+    a = gtx.as_field((I, J, K), jnp.asarray(a_np))
+    ref = bc_chip.with_backend(backends.numpy_oracle)(
+        gtx.as_field((I, J, K), a_np)
+    )
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    curk = pallas_backend.FALLBACK_EVENTS.cursor()
+    got = bc_chip.with_backend("pallas")(a)
+    assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    assert not pallas_backend.FALLBACK_EVENTS.since(curk)
+    assert "next_bc_chip" in pallas_backend.LAST_PLAN
+    np.testing.assert_allclose(
+        got.asnumpy(), ref.asnumpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_next_program_fusion_on_chip():
+    """A 3-statement program fused into ONE Mosaic kernel + thin strips
+    (r4): intermediates in VMEM, halo regions completed by restricted
+    XLA runs; every buffer matches the oracle."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import backends, program, where, pallas_bridge
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+    F32 = gtx.Field[[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def lap_c(a: F32) -> F32:
+        return a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+
+    @gtx.field_operator
+    def flx_c(a: F32, lap: F32) -> F32:
+        fx = lap(Ioff[1]) - lap
+        return where(fx * (a(Ioff[1]) - a) > 0.0, 0.0, fx)
+
+    @gtx.field_operator
+    def out_c(a: F32, fx: F32, c: gtx.float32) -> F32:
+        return a - c * (fx - fx(Ioff[-1]))
+
+    @program
+    def prog_c(a: F32, lap: F32, fx: F32, out: F32, c: gtx.float32):
+        lap_c(a, out=lap)
+        flx_c(a, lap, out=fx)
+        out_c(a, fx, c, out=out)
+
+    OI, OJ, NI, NJ, NK = 8, 128, 48, 128, 8
+    U = gtx.UnitRange
+    rng = np.random.default_rng(22)
+
+    def fld(ilo, ihi, jlo, jhi, data=False):
+        dom = gtx.Domain(
+            (I, J, K),
+            (U(-ilo, NI + ihi), U(-jlo, NJ + jhi), U(0, NK)),
+        )
+        shape = tuple(len(r) for r in dom.ranges)
+        arr = (
+            rng.random(shape).astype(np.float32)
+            if data
+            else np.zeros(shape, np.float32)
+        )
+        return dom, arr
+
+    a_dom, a_np = fld(OI, OI + 8, OJ, OJ, data=True)
+    lap_dom, lap_np = fld(1, 1, 1, 1)
+    fx_dom, fx_np = fld(1, 0, 0, 0)
+    out_dom, out_np = fld(0, 0, 0, 0)
+
+    def run(backend, jaxed):
+        mk = (
+            (lambda d, x: gtx.Field(d, jnp.asarray(x)))
+            if jaxed
+            else (lambda d, x: gtx.Field(d, x.copy()))
+        )
+        args = [
+            mk(a_dom, a_np),
+            mk(lap_dom, lap_np),
+            mk(fx_dom, fx_np),
+            mk(out_dom, out_np),
+        ]
+        prog_c.with_backend(backend)(*args, np.float32(0.03))
+        return args[1:]
+
+    refs = run(backends.numpy_oracle, False)
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    curk = pallas_backend.FALLBACK_EVENTS.cursor()
+    gots = run("pallas", True)
+    assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    assert not pallas_backend.FALLBACK_EVENTS.since(curk)
+    assert any(k.startswith("next_prog_prog_c") for k in pallas_backend.LAST_PLAN)
+    for nm, r, g in zip(("lap", "fx", "out"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-5, atol=1e-6, err_msg=nm
+        )
