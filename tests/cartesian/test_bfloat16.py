@@ -239,3 +239,52 @@ def test_bf16_pallas_falls_back_on_chip_geometry():
     out = np.zeros_like(inp)
     st(inp, out, w=bfloat16(0.1), origin=(1, 1, 0), domain=(8, 8, 4))
     assert np.abs(np.asarray(out, dtype=np.float64)).max() > 0
+
+
+# --------------------------------------------------------------------------- #
+# storage-format semantics (r4): statements compute in f32
+# --------------------------------------------------------------------------- #
+
+
+def test_f16_storage_semantics_statement_accumulation():
+    """bf16 statements accumulate in f32 and round ONCE per store: the
+    result equals the f32 computation rounded at the end, not the
+    per-op-rounded chain (passes.widen_f16_compute, all backends)."""
+
+    def chain(inp: FieldBF, out: FieldBF):
+        with computation(PARALLEL), interval(...):
+            out = ((inp + 0.001) + 0.001) + 0.001
+
+    inp = _mk(7, (4, 4, 2))
+    expect_stmt_f32 = (
+        ((inp.astype(np.float32) + np.float32(0.001)) + np.float32(0.001))
+        + np.float32(0.001)
+    ).astype(bfloat16)
+    per_op = ((inp + bfloat16(0.001)) + bfloat16(0.001)) + bfloat16(0.001)
+    assert not np.array_equal(
+        expect_stmt_f32.astype(np.float64), per_op.astype(np.float64)
+    ), "test data must distinguish the two semantics"
+    for backend in BACKENDS:
+        res = _run(chain, backend, {"inp": inp, "out": np.zeros_like(inp)})
+        np.testing.assert_array_equal(
+            res["out"], expect_stmt_f32.astype(np.float64), err_msg=backend
+        )
+
+
+def test_f16_storage_semantics_explicit_astype_rounds():
+    """An explicit astype to bf16 mid-statement is a preserved rounding
+    point (then computation continues in f32)."""
+    import gt4py_tpu.cartesian.gtscript as gts
+
+    def defn(inp: FieldBF, out: FieldBF):
+        with computation(PARALLEL), interval(...):
+            t = inp * 1.001
+            out = t + inp
+
+    inp = _mk(8, (4, 4, 2))
+    # t is an f32 temp under storage semantics: NO bf16 rounding of t
+    expect = (
+        inp.astype(np.float32) * np.float32(1.001) + inp.astype(np.float32)
+    ).astype(bfloat16)
+    res = _run(defn, "numpy", {"inp": inp, "out": np.zeros_like(inp)})
+    np.testing.assert_array_equal(res["out"], expect.astype(np.float64))
