@@ -54,6 +54,15 @@ from gt4py_tpu.cartesian.backend.jax_backend import (
 from gt4py_tpu.core.events import EventLog
 
 
+def _f16_unpack_enabled() -> bool:
+    """Experimental: convert read-only 16-bit inputs to ONE f32 VMEM copy
+    per tile (valid only for the canonical f16-storage form).  Measured
+    r4: the copies' VMEM cost shrinks tile plans (bf16 vadv fell off the
+    kernel path) and the conversions did not pay for themselves on any
+    bench kernel -- default OFF, kept for experiments and fuzz coverage."""
+    return _env_os.environ.get("GT4PY_TPU_PALLAS_F16_UNPACK", "0") == "1"
+
+
 class _PallasIneligible(Exception):
     pass
 
@@ -69,10 +78,17 @@ FALLBACK_EVENTS: EventLog = EventLog()
 LAST_PLAN: dict = {}
 
 
-_VMEM_BUDGET = 14 * 1024 * 1024  # scratch + value-stack, below the 16MB core
+import os as _env_os
+
+_VMEM_BUDGET = (
+    int(_env_os.environ.get("GT4PY_TPU_PALLAS_VMEM_MB", "14")) * 1024 * 1024
+)  # scratch + value-stack, below the 16MB core
 _SUBLANE = 8
 _LANE = 128
-_LIVE_VALUES = 8  # conservative count of concurrently-live whole-tile values
+#: conservative count of concurrently-live whole-tile values (override
+#: for perf experiments: the planner then admits bigger tiles and Mosaic
+#: errors out at compile if the guess was wrong)
+_LIVE_VALUES = int(_env_os.environ.get("GT4PY_TPU_PALLAS_LIVE_VALUES", "8"))
 
 
 def _sublane(dtype) -> int:
@@ -370,6 +386,14 @@ class PallasBackend(JaxBackend):
                 for s in stmt.body:
                     scan_stmt(s, li, si, top, in_while)
 
+        def _full_interval(sec) -> bool:
+            iv = sec.interval
+            return (
+                not iv.is_runtime
+                and iv.start == ir.AxisBound.start(0)
+                and iv.end == ir.AxisBound.end(0)
+            )
+
         for li, loop in enumerate(st.vertical_loops):
             parallel = loop.loop_order == ir.LoopOrder.PARALLEL
             for si, sec in enumerate(loop.sections):
@@ -382,6 +406,19 @@ class PallasBackend(JaxBackend):
                                 and node.name in eligible
                             ):
                                 eligible.discard(node.name)
+                    elif not _full_interval(sec):
+                        # a write in a PARTIAL-K section cannot cover the
+                        # value's full column: the value-temp writeback
+                        # would need dynamic_update_slice on a value,
+                        # which Mosaic cannot lower (r4: concat_where
+                        # sections after per-section DCE) -- keep such
+                        # temps in VMEM scratch refs
+                        for node in ir.walk_values(stmt):
+                            if (
+                                isinstance(node, ir.Assign)
+                                and node.target.name in eligible
+                            ):
+                                eligible.discard(node.target.name)
 
         out = set()
         for name in eligible:
@@ -435,6 +472,33 @@ class PallasBackend(JaxBackend):
             )
             peak = max(peak, cur)
         return peak
+
+    def _f16_reads_all_widened(self, name: str) -> bool:
+        """True when every read of ``name`` is directly wrapped in a
+        Cast(float32) -- the canonical f16-storage form produced by
+        passes.widen_f16_compute.  Cached per backend instance."""
+        cache = self.__dict__.setdefault("_f16_widened_cache", {})
+        hit = cache.get(name)
+        if hit is not None:
+            return hit
+        f32 = np.dtype(np.float32)
+        wrapped_ids = set()
+        read_ids = set()
+        for node in ir.walk_values(self.analysis.stencil.vertical_loops):
+            if (
+                isinstance(node, ir.Cast)
+                and np.dtype(node.dtype) == f32
+                and isinstance(node.expr, ir.FieldAccess)
+                and node.expr.name == name
+            ):
+                wrapped_ids.add(id(node.expr))
+            if isinstance(node, ir.FieldAccess) and node.name == name:
+                read_ids.add(id(node))
+            if isinstance(node, ir.Assign) and node.target.name == name:
+                read_ids.discard(id(node.target))
+        ok = read_ids <= wrapped_ids
+        cache[name] = ok
+        return ok
 
     def _read_names(self) -> set:
         reads = set()
@@ -559,6 +623,8 @@ class PallasBackend(JaxBackend):
                 return 1
             return dJ if circular else m.shape[1]
 
+        reads_set = self._read_names()
+
         def vmem_bytes(tk, ti, slots=2):
             total = 0
             max_val = 0
@@ -575,6 +641,15 @@ class PallasBackend(JaxBackend):
                         1 if ni == 1 else ti, min(nj, dJ), _sublane(m.dtype)
                     )
                     total += slots * sk * si * sj * m.dtype.itemsize  # staging
+                elif (
+                    _f16_unpack_enabled()
+                    and m.dtype.itemsize == 2
+                    and name in reads_set
+                    and self._f16_reads_all_widened(name)
+                ):
+                    # f16 storage: the un-slotted f32 unpack copy
+                    pi32, pj32 = _pad_tile(ni, nj, _sublane(np.dtype(np.float32)))
+                    total += sk * pi32 * pj32 * 4
                 max_val = max(max_val, sk * pi * pj * m.dtype.itemsize)
             value_temps = self._value_temp_names()
 
@@ -642,10 +717,21 @@ class PallasBackend(JaxBackend):
             )
         if not ti_options:
             raise _PallasIneligible()
+        # experimental overrides for perf sweeps (unset = planner choice)
+        import os
+
+        f_tk = os.environ.get("GT4PY_TPU_PALLAS_TK")
+        f_ti = os.environ.get("GT4PY_TPU_PALLAS_TI")
+        f_slots = os.environ.get("GT4PY_TPU_PALLAS_SLOTS")
+        if f_tk:
+            tk_options = [t for t in tk_options if t == int(f_tk)]
+        if f_ti:
+            ti_options = [t for t in ti_options if t == int(f_ti)]
+        slot_options = (int(f_slots),) if f_slots else (2, 1)
         # prefer double-buffered (pipelined) plans; a single-slot plan
         # (inputs loaded at tile start, latency exposed) is the fallback
         # that keeps VMEM-tight stencils on the kernel path at all
-        for slots in (2, 1):
+        for slots in slot_options:
             best = None
             for tk in tk_options:
                 for ti in ti_options:
@@ -696,6 +782,8 @@ class PallasBackend(JaxBackend):
             for vl in self.analysis.stencil.vertical_loops
         )
 
+        reads_set = self._read_names()
+
         def vmem_bytes(ti, tj, slots=2):
             total = 0
             max_val = 0
@@ -717,6 +805,15 @@ class PallasBackend(JaxBackend):
                     else:
                         stage_k = dK if k_win else m.shape[2]
                     total += slots * stage_k * si * sj * m.dtype.itemsize
+                elif (
+                    _f16_unpack_enabled()
+                    and m.dtype.itemsize == 2
+                    and name in reads_set
+                    and self._f16_reads_all_widened(name)
+                ):
+                    # f16 storage: the un-slotted f32 unpack copy
+                    pi32, pj32 = _pad_tile(ni, nj, _sublane(np.dtype(np.float32)))
+                    total += sk * pi32 * pj32 * 4
                 skv = sk if has_parallel else min(sk, _SUBLANE)
                 max_val = max(max_val, skv * pi * pj * m.dtype.itemsize)
             value_temps = self._value_temp_names()
@@ -1195,6 +1292,39 @@ class PallasBackend(JaxBackend):
         else:
             aliased = {name: _can_alias(name) for name in written}
 
+        # f16 STORAGE unpack: read-only 16-bit fields are converted to ONE
+        # f32 VMEM copy per tile right after the DMA wait, so every read
+        # slices f32 (the canonical per-read widens of the storage-format
+        # semantics become no-ops, and circular-J rolls run native f32).
+        # bf16 then pays only where it wins: halved HBM DMA.
+        from gt4py_tpu.core.definitions import F16_DTYPES as _F16SET
+
+        unpacked = [
+            n
+            for n in field_names
+            if metas[n].dtype in _F16SET
+            and n in reads
+            and n not in self.written
+            # ONLY sound for the canonical f16-storage form (every read
+            # wrapped in Cast(f32) by passes.widen_f16_compute): a stencil
+            # built around analyze() directly -- the next bridge, raw IR
+            # users -- keeps per-op 16-bit semantics, where reading an
+            # exact f32 copy would skip per-op roundings
+            and self._f16_reads_all_widened(n)
+        ]
+        if not _f16_unpack_enabled():
+            unpacked = []
+        for name in unpacked:
+            m = tile_metas[name]
+            # the tracer sees the f32 copy (reads need no per-op widening)
+            tile_metas[name] = _FieldMeta(
+                shape=m.shape,
+                origin=m.origin,
+                dtype=np.dtype(np.float32),
+                dimensions=m.dimensions,
+                data_ndim=m.data_ndim,
+            )
+
         # temporaries live in their own VMEM scratch refs, tile-extended --
         # except single-assign PARALLEL temps, which stay SSA values
         # (no scratch, no store/load round trip; Mosaic register-allocates)
@@ -1243,6 +1373,8 @@ class PallasBackend(JaxBackend):
             pos += n_written
             temp_scratch = refs[pos : pos + len(temp_names)]
             pos += len(temp_names)
+            unpack_refs = refs[pos : pos + len(unpacked)]
+            pos += len(unpacked)
             insem, outsem = refs[pos], refs[pos + 1]
 
             t = jax.lax.add(
@@ -1456,9 +1588,20 @@ class PallasBackend(JaxBackend):
             for f in range(n_fields):
                 wait_in(f, t, slot)
 
+            # one widen per 16-bit input per tile (exact; f16 storage)
+            for u_idx, uname in enumerate(unpacked):
+                f_idx = field_names.index(uname)
+                unpack_refs[u_idx][...] = (
+                    scratch_refs[f_idx][slot].astype(jnp.float32)
+                )
+
             # ---- run the stencil IR on the VMEM tiles (mutable refs) ---- #
             tile_env = {
-                name: scratch_refs[idx].at[slot]
+                name: (
+                    unpack_refs[unpacked.index(name)]
+                    if name in unpacked
+                    else scratch_refs[idx].at[slot]
+                )
                 for idx, name in enumerate(field_names)
             }
             tile_scalars = {}
@@ -1581,6 +1724,11 @@ class PallasBackend(JaxBackend):
             + [
                 pltpu.VMEM(temp_tile_shapes[n], analysis.stencil.temp_decls[n].dtype)
                 for n in temp_names
+            ]
+            + [
+                # un-slotted f32 copies of the 16-bit read-only inputs
+                pltpu.VMEM(tile_shapes[n], jnp.float32)
+                for n in unpacked
             ]
             + [
                 pltpu.SemaphoreType.DMA((slots, n_fields, max_segs)),

@@ -62,6 +62,11 @@ class StencilBuilder:
         }
         key = repr(
             (
+                # canonicalization revision: bump whenever a build-time IR
+                # canonicalization changes semantics (r4: widen_f16_compute
+                # made 16-bit dtypes storage formats) -- cached analyses
+                # from earlier revisions must not be served
+                "canon-r4-f16-storage",
                 source,
                 self.name,
                 sorted(annotations.items()),

@@ -320,6 +320,7 @@ def run_differential_case(
     rtol=1e-12,
     atol=1e-12,
     periodic=(),
+    canonical_f16=False,
 ) -> None:
     """Generate one program, run the numpy oracle vs each backend in
     ``backends`` ("jax", "pallas"), assert allclose.  On CPU the pallas
@@ -348,6 +349,13 @@ def run_differential_case(
             domain = (rng.randint(3, 9), rng.randint(3, 9), rng.randint(1, 7))
     gen = ProgramGenerator(rng, dtype=dtype)
     stencil = gen.generate()
+    if canonical_f16:
+        # the product build path's f16-storage canonicalization (16-bit
+        # dtypes store, f32 computes) -- exercises the kernel's per-tile
+        # unpack; the raw form (default) exercises per-op semantics
+        from gt4py_tpu.cartesian import passes as passes_mod
+
+        stencil = passes_mod.widen_f16_compute(stencil)
     an = analysis_mod.analyze(stencil)
 
     nprng = np.random.default_rng(seed)

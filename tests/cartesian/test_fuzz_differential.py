@@ -48,6 +48,26 @@ def test_random_program_bf16_parity(seed):
     )
 
 
+@pytest.mark.parametrize("unpack", ["0", "1"])
+@pytest.mark.parametrize("seed", range(4))
+def test_random_program_bf16_canonical_storage(seed, unpack, monkeypatch):
+    """The f16-STORAGE canonical form (the product build path: 16-bit
+    dtypes store, statements compute in f32), with and without the
+    experimental per-tile f32 unpack copies (GT4PY_TPU_PALLAS_F16_UNPACK;
+    default off -- r4 measured the copies' VMEM cost shrinking tile
+    plans).  Parity is bitwise either way (every widen is exact and the
+    rounding points coincide by construction)."""
+    import ml_dtypes
+
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_F16_UNPACK", unpack)
+    run_differential_case(
+        seed,
+        backends=("jax", "pallas"),
+        dtype=np.dtype(ml_dtypes.bfloat16),
+        canonical_f16=True,
+    )
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_random_program_bf16_aligned(seed):
     """Mosaic-eligible bf16 geometry ((16, 128) packing: origin 16, I on
