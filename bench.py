@@ -849,20 +849,39 @@ def main():
     oracle_fv = bench_oracle_fv()
 
     extra = {}
+    # extras are bounded by a wall-clock budget so the driver's capture
+    # always gets the final JSON line even on a degraded relay: once the
+    # budget is spent, remaining rows are skipped (and named in extra)
+    bench_t0 = time.perf_counter()
+    budget = float(os.environ.get("GT4PY_TPU_BENCH_BUDGET_S", "1800"))
+    skipped_rows = []
+
+    def over_budget(row):
+        if time.perf_counter() - bench_t0 > budget:
+            skipped_rows.append(row)
+            return True
+        return False
+
     if os.environ.get("GT4PY_TPU_BENCH_EXTRA", "1") != "0":
         try:
+            if over_budget("full_dycore"):
+                raise RuntimeError("bench budget exhausted")
             full = bench_tpu_full_dycore()
             extra["full_dycore_512_ms"] = round(full * 1e3, 2)
             extra["full_dycore_512_gpoints"] = round(NI * NJ * NK / full / 1e9, 3)
         except Exception as e:  # keep the headline metric robust
             print(f"# full-dycore bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("fv_1024"):
+                raise RuntimeError("bench budget exhausted")
             fv_big = bench_tpu_fv_1024()
             extra["fv_1024_ms"] = round(fv_big * 1e3, 2)
             extra["fv_1024_gpoints"] = round(1024 * 1024 * NK / fv_big / 1e9, 3)
         except Exception as e:
             print(f"# fv-1024 bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("bf16"):
+                raise RuntimeError("bench budget exhausted")
             import ml_dtypes
 
             bf = ml_dtypes.bfloat16
@@ -873,24 +892,32 @@ def main():
         except Exception as e:
             print(f"# bf16 bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("shallow_water"):
+                raise RuntimeError("bench budget exhausted")
             sw = bench_tpu_shallow_water()
             extra["shallow_water_512_ms"] = round(sw * 1e3, 2)
             extra["shallow_water_512_gpoints"] = round(NI * NJ * NK / sw / 1e9, 3)
         except Exception as e:
             print(f"# shallow-water bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("unstructured"):
+                raise RuntimeError("bench budget exhausted")
             tu, n_edges = bench_tpu_unstructured()
             extra["unstructured_fvm_ms"] = round(tu * 1e3, 2)
             extra["unstructured_fvm_medges_s"] = round(n_edges / tu / 1e6, 1)
         except Exception as e:
             print(f"# unstructured bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("next_hdiff"):
+                raise RuntimeError("bench budget exhausted")
             nh = bench_tpu_next_hdiff()
             extra["next_hdiff_512_ms"] = round(nh * 1e3, 2)
             extra["next_hdiff_512_gpoints"] = round(NI * NJ * NK / nh / 1e9, 3)
         except Exception as e:
             print(f"# next-hdiff bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("next_hdiff_pallas"):
+                raise RuntimeError("bench budget exhausted")
             nhp = bench_tpu_next_hdiff_pallas()
             extra["next_hdiff_pallas_512_ms"] = round(nhp * 1e3, 2)
             extra["next_hdiff_pallas_512_gpoints"] = round(
@@ -899,6 +926,8 @@ def main():
         except Exception as e:
             print(f"# next-hdiff-pallas bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("next_hdiff_program"):
+                raise RuntimeError("bench budget exhausted")
             nhf = bench_tpu_next_hdiff_program(fused=True)
             extra["next_hdiff_program_fused_512_ms"] = round(nhf * 1e3, 2)
             extra["next_hdiff_program_fused_512_gpoints"] = round(
@@ -907,11 +936,15 @@ def main():
         except Exception as e:
             print(f"# next-hdiff-program bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("next_hdiff_program_stmtwise"):
+                raise RuntimeError("bench budget exhausted")
             nhs = bench_tpu_next_hdiff_program(fused=False)
             extra["next_hdiff_program_stmtwise_512_ms"] = round(nhs * 1e3, 2)
         except Exception as e:
             print(f"# next-hdiff-program-stmtwise bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("next_tridiag_pallas"):
+                raise RuntimeError("bench budget exhausted")
             ntp = bench_tpu_next_tridiag(pallas=True)
             extra["next_tridiag_pallas_512_ms"] = round(ntp * 1e3, 2)
             extra["next_tridiag_pallas_512_gpoints"] = round(
@@ -920,6 +953,8 @@ def main():
         except Exception as e:
             print(f"# next-tridiag-pallas bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("next_tridiag"):
+                raise RuntimeError("bench budget exhausted")
             ntj = bench_tpu_next_tridiag(pallas=False)
             extra["next_tridiag_512_ms"] = round(ntj * 1e3, 2)
         except Exception as e:
@@ -938,6 +973,8 @@ def main():
     }
     if not tpu_ok:
         result["note"] = "CPU fallback: tpu relay unreachable; not a chip number"
+    if skipped_rows:
+        extra["skipped_rows_over_budget"] = skipped_rows
     if extra:
         result["extra"] = extra
     print(

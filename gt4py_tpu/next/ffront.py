@@ -797,30 +797,20 @@ class Program:
             # through the same compiled path (pallas_bridge lowering with
             # per-call out=/domain= restriction; ineligible ones fall
             # back inside the operator, so this is always safe)
-            cache = self.__dict__.setdefault("_rebound_ops", {})
-
-            def rebind(v):
-                if not (isinstance(v, FieldOperator) and v._backend is None):
-                    return v
-                try:
-                    r = cache.get(v)
-                except TypeError:
-                    return v.with_backend(self._backend)
-                if r is None:
-                    r = cache[v] = v.with_backend(self._backend)
-                return r
-
-            env = {k: rebind(v) for k, v in env.items()}
+            env = {k: self._rebind_compiled(v) for k, v in env.items()}
         else:
             self._check_domains(typed, env)
         Interpreter(typed, env).run()
 
     def _run_fused(self, typed, merged) -> bool:
-        """Try the whole-program fused kernel (pallas_bridge.lower_program
-        + run_program_plan); False -> caller uses the per-statement path.
-        Structural ineligibility is cached per typed signature; per-call
-        gates (domain coverage, cross-statement read regions) re-check on
-        each new domain signature."""
+        """Try the fused-program schedule (pallas_bridge.lower_program):
+        maximal runs of eligible operator statements execute as ONE
+        fused kernel each, interleaved with interpreted statements
+        (scans, collection targets, ...).  False -> caller uses the
+        plain per-statement path.  Structural ineligibility is cached
+        per typed signature; per-call gates (domain coverage,
+        cross-statement read regions) are validated for EVERY segment
+        before any holder mutates, so a per-call fallback is atomic."""
         from gt4py_tpu import config
 
         from . import pallas_bridge
@@ -839,16 +829,48 @@ class Program:
                     warn=not getattr(ex, "quiet", False),
                 )
                 plans[key] = None
-        pplan = plans[key]
-        if pplan is None:
+        sched = plans[key]
+        if sched is None:
             return False
         env = {p.name: a for p, a in zip(typed.params, merged)}
         try:
-            pallas_bridge.run_program_plan(pplan, env)
-            return True
+            insts = {
+                idx: pallas_bridge.prepare_program_plan(payload, env)
+                for idx, (kind, payload) in enumerate(sched.items)
+                if kind == "fused"
+            }
         except pallas_bridge.Ineligible as ex:
             pallas_bridge._record_fallback(self.__name__, f"program fusion: {ex}")
             return False
+        interp_env = None
+        for idx, (kind, payload) in enumerate(sched.items):
+            if kind == "fused":
+                pallas_bridge.execute_program_instance(payload, insts[idx], env)
+            else:
+                if interp_env is None:
+                    interp_env = dict(env)
+                    interp_env.update(
+                        {
+                            k: self._rebind_compiled(v)
+                            for k, v in typed.closure.items()
+                        }
+                    )
+                Interpreter(typed, interp_env)._body([payload])
+        return True
+
+    def _rebind_compiled(self, v):
+        """Closure operators re-targeted at the compiled backend (so
+        interpreted schedule items still dispatch per-op kernels)."""
+        if isinstance(v, FieldOperator) and v._backend is None:
+            cache = self.__dict__.setdefault("_rebound_ops", {})
+            try:
+                r = cache.get(v)
+            except TypeError:
+                return v.with_backend(self._backend)
+            if r is None:
+                r = cache[v] = v.with_backend(self._backend)
+            return r
+        return v
 
     def _check_domains(self, typed, env) -> None:
         """Domain inference check (reference: transforms/infer_domain.py):

@@ -1737,6 +1737,8 @@ class ProgramStmt:
     #: per returned member: (prog out param, relative slices or None)
     targets: List[Tuple[str, Optional[Tuple]]]
     domain_expr: Optional[Any]  # fvir node for domain=, or None
+    #: the originating fvir statement (interpreted-path fallback)
+    src: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -1748,18 +1750,125 @@ class ProgramBridgePlan:
     instances: Dict[Any, Any] = dataclasses.field(default_factory=dict)
 
 
-def lower_program(typed: fvir.OperatorIR) -> ProgramBridgePlan:
-    """Structurally lower a TYPED program: every statement must be an
-    eligible cartesian field-operator call with Name/sliced-Name out
-    targets.  Domain math happens per call (Field domains are static
-    under jit) in :func:`_build_instance`."""
+@dataclasses.dataclass
+class ProgramSchedule:
+    """Execution schedule of a program under fusion: maximal runs of
+    eligible operator statements become fused segments (one kernel +
+    strips each); everything else (scan statements, collection targets,
+    concat_where operators, expression args) stays an interpreted
+    statement executed in order between them."""
+
+    #: ("fused", ProgramBridgePlan) | ("interp", fvir.Stmt)
+    items: List[Tuple[str, Any]]
+
+
+def _lower_program_stmt(typed, st, axis_of) -> ProgramStmt:
+    """Lower one ``op(args..., out=...)`` statement against (and
+    extending) ``axis_of``; raises :class:`Ineligible` outside the
+    fusible subset."""
     from .ffront import FieldOperator, ScanOperator
 
+    param_types = {p.name: p.type for p in typed.params}
+    if not (
+        isinstance(st, fvir.Assign)
+        and not st.targets
+        and isinstance(st.value, fvir.Call)
+    ):
+        raise Ineligible(f"program statement {type(st).__name__}")
+    call = st.value
+    if not isinstance(call.func, fvir.Name):
+        raise Ineligible("computed operator reference")
+    fn = typed.closure.get(call.func.id)
+    if isinstance(fn, ScanOperator) or not isinstance(fn, FieldOperator):
+        raise Ineligible(
+            f"statement calls {type(fn).__name__} (only field operators fuse)"
+        )
+    extra = set(call.kwargs) - {"out", "domain"}
+    if extra:
+        raise Ineligible(f"call kwargs {sorted(extra)}")
+    out_expr = call.kwargs.get("out")
+    if out_expr is None:
+        raise Ineligible("operator statement without out=")
+    bindings: List[Tuple[str, Any]] = []
+    for a in call.args:
+        if isinstance(a, fvir.Name) and a.id in param_types:
+            t = a.type
+            if isinstance(t, ts.FieldType):
+                bindings.append(("field", a.id))
+            elif isinstance(t, ts.ScalarType):
+                bindings.append(("scalar", a.id))
+            else:
+                raise Ineligible(f"argument of type {t}")
+        elif isinstance(a, fvir.Literal) and isinstance(a.type, ts.ScalarType):
+            bindings.append(("literal", np.dtype(a.type.kind).type(a.value)))
+        else:
+            raise Ineligible(f"argument {type(a).__name__}")
+    try:
+        op_typed, _ = fn._typed_for(tuple(a.type for a in call.args))
+        plan = lower_field_operator(op_typed)
+    except Ineligible:
+        raise
+    except Exception as ex:
+        raise Ineligible(f"operator typing failed: {ex}") from ex
+    if plan.cw_body is not None:
+        # a concat_where operator has piecewise K domains; the
+        # program splicer assumes one rectangular write per member
+        raise Ineligible("concat_where operator inside a program")
+    # spliced bodies reuse each op's i/j/k offset meaning: the
+    # dimension->axis maps must agree within a segment
+    trial = dict(axis_of)
+    for dval, ax in plan.axis_of.items():
+        if trial.setdefault(dval, ax) != ax:
+            raise Ineligible("inconsistent dimension->axis maps")
+
+    def target_spec(e):
+        if isinstance(e, fvir.Name):
+            if e.id not in param_types:
+                raise Ineligible("out target is not a program parameter")
+            return (e.id, None)
+        if isinstance(e, fvir.FieldSlice) and isinstance(e.value, fvir.Name):
+            if e.value.id not in param_types:
+                raise Ineligible("out target is not a program parameter")
+            return (e.value.id, tuple(e.slices))
+        raise Ineligible(f"out target {type(e).__name__}")
+
+    if isinstance(out_expr, fvir.TupleExpr):
+        targets = [target_spec(x) for x in out_expr.elts]
+    else:
+        targets = [target_spec(out_expr)]
+    if len(targets) != len(plan.outs):
+        raise Ineligible("out arity mismatch")
+    axis_of.clear()
+    axis_of.update(trial)
+    return ProgramStmt(
+        call.func.id, plan, bindings, targets, call.kwargs.get("domain")
+    )
+
+
+def lower_program(typed: fvir.OperatorIR) -> ProgramSchedule:
+    """Structurally schedule a TYPED program for fusion: consecutive
+    eligible operator statements group into fused segments (each ONE
+    kernel + strips at run time); ineligible statements (scans,
+    collection targets, expression args, concat_where operators) become
+    interpreted items between segments -- a mixed dycore-style program
+    keeps every fusible run fused instead of losing fusion wholesale.
+    Domain math happens per call (Field domains are static under jit)
+    in :func:`_build_instance`."""
     if typed.kind != "program":
         raise Ineligible(typed.kind)
-    param_types = {p.name: p.type for p in typed.params}
-    axis_of: Dict[str, int] = {}
-    stmts: List[ProgramStmt] = []
+    items: List[Tuple[str, Any]] = []
+    cur: List[ProgramStmt] = []
+    cur_axis: Dict[str, int] = {}
+
+    def flush():
+        nonlocal cur, cur_axis
+        if len(cur) >= 2:
+            items.append(("fused", ProgramBridgePlan(typed, cur, dict(cur_axis))))
+        else:
+            for ps in cur:
+                items.append(("interp", ps.src))
+        cur, cur_axis = [], {}
+
     for st in typed.body:
         if (
             isinstance(st, fvir.Assign)
@@ -1767,87 +1876,29 @@ def lower_program(typed: fvir.OperatorIR) -> ProgramBridgePlan:
             and isinstance(st.value, fvir.Literal)
         ):
             continue  # docstring no-op
-        if not (
-            isinstance(st, fvir.Assign)
-            and not st.targets
-            and isinstance(st.value, fvir.Call)
-        ):
-            raise Ineligible(f"program statement {type(st).__name__}")
-        call = st.value
-        if not isinstance(call.func, fvir.Name):
-            raise Ineligible("computed operator reference")
-        fn = typed.closure.get(call.func.id)
-        if isinstance(fn, ScanOperator) or not isinstance(fn, FieldOperator):
-            raise Ineligible(
-                f"statement calls {type(fn).__name__} (only field operators fuse)"
-            )
-        extra = set(call.kwargs) - {"out", "domain"}
-        if extra:
-            raise Ineligible(f"call kwargs {sorted(extra)}")
-        out_expr = call.kwargs.get("out")
-        if out_expr is None:
-            raise Ineligible("operator statement without out=")
-        bindings: List[Tuple[str, Any]] = []
-        for a in call.args:
-            if isinstance(a, fvir.Name) and a.id in param_types:
-                t = a.type
-                if isinstance(t, ts.FieldType):
-                    bindings.append(("field", a.id))
-                elif isinstance(t, ts.ScalarType):
-                    bindings.append(("scalar", a.id))
-                else:
-                    raise Ineligible(f"argument of type {t}")
-            elif isinstance(a, fvir.Literal) and isinstance(a.type, ts.ScalarType):
-                bindings.append(("literal", np.dtype(a.type.kind).type(a.value)))
-            else:
-                raise Ineligible(f"argument {type(a).__name__}")
         try:
-            op_typed, _ = fn._typed_for(tuple(a.type for a in call.args))
-            plan = lower_field_operator(op_typed)
+            ps = _lower_program_stmt(typed, st, cur_axis)
         except Ineligible:
-            raise
-        except Exception as ex:
-            raise Ineligible(f"operator typing failed: {ex}") from ex
-        if plan.cw_body is not None:
-            # a concat_where operator has piecewise K domains; the
-            # program splicer assumes one rectangular write per member
-            raise Ineligible("concat_where operator inside a program")
-        # spliced bodies reuse each op's i/j/k offset meaning: the
-        # dimension->axis maps must agree across statements
-        for dval, ax in plan.axis_of.items():
-            if axis_of.setdefault(dval, ax) != ax:
-                raise Ineligible("inconsistent dimension->axis maps")
-
-        def target_spec(e):
-            if isinstance(e, fvir.Name):
-                if e.id not in param_types:
-                    raise Ineligible("out target is not a program parameter")
-                return (e.id, None)
-            if isinstance(e, fvir.FieldSlice) and isinstance(e.value, fvir.Name):
-                if e.value.id not in param_types:
-                    raise Ineligible("out target is not a program parameter")
-                return (e.value.id, tuple(e.slices))
-            raise Ineligible(f"out target {type(e).__name__}")
-
-        if isinstance(out_expr, fvir.TupleExpr):
-            targets = [target_spec(x) for x in out_expr.elts]
-        else:
-            targets = [target_spec(out_expr)]
-        if len(targets) != len(plan.outs):
-            raise Ineligible("out arity mismatch")
-        stmts.append(
-            ProgramStmt(
-                call.func.id, plan, bindings, targets, call.kwargs.get("domain")
-            )
-        )
-    if len(stmts) < 2:
+            # maybe the statement only conflicts with THIS segment's
+            # axis map: retry against a fresh one
+            flush()
+            try:
+                ps = _lower_program_stmt(typed, st, cur_axis)
+            except Ineligible:
+                flush()
+                items.append(("interp", st))
+                continue
+        ps.src = st
+        cur.append(ps)
+    flush()
+    if not any(k == "fused" for k, _ in items):
         ex = Ineligible(
-            "single-statement program (the per-operator kernel path already "
-            "fuses it)"
+            "no fusible run of operator statements (the per-operator "
+            "kernel path already handles single statements)"
         )
         ex.quiet = True  # not a perf cliff: no user-facing warning
         raise ex
-    return ProgramBridgePlan(typed, stmts, axis_of)
+    return ProgramSchedule(items)
 
 
 @dataclasses.dataclass
@@ -2236,15 +2287,10 @@ def _build_instance(
     )
 
 
-def run_program_plan(pplan: ProgramBridgePlan, env: Dict[str, Any]) -> None:
-    """Execute a fused program on the current parameter values, mutating
-    the out-parameter Field holders (like the embedded interpreter).
-
-    Stages cleanly under jit: all domain math runs on static Field
-    metadata; the instance (fused stencil + kernel plan) is cached per
-    domain signature."""
-    import jax.numpy as jnp
-
+def prepare_program_plan(pplan: ProgramBridgePlan, env: Dict[str, Any]):
+    """Per-call planning (domain algebra + gates + instance build) WITHOUT
+    executing: lets a mixed schedule validate every fused segment before
+    any holder is mutated, so a per-call fallback stays atomic."""
     dom_vals = _eval_stmt_domains(pplan, env)
     key = _instance_key(pplan, env, dom_vals)
     inst = pplan.instances.get(key)
@@ -2257,6 +2303,24 @@ def run_program_plan(pplan: ProgramBridgePlan, env: Dict[str, Any]) -> None:
         pplan.instances[key] = inst
     if isinstance(inst, Ineligible):
         raise Ineligible(str(inst))
+    return inst
+
+
+def run_program_plan(pplan: ProgramBridgePlan, env: Dict[str, Any]) -> None:
+    execute_program_instance(pplan, prepare_program_plan(pplan, env), env)
+
+
+def execute_program_instance(
+    pplan: ProgramBridgePlan, inst: "_FusedInstance", env: Dict[str, Any]
+) -> None:
+    """Execute a fused program segment on the current parameter values,
+    mutating the out-parameter Field holders (like the embedded
+    interpreter).
+
+    Stages cleanly under jit: all domain math runs on static Field
+    metadata; the instance (fused stencil + kernel plan) is cached per
+    domain signature."""
+    import jax.numpy as jnp
 
     # ---- kernel inputs ---- #
     arrays: Dict[str, Any] = {}

@@ -83,6 +83,15 @@ def _hdiff_args():
 
 
 def _fused_plan(prog):
+    """The FIRST fused segment's ProgramBridgePlan (None = nothing fused)."""
+    plans = prog.__dict__.get("_prog_bridge_plans", {})
+    sched = next((v for v in plans.values() if v is not None), None)
+    if sched is None:
+        return None
+    return next((p for k, p in sched.items if k == "fused"), None)
+
+
+def _schedule(prog):
     plans = prog.__dict__.get("_prog_bridge_plans", {})
     return next((v for v in plans.values() if v is not None), None)
 
@@ -259,6 +268,10 @@ def scan_prog(a: F, c: F, o: F):
 
 
 def test_scan_statement_falls_back_to_per_statement_kernels():
+    """A 2-statement program with one scan has no fusible RUN (>= 2
+    consecutive eligible statements): the schedule declines quietly and
+    the per-statement kernel path runs both statements."""
+
     def run(backend):
         a = _fld(0, N, 0, M, seed=5)
         c = _fld(0, N, 0, M)
@@ -266,14 +279,57 @@ def test_scan_statement_falls_back_to_per_statement_kernels():
         scan_prog.with_backend(backend)(a, c, o)
         return [c, o]
 
-    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         refs = run(backends.numpy_oracle)
         gots = run("pallas")
-    ev = pallas_bridge.FALLBACK_EVENTS.since(cur)
-    assert any("ScanOperator" in e[1] for e in ev)
     for name, r, g in zip(("c", "o"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@program
+def mixed_prog(a: F, lap: F, fx: F, c: F, out: F):
+    # fusible run 1 (2 statements) -- interp scan -- trailing statement
+    lap_op(a, out=lap)
+    flx_op(a, lap, out=fx)
+    cumsum_op(fx, out=c)
+    incr_op(c, out=out)
+
+
+def test_mixed_program_fuses_maximal_runs():
+    """Segment scheduling (r4): the lap->flx run fuses into ONE kernel;
+    the scan and the trailing single statement execute interpreted
+    (each still a per-op kernel) -- a scan no longer kills fusion for
+    the whole program."""
+
+    def run(backend):
+        a = _fld(-2, N + 2, -2, M + 2, seed=11)
+        lap = _fld(-1, N + 1, -1, M + 1)
+        fx = _fld(-1, N, -1, M + 1)
+        c = _fld(-1, N, -1, M + 1)
+        out = _fld(-1, N, -1, M + 1)
+        mixed_prog.with_backend(backend)(a, lap, fx, c, out)
+        return [lap, fx, c, out]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        refs = run(backends.numpy_oracle)
+        p = mixed_prog.with_backend("pallas")
+        a = _fld(-2, N + 2, -2, M + 2, seed=11)
+        gots = [
+            _fld(-1, N + 1, -1, M + 1),
+            _fld(-1, N, -1, M + 1),
+            _fld(-1, N, -1, M + 1),
+            _fld(-1, N, -1, M + 1),
+        ]
+        p(a, *gots)
+    sched = _schedule(p)
+    kinds = [k for k, _ in sched.items]
+    assert kinds == ["fused", "interp", "interp"], kinds
+    assert len(sched.items[0][1].stmts) == 2
+    for name, r, g in zip(("lap", "fx", "c", "out"), refs, gots):
         np.testing.assert_allclose(
             g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
         )
