@@ -697,6 +697,32 @@ def test_concat_where_horizontal_falls_back():
     _check_cw(bc, a, b, expect_lower=False)
 
 
+def test_concat_where_in_tuple_returns():
+    """Tuple members sharing a concat_where temp fuse when their K
+    domains agree; members whose piece algebra yields DIFFERENT K
+    domains fall back (runtime out-recipe equality gate) -- domains
+    and values match the oracle either way."""
+    from gt4py_tpu.next import concat_where
+
+    @gtx.field_operator
+    def tup_eq(a: F64):
+        x = concat_where(K < 2, a * 2.0, a + 1.0)
+        return (x + a, x - a)
+
+    @gtx.field_operator
+    def tup_diff(a: F64):
+        x = concat_where(K < 2, a(Koff[1]), a(Koff[-1]))
+        return (x, a * 1.0)
+
+    a = gtx.as_field((I, J, K), _rand((7, 5, 9), 70))
+    for op in (tup_eq, tup_diff):
+        ref = op.with_backend(backends.numpy_oracle)(a)
+        got = op.with_backend("pallas")(a)
+        for r, g in zip(ref, got):
+            assert _ranges(r) == _ranges(g)
+            np.testing.assert_allclose(g.asnumpy(), r.asnumpy(), rtol=1e-13)
+
+
 def test_concat_where_kernel_path_actually_runs():
     from gt4py_tpu.next import concat_where
     from gt4py_tpu.cartesian.backend import pallas_backend
