@@ -634,3 +634,103 @@ def test_next_program_fusion_on_chip():
         np.testing.assert_allclose(
             g.asnumpy(), r.asnumpy(), rtol=1e-5, atol=1e-6, err_msg=nm
         )
+
+
+def test_next_program_mixed_schedule_on_chip():
+    """Segment scheduler (r4 v2): a program mixing a fusible run, an
+    interp-only scan, and a trailing per-op statement executes as
+    [fused, interp, interp] with the fused segment AND the scan kernel
+    both on the Mosaic path (LAST_PLAN entries), matching the oracle."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import backends, program, where, pallas_bridge
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+    F32 = gtx.Field[[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def lap_m(a: F32) -> F32:
+        return a(Ioff[1]) + a(Ioff[-1]) + a(Joff[1]) + a(Joff[-1]) - 4.0 * a
+
+    @gtx.field_operator
+    def flx_m(a: F32, lp: F32) -> F32:
+        fx = lp(Ioff[1]) - lp
+        return where(fx * (a(Ioff[1]) - a) > 0.0, 0.0, fx)
+
+    @gtx.scan_operator(axis=K, forward=True, init=np.float32(0.0))
+    def cum_m(c: gtx.float32, x: gtx.float32) -> gtx.float32:
+        return c * 0.7 + x
+
+    @gtx.field_operator
+    def upd_m(a: F32, fx: F32, c: gtx.float32) -> F32:
+        return a - c * (fx - fx(Ioff[-1]))
+
+    @program
+    def prog_mx(a: F32, lp: F32, fx: F32, cc: F32, out: F32, w: gtx.float32):
+        lap_m(a, out=lp)  # fused segment (2 stmts)
+        flx_m(a, lp, out=fx)
+        cum_m(fx, out=cc)  # interp scan (serial-K Mosaic kernel)
+        upd_m(a, cc, w, out=out)  # trailing interp stmt
+
+    NI, NJ, NK = 48, 128, 8
+    U = gtx.UnitRange
+    rng = np.random.default_rng(3)
+
+    def fld(ilo, ihi, jlo, jhi, data=False):
+        dom = gtx.Domain(
+            (I, J, K), (U(-ilo, NI + ihi), U(-jlo, NJ + jhi), U(0, NK))
+        )
+        shape = tuple(len(r) for r in dom.ranges)
+        arr = (
+            rng.random(shape).astype(np.float32)
+            if data
+            else np.zeros(shape, np.float32)
+        )
+        return dom, arr
+
+    # kernel-eligible geometry: origins and physical extents multiples
+    # of (8, 128) on (I, J)
+    a_dom, a_np = fld(16, 24, 256, 256, data=True)
+    lp_dom, lp_np = fld(8, 8, 128, 128)
+    fx_dom, fx_np = fld(8, 0, 0, 0)
+    cc_dom, cc_np = fld(8, 0, 0, 0)
+    out_dom, out_np = fld(0, 0, 0, 0)
+
+    def run(backend, jaxed):
+        mk = (
+            (lambda d, x: gtx.Field(d, jnp.asarray(x)))
+            if jaxed
+            else (lambda d, x: gtx.Field(d, x.copy()))
+        )
+        args = [
+            mk(a_dom, a_np),
+            mk(lp_dom, lp_np),
+            mk(fx_dom, fx_np),
+            mk(cc_dom, cc_np),
+            mk(out_dom, out_np),
+        ]
+        prog_mx.with_backend(backend)(*args, np.float32(0.05))
+        return args[1:]
+
+    refs = run(backends.numpy_oracle, False)
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    gots = run("pallas", True)
+    fusion_ev = [
+        e
+        for e in pallas_bridge.FALLBACK_EVENTS.since(cur)
+        if "program fusion" in e[1]
+    ]
+    assert not fusion_ev, fusion_ev
+    kern = [k for k in pallas_backend.LAST_PLAN if "prog_mx" in k or k == "next_scan_cum_m"]
+    assert any("prog_mx" in k for k in kern), kern  # fused segment on Mosaic
+    assert "next_scan_cum_m" in pallas_backend.LAST_PLAN  # interp scan on Mosaic
+    for nm, r, g in zip(("lp", "fx", "cc", "out"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=2e-5, atol=2e-5, err_msg=nm
+        )
