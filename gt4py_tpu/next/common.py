@@ -707,23 +707,46 @@ class Field:
         xp = self.xp
         ax = self.dims.index(conn.codomain)
         own = self.domain[conn.codomain]
-        table = conn.table if isinstance(conn.table, np.ndarray) and xp is np else (
-            np.asarray(conn.table) if xp is np else jnp.asarray(conn.table)
-        )
-        idx = table - own.start
-        safe = xp.clip(idx, 0, self.data.shape[ax] - 1)
-        gathered = xp.take(self.data, safe.reshape(-1), axis=ax)
-        new_shape = self.data.shape[:ax] + table.shape + self.data.shape[ax + 1 :]
-        gathered = gathered.reshape(new_shape)
-        if table.ndim == 2:
+        tshape = tuple(conn.table.shape)
+        gathered = None
+        if xp is not np and isinstance(conn.table, np.ndarray):
+            # quasi-structured tables: gather as dense strided windows
+            # (affine_remap.py) -- bit-identical to the take path, far
+            # cheaper than an XLA gather on TPU; None when ineligible.
+            # 1D tables (neighbor columns, as_offset with concrete
+            # indices) plan as a single column; the local axis the plan
+            # machinery adds is dropped again below.
+            from . import affine_remap
+
+            plan = affine_remap.plan_for(conn)
+            if plan is not None:
+                gathered = affine_remap.apply_table_plan(
+                    plan, self.data, own.start, ax
+                )
+                if gathered is not None and len(tshape) == 1:
+                    gathered = gathered.reshape(
+                        gathered.shape[: ax + 1] + gathered.shape[ax + 2 :]
+                    )
+        if gathered is None:
+            table = (
+                np.asarray(conn.table)
+                if xp is np
+                else jnp.asarray(conn.table)
+            )
+            idx = table - own.start
+            safe = xp.clip(idx, 0, self.data.shape[ax] - 1)
+            gathered = xp.take(self.data, safe.reshape(-1), axis=ax)
+            new_shape = self.data.shape[:ax] + tshape + self.data.shape[ax + 1 :]
+            gathered = gathered.reshape(new_shape)
+        if len(tshape) == 2:
             new_dims = (conn.source, conn.local_dim)
             new_ranges = (
-                UnitRange(0, table.shape[0]),
-                UnitRange(0, table.shape[1]),
+                UnitRange(0, tshape[0]),
+                UnitRange(0, tshape[1]),
             )
         else:  # 1D mapping (as_offset): codomain dim replaced by source dim
             new_dims = (conn.source,)
-            new_ranges = (UnitRange(0, table.shape[0]),)
+            new_ranges = (UnitRange(0, tshape[0]),)
         dims = self.dims[:ax] + new_dims + self.dims[ax + 1 :]
         ranges = self.domain.ranges[:ax] + new_ranges + self.domain.ranges[ax + 1 :]
         return Field(Domain(dims, ranges), gathered)
@@ -795,13 +818,21 @@ class Field:
                     f"neighbor index {off.index} out of range for "
                     f"'{off.offset.value}' with {nb} neighbors"
                 )
-            column = Connectivity(
-                prov.table[:, off.index],
-                source=prov.source,
-                codomain=prov.codomain,
-                local_dim=None,
-                skip_value=prov.skip_value,
-            )
+            # cache the column view on the parent connectivity: column
+            # gathers are hot (every `f(V2E[k])`), and a persistent
+            # instance lets the affine-remap plan cache survive calls
+            k = off.index % nb
+            columns = prov.__dict__.setdefault("_column_conns", {})
+            column = columns.get(k)
+            if column is None:
+                column = Connectivity(
+                    prov.table[:, k],
+                    source=prov.source,
+                    codomain=prov.codomain,
+                    local_dim=None,
+                    skip_value=prov.skip_value,
+                )
+                columns[k] = column
             return self.remap(column)
         dim = prov if isinstance(prov, Dimension) else off.offset.source
         try:

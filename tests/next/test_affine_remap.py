@@ -1,0 +1,211 @@
+"""Affine-gather lowering (gt4py_tpu/next/affine_remap.py): detection of
+piecewise 2D-affine neighbor tables and the dense strided-window replay.
+
+The contract is EXACT equality with the ``xp.take`` base path (the
+numpy oracle defines numerics; the affine path reads the same elements
+through slices instead of gathers, so not even an ulp may move)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+import gt4py_tpu.next as gtx
+from gt4py_tpu.next import Dims, Field, FieldOffset, backends, neighbor_sum
+from gt4py_tpu.next import affine_remap as ar
+from gt4py_tpu.next.common import Connectivity
+from gt4py_tpu.next.testing import E2VDim, Edge, V2EDim, Vertex, grid_mesh
+
+
+def _take_ref(table, data, own_start):
+    safe = np.clip(np.asarray(table) - own_start, 0, data.shape[0] - 1)
+    return np.take(np.asarray(data), safe.reshape(-1), axis=0).reshape(
+        table.shape + data.shape[1:]
+    )
+
+
+@pytest.mark.parametrize("n", [64, 96])
+def test_grid_mesh_tables_plan(n):
+    mesh = grid_mesh(n)
+    e2v = ar.build_table_plan(np.asarray(mesh.e2v.table), None)
+    assert e2v is not None
+    # two edge families (horizontal, vertical), each one affine block
+    assert all(len(c.blocks) == 2 for c in e2v.cols)
+    assert all(c.res_pos.size == 0 for c in e2v.cols)
+    v2e = ar.build_table_plan(np.asarray(mesh.v2e.table), -1)
+    assert v2e is not None
+    # residual = boundary vertices + skips only: O(n) of n^2 entries
+    assert all(c.res_pos.size <= 5 * n for c in v2e.cols)
+    assert v2e.vmin >= 0  # skips never enter the plan's value range
+
+
+@pytest.mark.parametrize("name", ["e2v", "v2e"])
+@pytest.mark.parametrize("extra_dims", [(), (3,)])
+def test_apply_exact_vs_take(name, extra_dims):
+    mesh = grid_mesh(64)
+    conn = getattr(mesh, name)
+    nc = mesh.n_vertices if name == "e2v" else mesh.n_edges
+    plan = ar.build_table_plan(np.asarray(conn.table), conn.skip_value)
+    assert plan is not None
+    data_np = (
+        np.random.default_rng(5)
+        .random((nc,) + extra_dims)
+        .astype(np.float32)
+    )
+    got = ar.apply_table_plan(plan, jnp.asarray(data_np), 0, 0)
+    assert got is not None
+    ref = _take_ref(np.asarray(conn.table), data_np, 0)
+    assert np.array_equal(np.asarray(got), ref)
+
+
+def test_apply_nonzero_domain_start():
+    """Field domains starting below zero shift every index; the window
+    starts shift with them (and may go negative -> left pad)."""
+    mesh = grid_mesh(64)
+    conn = mesh.v2e
+    plan = ar.build_table_plan(np.asarray(conn.table), -1)
+    start = -7
+    nc = mesh.n_edges - start  # domain [-7, ne): covers all edge ids
+    data_np = np.random.default_rng(6).random(nc).astype(np.float32)
+    got = ar.apply_table_plan(plan, jnp.asarray(data_np), start, 0)
+    assert got is not None
+    assert np.array_equal(
+        np.asarray(got), _take_ref(np.asarray(conn.table), data_np, start)
+    )
+
+
+def test_apply_declines_noncovering_domain():
+    """When the field does not cover the table's value range the base
+    path clips -- the dense window cannot reproduce that, so the plan
+    must decline and remap must fall back (still matching take)."""
+    mesh = grid_mesh(64)
+    plan = ar.build_table_plan(np.asarray(mesh.e2v.table), None)
+    data = jnp.asarray(np.random.default_rng(7).random(mesh.n_vertices - 3))
+    assert ar.apply_table_plan(plan, data, 0, 0) is None
+
+
+def test_irregular_table_rejected():
+    rng = np.random.default_rng(8)
+    table = rng.integers(0, 5000, size=(5000, 2))
+    assert ar.build_table_plan(table, None) is None
+
+
+def test_small_table_rejected():
+    mesh = grid_mesh(8)  # 112 edges: far below the planning threshold
+    assert ar.build_table_plan(np.asarray(mesh.e2v.table), None) is None
+
+
+def test_middle_axis():
+    """Codomain on a non-leading axis (e.g. (K, Edge) layouts)."""
+    mesh = grid_mesh(64)
+    conn = mesh.e2v
+    plan = ar.build_table_plan(np.asarray(conn.table), None)
+    data_np = np.random.default_rng(9).random((4, mesh.n_vertices, 2))
+    got = ar.apply_table_plan(plan, jnp.asarray(data_np), 0, 1)
+    assert got is not None
+    t = np.asarray(conn.table)
+    ref = np.take(data_np, t.reshape(-1), axis=1).reshape(
+        (4,) + t.shape + (2,)
+    )
+    assert np.array_equal(np.asarray(got), ref)
+
+
+def test_fvm_end_to_end_bitwise():
+    """gradient+divergence through jax_jit with affine gathers is
+    BITWISE equal to the numpy oracle (which keeps the take path)."""
+    n = 64
+    mesh = grid_mesh(n)
+    E2V = FieldOffset("E2V", source=Vertex, target=(Edge, E2VDim))
+    V2E = FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
+
+    @gtx.field_operator
+    def gradient(
+        psi: Field[Dims[Vertex], gtx.float64],
+    ) -> Field[Dims[Edge], gtx.float64]:
+        return psi(E2V[1]) - psi(E2V[0])
+
+    @gtx.field_operator
+    def divergence(
+        flux: Field[Dims[Edge], gtx.float64],
+        sign: Field[Dims[Vertex, V2EDim], gtx.float64],
+    ) -> Field[Dims[Vertex], gtx.float64]:
+        return neighbor_sum(flux(V2E) * sign, axis=V2EDim)
+
+    provider = {"E2V": mesh.e2v, "V2E": mesh.v2e}
+    t = mesh.v2e.table
+    first = mesh.e2v.table[np.clip(t, 0, mesh.n_edges - 1), 0]
+    sign_np = np.where(
+        t == -1,
+        0.0,
+        np.where(first == np.arange(mesh.n_vertices)[:, None], 1.0, -1.0),
+    )
+    psi_np = np.random.default_rng(3).random(mesh.n_vertices)
+
+    def run(backend, wrap):
+        psi = gtx.as_field((Vertex,), wrap(psi_np))
+        sign = gtx.as_field((Vertex, V2EDim), wrap(sign_np))
+        g = gradient.with_backend(backend)(psi, offset_provider=provider)
+        d = divergence.with_backend(backend)(
+            g, sign, offset_provider=provider
+        )
+        return np.asarray(d.asnumpy())
+
+    ref = run(backends.numpy_oracle, np.asarray)
+    assert ar.plan_for(mesh.e2v) is not None
+    assert ar.plan_for(mesh.v2e) is not None
+    got = run(backends.jax_jit, jnp.asarray)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed,frac", [(0, 0.0), (1, 0.02), (2, 0.08), (3, 0.25)])
+def test_perturbed_tables_exact(seed, frac):
+    """Randomly corrupted quasi-structured tables: light corruption
+    plans with residual entries, heavy corruption rejects the plan --
+    either way remap must equal the take reference exactly."""
+    mesh = grid_mesh(70)
+    t = np.asarray(mesh.e2v.table).copy()
+    rng = np.random.default_rng(seed)
+    k = int(frac * t.size)
+    if k:
+        pos = rng.choice(t.size, k, replace=False)
+        t.reshape(-1)[pos] = rng.integers(0, mesh.n_vertices, k)
+    conn = Connectivity(
+        table=t,
+        source=Edge,
+        codomain=Vertex,
+        local_dim=E2VDim,
+        skip_value=None,
+    )
+    data_np = rng.random(mesh.n_vertices).astype(np.float32)
+    f = gtx.as_field((Vertex,), jnp.asarray(data_np))
+    got = f.remap(conn)
+    assert np.array_equal(np.asarray(got.asnumpy()), _take_ref(t, data_np, 0))
+
+
+def test_column_conn_cached_on_parent():
+    """`f(V2E[k])` gathers reuse one column Connectivity per parent, so
+    the affine plan survives across calls."""
+    mesh = grid_mesh(64)
+    V2E = FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
+    flux_np = np.random.default_rng(11).random(mesh.n_edges).astype(np.float32)
+    f = gtx.as_field((Edge,), jnp.asarray(flux_np))
+    from gt4py_tpu.next.common import _OFFSET_PROVIDER
+
+    tok = _OFFSET_PROVIDER.set({"V2E": mesh.v2e})
+    try:
+        got = f(V2E[1])
+        again = f(V2E[1])
+    finally:
+        _OFFSET_PROVIDER.reset(tok)
+    cols = mesh.v2e.__dict__.get("_column_conns")
+    assert cols is not None and 1 in cols
+    assert ar.plan_for(cols[1]) is not None  # 1D column planned
+    ref = _take_ref(np.asarray(mesh.v2e.table)[:, 1], flux_np, 0)
+    assert np.array_equal(np.asarray(got.asnumpy()), ref)
+    assert np.array_equal(np.asarray(again.asnumpy()), ref)
+
+
+def test_env_kill_switch(monkeypatch):
+    monkeypatch.setenv("GT4PY_TPU_AFFINE_GATHER", "0")
+    mesh = grid_mesh(64)
+    assert ar.plan_for(mesh.e2v) is None
