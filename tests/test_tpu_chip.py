@@ -734,3 +734,41 @@ def test_next_program_mixed_schedule_on_chip():
         np.testing.assert_allclose(
             g.asnumpy(), r.asnumpy(), rtol=2e-5, atol=2e-5, err_msg=nm
         )
+
+
+def test_affine_remap_on_chip():
+    """Affine window remap (next/affine_remap.py): on the real chip the
+    planned slice/reshape replay must be BITWISE equal to the take path
+    reading the same device-stored data (f32: device storage exact),
+    for both the 2D e2v table and cached 1D neighbor columns."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import affine_remap as ar
+    from gt4py_tpu.next.testing import E2VDim, Edge, V2EDim, Vertex, grid_mesh
+
+    mesh = grid_mesh(64)
+    V2E = gtx.FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
+    rng = np.random.default_rng(21)
+    psi_np = rng.random(mesh.n_vertices).astype(np.float32)
+    flux_np = rng.random(mesh.n_edges).astype(np.float32)
+
+    psi = gtx.as_field((Vertex,), jnp.asarray(psi_np))
+    got2d = np.asarray(psi.remap(mesh.e2v).asnumpy())
+    assert ar.plan_for(mesh.e2v) is not None
+    t = np.asarray(mesh.e2v.table)
+    np.testing.assert_array_equal(got2d, psi_np[t])
+
+    from gt4py_tpu.next.common import _OFFSET_PROVIDER
+
+    flux = gtx.as_field((Edge,), jnp.asarray(flux_np))
+    tok = _OFFSET_PROVIDER.set({"V2E": mesh.v2e})
+    try:
+        got_col = np.asarray(flux(V2E[2]).asnumpy())
+    finally:
+        _OFFSET_PROVIDER.reset(tok)
+    cols = mesh.v2e.__dict__.get("_column_conns")
+    assert cols and ar.plan_for(cols[2]) is not None
+    tv = np.asarray(mesh.v2e.table)[:, 2]
+    safe = np.clip(tv, 0, mesh.n_edges - 1)
+    np.testing.assert_array_equal(got_col, flux_np[safe])
