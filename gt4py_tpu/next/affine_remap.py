@@ -23,8 +23,11 @@ required or trusted -- and replays it with XLA slice/reshape ops:
 - :func:`build_table_plan` fits each neighbor column of a table with up
   to ``2**_MAX_SPLITS`` affine blocks (recursively splitting at the
   largest discontinuity, e.g. the horizontal/vertical edge family
-  boundary of a quad mesh) and records every entry the fit mispredicts
-  as residual.  Plans are rejected when the residual fraction exceeds
+  boundary of a quad mesh), trying phase interleavings p=1..4 when the
+  plain fit fails (structured triangle meshes weave the up/down
+  triangle families together: each parity class ``col[t::p]`` is
+  affine even though the column is not), and records every entry the
+  fit mispredicts as residual.  Plans are rejected when the residual fraction exceeds
   ``_MAX_RESIDUAL`` (the dense path would waste more than it saves).
 - :func:`apply_table_plan` executes a plan along an arbitrary axis,
   bit-identically to the ``xp.take`` base path (the residual patch uses
@@ -86,7 +89,14 @@ class Block:
 
 @dataclasses.dataclass(frozen=True)
 class ColumnPlan:
-    blocks: Tuple[Block, ...]
+    """``phases[t]`` are the affine blocks of the subsequence
+    ``col[t::p]`` (p = len(phases)); p == 1 is the plain case.  p > 1
+    captures interleaved tables -- e.g. structured triangle meshes,
+    where even/odd cells (the two triangles of each quad) are separate
+    affine families woven together.  Residual positions are in full
+    column coordinates either way."""
+
+    phases: Tuple[Tuple[Block, ...], ...]
     res_pos: np.ndarray  # int64 positions into [0, n)
     res_idx: np.ndarray  # raw table values at those positions
 
@@ -177,12 +187,26 @@ def _fit_family(col: np.ndarray, e0: int, depth: int) -> Optional[list]:
 def _plan_column(
     col: np.ndarray, skip_value: Optional[int]
 ) -> Optional[ColumnPlan]:
-    blocks = _fit_family(col, 0, _MAX_SPLITS)
-    if not blocks:
+    phases = None
+    for p in (1, 2, 3, 4):
+        if len(col) // p < _MIN_SIZE // 4:
+            break
+        fits = []
+        for t in range(p):
+            blocks = _fit_family(col[t::p], 0, _MAX_SPLITS)
+            if not blocks:
+                break
+            fits.append(tuple(blocks))
+        if len(fits) == p:
+            phases = tuple(fits)
+            break
+    if phases is None:
         return None
-    predicted = np.concatenate(
-        [_predict(b.C, b.A, b.v0, b.e1 - b.e0) for b in blocks]
-    )
+    predicted = np.empty_like(col)
+    for t, blocks in enumerate(phases):
+        predicted[t :: len(phases)] = np.concatenate(
+            [_predict(b.C, b.A, b.v0, b.e1 - b.e0) for b in blocks]
+        )
     bad = predicted != col
     if skip_value is not None:
         # skip entries are residual even when an affine line happens to
@@ -192,7 +216,7 @@ def _plan_column(
     res = np.flatnonzero(bad)
     if res.size > _MAX_RESIDUAL * len(col):
         return None
-    return ColumnPlan(tuple(blocks), res.astype(np.int64), col[res].copy())
+    return ColumnPlan(phases, res.astype(np.int64), col[res].copy())
 
 
 def build_table_plan(
@@ -263,10 +287,13 @@ def apply_table_plan(plan: TablePlan, data, own_start: int, axis: int):
     # shifted by up to C-1 extra lanes.)
     lpad, rpad = 0, 0
     for cp in plan.cols:
-        for b in cp.blocks:
-            extra = b.C - 1 if b.A < b.C else 0
-            lpad = max(lpad, -(b.v0 - own_start))
-            rpad = max(rpad, (b.v0 - own_start) + extra + b.rows * b.A - nc)
+        for blocks in cp.phases:
+            for b in blocks:
+                extra = b.C - 1 if b.A < b.C else 0
+                lpad = max(lpad, -(b.v0 - own_start))
+                rpad = max(
+                    rpad, (b.v0 - own_start) + extra + b.rows * b.A - nc
+                )
     if lpad or rpad:
         pw = [(0, 0)] * data.ndim
         pw[axis] = (lpad, rpad)
@@ -277,10 +304,9 @@ def apply_table_plan(plan: TablePlan, data, own_start: int, axis: int):
     def reshape_axis(x, sizes):
         return x.reshape(x.shape[:axis] + tuple(sizes) + x.shape[axis + 1 :])
 
-    col_outs = []
-    for cp in plan.cols:
+    def replay_blocks(blocks):
         pieces = []
-        for b in cp.blocks:
+        for b in blocks:
             L = b.e1 - b.e0
             R = b.rows
             # overlapping rows (A < C) decompose into ceil(C/A)
@@ -308,7 +334,40 @@ def apply_table_plan(plan: TablePlan, data, own_start: int, axis: int):
             if R * b.C != L:
                 w = lax.slice_in_dim(w, 0, L, axis=axis)
             pieces.append(w)
-        out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=axis)
+        return (
+            pieces[0]
+            if len(pieces) == 1
+            else jnp.concatenate(pieces, axis=axis)
+        )
+
+    col_outs = []
+    for cp in plan.cols:
+        p = len(cp.phases)
+        if p == 1:
+            out = replay_blocks(cp.phases[0])
+        else:
+            # interleaved phases: out[x*p + t] = phase_t[x].  Phase
+            # lengths differ by <=1; pad short phases by one row (the
+            # pad lands at positions >= n and is sliced away).
+            outs = [replay_blocks(blocks) for blocks in cp.phases]
+            xm = max(o.shape[axis] for o in outs)
+            outs = [
+                o
+                if o.shape[axis] == xm
+                else jnp.pad(
+                    o,
+                    [
+                        (0, xm - o.shape[axis]) if d == axis else (0, 0)
+                        for d in range(o.ndim)
+                    ],
+                )
+                for o in outs
+            ]
+            inter = jnp.stack(outs, axis=axis + 1)
+            inter = inter.reshape(
+                inter.shape[:axis] + (xm * p,) + inter.shape[axis + 2 :]
+            )
+            out = lax.slice_in_dim(inter, 0, plan.n, axis=axis)
         if cp.res_pos.size:
             safe = np.clip(cp.res_idx - own_start, 0, nc - 1)
             vals = jnp.take(data, jnp.asarray(safe), axis=axis)

@@ -30,7 +30,9 @@ def test_grid_mesh_tables_plan(n):
     e2v = ar.build_table_plan(np.asarray(mesh.e2v.table), None)
     assert e2v is not None
     # two edge families (horizontal, vertical), each one affine block
-    assert all(len(c.blocks) == 2 for c in e2v.cols)
+    assert all(
+        len(c.phases) == 1 and len(c.phases[0]) == 2 for c in e2v.cols
+    )
     assert all(c.res_pos.size == 0 for c in e2v.cols)
     v2e = ar.build_table_plan(np.asarray(mesh.v2e.table), -1)
     assert v2e is not None
@@ -209,3 +211,67 @@ def test_env_kill_switch(monkeypatch):
     monkeypatch.setenv("GT4PY_TPU_AFFINE_GATHER", "0")
     mesh = grid_mesh(64)
     assert ar.plan_for(mesh.e2v) is None
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_synthetic_affine_families_exact(seed):
+    """Random tables built from 1-4 affine families (random C, A, v0)
+    plus sprinkled corruption: the fitter must either plan (and replay
+    exactly) or reject (and the take path runs) -- exact either way."""
+    rng = np.random.default_rng(100 + seed)
+    nfam = int(rng.integers(1, 5))
+    cols = []
+    for _ in range(2):
+        segs = []
+        for _f in range(nfam):
+            L = int(rng.integers(3000, 9000))
+            C = int(rng.integers(8, 200))
+            A = int(rng.integers(1, 2 * C))
+            v0 = int(rng.integers(0, 500))
+            segs.append(ar._predict(C, A, v0, L))
+        col = np.concatenate(segs)
+        k = int(0.01 * col.size)
+        if k:
+            pos = rng.choice(col.size, k, replace=False)
+            col[pos] = rng.integers(0, col.max() + 1, k)
+        cols.append(col)
+    n = min(len(c) for c in cols)
+    table = np.stack([c[:n] for c in cols], axis=1)
+    nc = int(table.max()) + 1
+    plan = ar.build_table_plan(table, None)
+    data_np = np.random.default_rng(7).random(nc).astype(np.float32)
+    if plan is not None:
+        got = ar.apply_table_plan(plan, jnp.asarray(data_np), 0, 0)
+        if got is not None:
+            assert np.array_equal(np.asarray(got), _take_ref(table, data_np, 0))
+    # end-to-end through remap must be exact regardless of plan outcome
+    conn = Connectivity(table=table, source=Edge, codomain=Vertex,
+                        local_dim=E2VDim, skip_value=None)
+    f = gtx.as_field((Vertex,), jnp.asarray(data_np))
+    out = f.remap(conn)
+    assert np.array_equal(np.asarray(out.asnumpy()), _take_ref(table, data_np, 0))
+
+
+def test_triangle_mesh_tables_plan():
+    """Structured triangle mesh (each quad split into 2 triangles,
+    cell->vertex table): three affine columns with a 2-cell period --
+    plans must fit (the fitter is not quad-specific) and replay exactly."""
+    n = 72
+    # vertices on an (n+1)^2 grid; cells (2*n^2, 3)
+    vid = lambda i, j: i * (n + 1) + j
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            rows.append([vid(i, j), vid(i, j + 1), vid(i + 1, j)])
+            rows.append([vid(i + 1, j + 1), vid(i + 1, j), vid(i, j + 1)])
+    c2v = np.asarray(rows, dtype=np.int64)
+    plan = ar.build_table_plan(c2v, None)
+    assert plan is not None
+    # interleaved: each column is 2 phases (up/down triangles)
+    assert all(len(c.phases) == 2 for c in plan.cols)
+    assert all(c.res_pos.size == 0 for c in plan.cols)
+    nv = (n + 1) * (n + 1)
+    data_np = np.random.default_rng(13).random(nv).astype(np.float32)
+    got = ar.apply_table_plan(plan, jnp.asarray(data_np), 0, 0)
+    assert got is not None
+    assert np.array_equal(np.asarray(got), _take_ref(c2v, data_np, 0))
