@@ -114,12 +114,20 @@ class TablePlan:
 
 
 def _mode(arr: np.ndarray) -> int:
-    """Most frequent value of an integer array (robust location fit)."""
+    """Most frequent value of an integer array (robust location fit).
+    bincount only when the value range is comparable to the array size:
+    bad candidate strides produce ranges of ~1e9+ and bincount+argmax
+    would scan gigabytes per candidate (55 s rejection for an irregular
+    500k-row table, vs ~1 s with the unique fallback)."""
     if arr.size == 0:
         return 0
     lo = int(arr.min())
-    counts = np.bincount(arr - lo)
-    return int(np.argmax(counts)) + lo
+    span = int(arr.max()) - lo
+    if span <= 4 * arr.size + (1 << 20):
+        counts = np.bincount(arr - lo)
+        return int(np.argmax(counts)) + lo
+    vals, counts = np.unique(arr, return_counts=True)
+    return int(vals[np.argmax(counts)])
 
 
 def _predict(block_C: int, block_A: int, v0: int, length: int) -> np.ndarray:
