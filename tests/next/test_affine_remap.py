@@ -275,3 +275,27 @@ def test_triangle_mesh_tables_plan():
     got = ar.apply_table_plan(plan, jnp.asarray(data_np), 0, 0)
     assert got is not None
     assert np.array_equal(np.asarray(got), _take_ref(c2v, data_np, 0))
+
+
+def test_apply_under_jit_and_vmap():
+    """Planned replay composes with jax transforms: identical results
+    under jit, and vmap over a batched data axis (the window slices,
+    residual scatter, and phase interleave are all batchable)."""
+    import jax
+
+    mesh = grid_mesh(64)
+    plan = ar.build_table_plan(np.asarray(mesh.v2e.table), -1)
+    assert plan is not None
+    data_np = np.random.default_rng(23).random(
+        (5, mesh.n_edges)
+    ).astype(np.float32)
+
+    def one(d):  # codomain on axis 0 of the unbatched operand
+        return ar.apply_table_plan(plan, d, 0, 0)
+
+    ref = np.stack([np.asarray(one(jnp.asarray(r))) for r in data_np])
+    got_v = np.asarray(jax.jit(jax.vmap(one))(jnp.asarray(data_np)))
+    assert np.array_equal(got_v, ref)
+    t = np.asarray(mesh.v2e.table)
+    safe = np.clip(t, 0, mesh.n_edges - 1)
+    assert np.array_equal(ref, data_np[:, safe])
