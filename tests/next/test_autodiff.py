@@ -140,3 +140,84 @@ def test_grad_through_pallas_bridge_kernel():
             2 * eps
         )
         np.testing.assert_allclose(np.asarray(g)[i, j, k], float(fd), rtol=1e-5)
+
+
+def test_grad_through_unstructured_affine_gather(monkeypatch):
+    """Adjoints flow through planned window gathers (affine_remap):
+    grad of an FVM energy functional with the affine plan active is
+    BITWISE equal to the take-path grad (both are the same linear
+    gather), and matches finite differences at sampled vertices."""
+    from gt4py_tpu.next import FieldOffset, neighbor_sum
+    from gt4py_tpu.next import affine_remap as ar
+    from gt4py_tpu.next.testing import (
+        E2VDim,
+        Edge,
+        V2EDim,
+        Vertex,
+        grid_mesh,
+    )
+
+    mesh = grid_mesh(64)
+    E2V = FieldOffset("E2V", source=Vertex, target=(Edge, E2VDim))
+    V2E = FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
+
+    @gtx.field_operator
+    def gradient(
+        psi: Field[Dims[Vertex], gtx.float64],
+    ) -> Field[Dims[Edge], gtx.float64]:
+        return psi(E2V[1]) - psi(E2V[0])
+
+    @gtx.field_operator
+    def divergence(
+        flux: Field[Dims[Edge], gtx.float64],
+        sign: Field[Dims[Vertex, V2EDim], gtx.float64],
+    ) -> Field[Dims[Vertex], gtx.float64]:
+        return neighbor_sum(flux(V2E) * sign, axis=V2EDim)
+
+    t = np.asarray(mesh.v2e.table)
+    first = np.asarray(mesh.e2v.table)[np.clip(t, 0, mesh.n_edges - 1), 0]
+    sign_np = np.where(
+        t == -1,
+        0.0,
+        np.where(first == np.arange(mesh.n_vertices)[:, None], 1.0, -1.0),
+    )
+    psi_np = np.random.default_rng(31).random(mesh.n_vertices)
+
+    def loss_of(provider):
+        sign = gtx.as_field((Vertex, V2EDim), jnp.asarray(sign_np))
+
+        def loss(p):
+            psi = gtx.as_field((Vertex,), p)
+            g = gradient(psi, offset_provider=provider)
+            d = divergence(g, sign, offset_provider=provider)
+            return jnp.sum(d.data**2)
+
+        return loss
+
+    grad_aff = np.asarray(
+        jax.grad(loss_of({"E2V": mesh.e2v, "V2E": mesh.v2e}))(
+            jnp.asarray(psi_np)
+        )
+    )
+    assert ar.plan_for(mesh.e2v) is not None  # plan really engaged
+    monkeypatch.setenv("GT4PY_TPU_AFFINE_GATHER", "0")
+    mesh2 = grid_mesh(64)  # fresh connectivities: no cached plans
+    grad_take = np.asarray(
+        jax.grad(loss_of({"E2V": mesh2.e2v, "V2E": mesh2.v2e}))(
+            jnp.asarray(psi_np)
+        )
+    )
+    assert ar.plan_for(mesh2.e2v) is None
+    assert np.array_equal(grad_aff, grad_take)
+
+    loss_np = loss_of({"E2V": mesh.e2v, "V2E": mesh.v2e})
+    eps = 1e-6
+    for v in (0, 65, 2113, mesh.n_vertices - 1):
+        dp = psi_np.copy()
+        dp[v] += eps
+        dm = psi_np.copy()
+        dm[v] -= eps
+        fd = (float(loss_np(jnp.asarray(dp))) - float(loss_np(jnp.asarray(dm)))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(grad_aff[v], fd, rtol=2e-4)
