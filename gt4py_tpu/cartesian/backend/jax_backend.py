@@ -36,6 +36,9 @@ from gt4py_tpu.cartesian.analysis import (
 from gt4py_tpu.cartesian.backend import register
 from gt4py_tpu.core.definitions import Extent
 
+#: one-shot latch for the wrong-values timing-knob warning
+_WARNED_NO_ROLL = False
+
 
 def _jax():
     config.ensure_jax_config()
@@ -369,9 +372,22 @@ class JaxTracer:
         """Periodic J offset as a lane roll: out[..., j] = x[..., (j+dj)%nj]."""
         import jax.numpy as jnp
 
-        if os.environ.get("GT4PY_TPU_TIMING_NO_ROLL"):
-            # PERF EXPERIMENT ONLY (wrong values): no-op the roll to bound
-            # the lane-rotate share of a circular kernel's runtime
+        if os.environ.get("GT4PY_TPU_TIMING_NO_ROLL_WRONG_VALUES"):
+            # PERF EXPERIMENT ONLY: no-op the roll to bound the
+            # lane-rotate share of a circular kernel's runtime.  The knob
+            # name carries the consequence and a loud warning fires every
+            # process so a leftover export cannot silently corrupt runs.
+            global _WARNED_NO_ROLL
+            if not _WARNED_NO_ROLL:
+                _WARNED_NO_ROLL = True
+                import warnings
+
+                warnings.warn(
+                    "GT4PY_TPU_TIMING_NO_ROLL_WRONG_VALUES is set: periodic"
+                    " J rolls are DISABLED and every circular stencil"
+                    " computes WRONG VALUES (timing experiment only)",
+                    stacklevel=2,
+                )
             return x
         if self.pltpu_roll:
             from jax.experimental.pallas import tpu as pltpu

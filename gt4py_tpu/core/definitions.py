@@ -71,15 +71,22 @@ def promote_dtypes(*dtypes) -> np.dtype:
     """
     best = dtypes[0]
     for dt in dtypes[1:]:
-        if PROMOTION_RANK.get(np.dtype(dt), 99) > PROMOTION_RANK.get(
-            np.dtype(best), 99
-        ):
+        ra = PROMOTION_RANK.get(np.dtype(dt))
+        rb = PROMOTION_RANK.get(np.dtype(best))
+        if ra is None or rb is None:
+            # Unknown dtype: defer to numpy's lattice rather than letting
+            # an unrecognized dtype silently win every promotion.
+            try:
+                best = np.promote_types(np.dtype(dt), np.dtype(best))
+            except TypeError as ex:
+                raise TypeError(
+                    f"cannot promote {np.dtype(dt)} with {np.dtype(best)}: "
+                    "dtype outside the supported vocabulary"
+                ) from ex
+            continue
+        if ra > rb:
             best = dt
-        elif (
-            np.dtype(dt) != np.dtype(best)
-            and PROMOTION_RANK.get(np.dtype(dt)) == 5
-            and PROMOTION_RANK.get(np.dtype(best)) == 5
-        ):
+        elif np.dtype(dt) != np.dtype(best) and ra == 5 and rb == 5:
             # float16 vs bfloat16: neither holds the other -- promote to
             # float32 (same rule as numpy/jax promotion lattices)
             best = np.dtype(np.float32)

@@ -253,20 +253,44 @@ def build_table_plan(
     return TablePlan(table.shape[0], tuple(cols), vmin, vmax)
 
 
+def table_token(table) -> tuple:
+    """Cheap identity token for a (possibly replaced) numpy table: object
+    id + shape/dtype + a strided content sample.  id() alone is unsafe
+    (a replaced table's allocation can land at the freed address); the
+    sample catches that without hashing the full table on a hot path."""
+    if not isinstance(table, np.ndarray):
+        return (id(table),)
+    step = max(1, table.shape[0] // 64)
+    sample = np.ascontiguousarray(table[::step][:64])
+    return (id(table), table.shape, str(table.dtype), hash(sample.tobytes()))
+
+
 def plan_for(conn) -> Optional[TablePlan]:
     """Cached plan for a Connectivity (built once per table).  1D tables
     (neighbor columns, concrete as_offset mappings) plan as a single
-    column; callers drop the unit local axis from the applied result."""
-    cached = conn.__dict__.get("_affine_plan", False)
-    if cached is not False:
-        return cached
+    column; callers drop the unit local axis from the applied result.
+
+    The cache is keyed on :func:`table_token`, so *replacing*
+    ``conn.table`` triggers a replan; planning additionally freezes the
+    table (``writeable=False``) so *in-place* mutation -- which would
+    silently replay the stale plan's residuals -- raises instead.
+    Connectivity tables are documented immutable once used."""
+    cached = conn.__dict__.get("_affine_plan")
+    token = table_token(conn.table)
+    if cached is not None and cached[0] == token:
+        return cached[1]
     plan = None
     if _enabled() and isinstance(conn.table, np.ndarray):
         table = conn.table
         if table.ndim == 1:
             table = table[:, None]
         plan = build_table_plan(table, conn.skip_value)
-    conn.__dict__["_affine_plan"] = plan
+        if plan is not None:
+            try:
+                conn.table.flags.writeable = False
+            except ValueError:
+                pass  # view of a foreign buffer: token check still guards
+    conn.__dict__["_affine_plan"] = (token, plan)
     return plan
 
 

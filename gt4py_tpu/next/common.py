@@ -344,6 +344,12 @@ class Connectivity:
     missing neighbors (reference: common.py:964-1122).  1D tables
     (shape (n_source,)) represent plain index mappings as produced by
     ``as_offset`` (reference: embedded/nd_array_field.py:944-961).
+
+    Tables are treated as IMMUTABLE once used in a call: gather plans
+    (affine_remap) and jit traces bake table content in.  Replace
+    ``table`` with a new array to change connectivity (caches re-key on
+    a content token); in-place mutation after first use raises because
+    planning freezes the array (``writeable=False``).
     """
 
     table: Any  # (n_source[, max_neighbors]) int array
@@ -820,11 +826,20 @@ class Field:
                 )
             # cache the column view on the parent connectivity: column
             # gathers are hot (every `f(V2E[k])`), and a persistent
-            # instance lets the affine-remap plan cache survive calls
+            # instance lets the affine-remap plan cache survive calls.
+            # Keyed on the parent table's identity token so a REPLACED
+            # table drops the stale column views (tables are otherwise
+            # documented immutable once used; see affine_remap.plan_for).
+            from . import affine_remap
+
             k = off.index % nb
             columns = prov.__dict__.setdefault("_column_conns", {})
-            column = columns.get(k)
+            token = affine_remap.table_token(prov.table)
+            key = (token, k)
+            column = columns.get(key)
             if column is None:
+                for stale in [kk for kk in columns if kk[0] != token]:
+                    del columns[stale]
                 column = Connectivity(
                     prov.table[:, k],
                     source=prov.source,
@@ -832,7 +847,7 @@ class Field:
                     local_dim=None,
                     skip_value=prov.skip_value,
                 )
-                columns[k] = column
+                columns[key] = column
             return self.remap(column)
         dim = prov if isinstance(prov, Dimension) else off.offset.source
         try:

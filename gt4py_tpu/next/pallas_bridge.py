@@ -1268,18 +1268,29 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
         # algebra (the embedded piece semantics), not the extent hull
         INF = 1 << 60
         kranges = {}
+        unplaceable = None
         for n, dims, mask in plan.field_params:
             f = fields[n]
             for d, r in zip(f.domain.dims, f.domain.ranges):
                 if plan.axis_of[d.value] == 2:
                     lim = 1 << 40  # UnitRange.infinite() sentinels
+                    # clamp each side independently: a range infinite on
+                    # one side only still contributes its finite bound,
+                    # so half-open field domains can plan a finite result
                     kranges[n] = (
-                        max(int(r.start), -INF),
-                        min(int(r.stop), INF),
+                        -INF if r.start < -lim else int(r.start),
+                        INF if r.stop > lim else int(r.stop),
                     )
-                    if r.start < -lim or r.stop > lim:
-                        kranges[n] = (-INF, INF)
+                    if r.start < -lim:
+                        # data windows are placed from the range START;
+                        # an unbounded-below field cannot be windowed
+                        unplaceable = n
         out_ks = _eval_recipes(plan.recipes, plan.out_recipes, kranges)
+        if unplaceable is not None:
+            raise Ineligible(
+                f"field '{unplaceable}' K range is unbounded below; its"
+                " data window cannot be placed"
+            )
         if any(k != out_ks[0] for k in out_ks[1:]):
             raise Ineligible("tuple members with differing concat_where domains")
         k0, k1 = out_ks[0]
@@ -1845,6 +1856,55 @@ def _lower_program_stmt(typed, st, axis_of) -> ProgramStmt:
     )
 
 
+def _interp_assigned_names(stmt) -> set:
+    """Names an interpreted schedule item may (re)bind in the
+    interpreter's environment: Assign targets anywhere in the statement
+    (IfStmt branches included)."""
+    names = set()
+    for n in stmt.walk():
+        if isinstance(n, fvir.Assign):
+            names.update(n.targets)
+    return names
+
+
+def _plan_env_refs(pplan: "ProgramBridgePlan") -> set:
+    """Program-env names a fused segment binds at run time: field/scalar
+    argument bindings, out-target parameters, and names inside domain=
+    expressions."""
+    refs = set()
+    for ps in pplan.stmts:
+        for kind, q in ps.bindings:
+            if kind in ("field", "scalar"):
+                refs.add(q)
+        for name, _slices in ps.targets:
+            refs.add(name)
+        if ps.domain_expr is not None:
+            for n in ps.domain_expr.walk():
+                if isinstance(n, fvir.Name):
+                    refs.add(n.id)
+    return refs
+
+
+def _demote_shadowed_segments(items) -> None:
+    """Fused segments bind program parameters from the ORIGINAL env, but
+    interpreted items run in a forked copy where local assignments can
+    shadow parameters.  A fused segment scheduled after such an
+    assignment would silently keep reading/writing the original
+    parameter while interpreted statements see the local -- diverging
+    from the embedded single-env semantics.  Demote any such segment to
+    per-statement interpretation (same numerics, no fusion)."""
+    shadowed: set = set()
+    out = []
+    for kind, payload in items:
+        if kind == "fused" and shadowed and (_plan_env_refs(payload) & shadowed):
+            out.extend(("interp", ps.src) for ps in payload.stmts)
+            continue
+        if kind == "interp":
+            shadowed |= _interp_assigned_names(payload)
+        out.append((kind, payload))
+    items[:] = out
+
+
 def lower_program(typed: fvir.OperatorIR) -> ProgramSchedule:
     """Structurally schedule a TYPED program for fusion: consecutive
     eligible operator statements group into fused segments (each ONE
@@ -1891,6 +1951,7 @@ def lower_program(typed: fvir.OperatorIR) -> ProgramSchedule:
         ps.src = st
         cur.append(ps)
     flush()
+    _demote_shadowed_segments(items)
     if not any(k == "fused" for k, _ in items):
         ex = Ineligible(
             "no fusible run of operator statements (the per-operator "

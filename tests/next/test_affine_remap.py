@@ -200,8 +200,11 @@ def test_column_conn_cached_on_parent():
     finally:
         _OFFSET_PROVIDER.reset(tok)
     cols = mesh.v2e.__dict__.get("_column_conns")
-    assert cols is not None and 1 in cols
-    assert ar.plan_for(cols[1]) is not None  # 1D column planned
+    assert cols is not None
+    # keyed on (table token, k) so replaced tables re-key (ADVICE r4)
+    token = ar.table_token(mesh.v2e.table)
+    assert (token, 1) in cols
+    assert ar.plan_for(cols[(token, 1)]) is not None  # 1D column planned
     ref = _take_ref(np.asarray(mesh.v2e.table)[:, 1], flux_np, 0)
     assert np.array_equal(np.asarray(got.asnumpy()), ref)
     assert np.array_equal(np.asarray(again.asnumpy()), ref)
@@ -299,3 +302,37 @@ def test_apply_under_jit_and_vmap():
     t = np.asarray(mesh.v2e.table)
     safe = np.clip(t, 0, mesh.n_edges - 1)
     assert np.array_equal(ref, data_np[:, safe])
+
+
+def test_stale_plan_guard_mutation_and_replacement():
+    """ADVICE r4: the plan cache must not replay a stale table.  In-place
+    mutation after planning raises (planning freezes the array);
+    replacing the table re-plans against the new content."""
+    mesh = grid_mesh(64)
+    conn = mesh.e2v
+    assert ar.plan_for(conn) is not None
+    with pytest.raises(ValueError):
+        conn.table[0, 0] = 7  # frozen by planning
+    # replacement (a NEW array) re-keys the cache and replans
+    flipped = np.asarray(conn.table)[::-1].copy()
+    conn.__dict__.pop("_column_conns", None)
+    conn.table = flipped
+    data_np = np.random.default_rng(3).random(mesh.n_vertices).astype(
+        np.float32
+    )
+    f = gtx.as_field((Edge,), jnp.asarray(data_np[: mesh.n_edges]))
+    del f  # only the gather matters; use remap directly
+    g = gtx.as_field((Vertex,), jnp.asarray(data_np))
+    got = g.remap(conn)
+    assert np.array_equal(
+        np.asarray(got.asnumpy()), _take_ref(flipped, data_np, 0)
+    )
+
+
+def test_table_token_detects_content_change():
+    t1 = np.arange(8192, dtype=np.int64).reshape(-1, 2)
+    tok1 = ar.table_token(t1)
+    t2 = t1.copy()
+    assert ar.table_token(t2)[1:] == tok1[1:]  # same content sample
+    t2[0, 0] = 99
+    assert ar.table_token(t2)[-1] != tok1[-1]

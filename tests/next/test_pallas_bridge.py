@@ -842,3 +842,76 @@ def test_bridge_fallbacks_observable():
     op_obs_probe.with_backend("pallas")(a)
     ev = pallas_bridge.FALLBACK_EVENTS[before:]
     assert any(n == "op_obs_probe" and "extent" in r for n, r in ev), ev
+
+
+def test_concat_where_half_open_field_domain_plans():
+    """ADVICE r4: a field K range infinite on ONE side must contribute
+    its finite bound to the piece algebra (previously widened to
+    (-INF, INF), always losing fusion).  The unbounded STOP is clamped
+    by the other branch's extent, exactly like the embedded executor."""
+    from gt4py_tpu.next import concat_where, pallas_bridge
+    from gt4py_tpu.next.common import INFINITY, Domain, UnitRange
+
+    U = UnitRange
+
+    @gtx.field_operator
+    def bc(a: F64, b: F64):
+        return concat_where(K < 2, a * 2.0, b + 1.0)
+
+    adata = _rand((8, 6, 10), 77)
+    bdata = _rand((8, 6, 10), 78)
+
+    def mk(wrap):
+        a = gtx.as_field((I, J, K), wrap(adata))
+        b = Field(
+            Domain((I, J, K), (U(0, 8), U(0, 6), U(0, INFINITY))),
+            wrap(bdata),
+        )
+        return a, b
+
+    import jax.numpy as jnp
+
+    ref = bc.with_backend(backends.numpy_oracle)(*mk(np.asarray))
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    got = bc.with_backend("pallas")(*mk(jnp.asarray))
+    assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    assert _ranges(got) == _ranges(ref) == [(0, 8), (0, 6), (0, 10)]
+    np.testing.assert_allclose(got.asnumpy(), ref.asnumpy(), rtol=1e-13, atol=0)
+
+
+def test_concat_where_unbounded_below_falls_back_cleanly():
+    """A K range unbounded BELOW cannot be windowed (data is placed from
+    the range start): the bridge must decline with Ineligible -- never
+    crash in origin math -- and reproduce the embedded error."""
+    from gt4py_tpu.next import concat_where, pallas_bridge
+    from gt4py_tpu.next.common import INFINITY, Domain, UnitRange
+
+    U = UnitRange
+
+    @gtx.field_operator
+    def bc(a: F64, b: F64):
+        return concat_where(K < 2, a * 2.0, b + 1.0)
+
+    adata = _rand((8, 6, 10), 79)
+    bdata = _rand((8, 6, 10), 80)
+
+    def mk(wrap):
+        a = Field(
+            Domain((I, J, K), (U(0, 8), U(0, 6), U(0, INFINITY))),
+            wrap(adata),
+        )
+        b = Field(
+            Domain((I, J, K), (U(0, 8), U(0, 6), U(-INFINITY, 10))),
+            wrap(bdata),
+        )
+        return a, b
+
+    import jax.numpy as jnp
+
+    with pytest.raises(Exception) as ref_err:
+        bc.with_backend(backends.numpy_oracle)(*mk(np.asarray))
+    with pytest.raises(Exception) as got_err:
+        bc.with_backend("pallas")(*mk(jnp.asarray))
+    # both paths fail with the embedded executor's error, not an
+    # OverflowError from the bridge's origin arithmetic
+    assert type(got_err.value).__name__ == type(ref_err.value).__name__

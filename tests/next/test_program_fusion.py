@@ -355,3 +355,72 @@ def test_single_statement_program_uses_per_operator_path_quietly():
         w for w in rec if issubclass(w.category, config.PerformanceFallbackWarning)
     ]
     np.testing.assert_allclose(o_got.asnumpy(), o_ref.asnumpy(), rtol=1e-12)
+
+
+@program
+def shadow_prog(a: F, lap: F, fx: F, fy: F):
+    # the local assignment rebinds `a` for everything after it -- a
+    # fused segment binding the ORIGINAL parameter would diverge
+    lap_op(a, out=lap)
+    a = lap  # noqa: F841 -- shadows the parameter
+    flx_op(a, lap, out=fx)
+    fly_op(a, lap, out=fy)
+
+
+def test_param_shadowing_assignment_blocks_fusion():
+    """ADVICE r4: an interpreted assignment whose target shadows a
+    program parameter must demote later fused segments that bind that
+    name (they'd silently keep the original parameter while interpreted
+    statements see the local)."""
+
+    def run(backend):
+        a = _fld(-2, N + 2, -2, M + 2, seed=21)
+        lap = _fld(-1, N + 1, -1, M + 1)
+        fx = _fld(-1, N, -1, M + 1)
+        fy = _fld(-1, N + 1, -1, M)
+        shadow_prog.with_backend(backend)(a, lap, fx, fy)
+        return [lap, fx, fy]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        refs = run(backends.numpy_oracle)
+        gots = run("pallas")
+    for name, r, g in zip(("lap", "fx", "fy"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@program
+def fresh_local_prog(a: F, lap: F, fx: F, fy: F):
+    lap_op(a, out=lap)
+    unused = lap  # noqa: F841 -- fresh name: no parameter shadowed
+    flx_op(a, lap, out=fx)
+    fly_op(a, lap, out=fy)
+
+
+def test_fresh_local_assignment_keeps_fusion():
+    """A non-colliding local assignment must NOT cost fusion: the
+    flx/fly run after it still fuses."""
+
+    def run(backend):
+        a = _fld(-2, N + 2, -2, M + 2, seed=22)
+        lap = _fld(-1, N + 1, -1, M + 1)
+        fx = _fld(-1, N, -1, M + 1)
+        fy = _fld(-1, N + 1, -1, M)
+        shadow = fresh_local_prog.with_backend(backend)
+        shadow(a, lap, fx, fy)
+        return shadow, [lap, fx, fy]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, refs = run(backends.numpy_oracle)
+        p, gots = run("pallas")
+    sched = _schedule(p)
+    assert sched is not None
+    kinds = [k for k, _ in sched.items]
+    assert "fused" in kinds, kinds
+    for name, r, g in zip(("lap", "fx", "fy"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )

@@ -125,3 +125,23 @@ def test_core_is_self_contained():
         tree = ast.parse(path.read_text())
         bad = [m for m, _ in _gt_imports(tree)]
         assert not bad, f"{path}: core must not import {bad}"
+
+
+def test_promote_dtypes_unknown_dtype_does_not_silently_win():
+    """ADVICE r4: dtypes outside the vocabulary must not default to the
+    highest rank.  numpy-lattice dtypes promote via np.promote_types;
+    truly incompatible ones raise."""
+    import numpy as np
+    import pytest
+
+    from gt4py_tpu.core.definitions import promote_dtypes
+
+    # known pairs unchanged
+    assert promote_dtypes(np.int32, np.float32) == np.dtype(np.float32)
+    # complex is outside the vocabulary -> numpy lattice, not auto-win
+    assert promote_dtypes(np.complex64, np.float64) == np.dtype(np.complex128)
+    assert promote_dtypes(np.float32, np.complex64) == np.dtype(np.complex64)
+    # structured dtype cannot promote with a float -> loud error
+    rec = np.dtype([("x", np.int32)])
+    with pytest.raises(TypeError):
+        promote_dtypes(rec, np.float32)
