@@ -3,7 +3,9 @@
 Metric (BASELINE.md): grid-points/s/chip over the dycore workloads
 (horizontal diffusion + vertical advection w/ tridiagonal scans) at
 512^2 x 80.  ``vs_baseline`` is the speedup over the numpy oracle
-(reference gt4py numpy-backend semantics) measured on this machine.
+(reference gt4py numpy-backend semantics): the denominator is a PINNED,
+dated capture (ORACLE_DYCORE_S/ORACLE_FV_S below) so the ratio is
+comparable across rounds; GT4PY_TPU_BENCH_ORACLE=1 re-measures live.
 
 Methodology: the tunneled TPU has ~ms-scale dispatch/readback latency, so
 each workload is iterated inside a single jit (lax.fori_loop) and timed at
@@ -39,6 +41,14 @@ import numpy as np
 NI, NJ, NK = 512, 512, 80
 HALO = 3
 DTYPE = np.float32  # TPU-native precision; f64 parity is gated in tests
+
+# Pinned oracle denominator for ``vs_baseline`` (VERDICT r4 weak #6: a
+# single same-session oracle run is noisy enough to swing the ratio 3x
+# across rounds).  These are the driver-captured numpy-oracle times from
+# BENCH_r04.json (2026-08-20, this host, f64, 512^2x80); re-measure with
+# GT4PY_TPU_BENCH_ORACLE=1 (reported to stderr, never the ratio).
+ORACLE_DYCORE_S = 14.543
+ORACLE_FV_S = 35.307
 
 
 def _build_state(model):
@@ -845,8 +855,16 @@ def main():
 
     tpu_dycore = bench_tpu_dycore()
     tpu_fv = bench_tpu_fv()
-    oracle_dycore = bench_oracle_dycore()
-    oracle_fv = bench_oracle_fv()
+    # vs_baseline divides by the PINNED oracle capture (see top of file);
+    # an opt-in live re-measure is reported to stderr for drift checks
+    oracle_dycore, oracle_fv = ORACLE_DYCORE_S, ORACLE_FV_S
+    oracle_live = ""
+    if os.environ.get("GT4PY_TPU_BENCH_ORACLE", "0") == "1":
+        live_dy = bench_oracle_dycore()
+        live_fv = bench_oracle_fv()
+        oracle_live = (
+            f" | oracle live: dycore {live_dy*1e3:.0f} ms, fv {live_fv*1e3:.0f} ms"
+        )
 
     extra = {}
     # extras are bounded by a wall-clock budget so the driver's capture
@@ -979,7 +997,8 @@ def main():
         result["extra"] = extra
     print(
         f"# tpu: dycore {tpu_dycore*1e3:.2f} ms, fv {tpu_fv*1e3:.2f} ms | "
-        f"oracle: dycore {oracle_dycore*1e3:.0f} ms, fv {oracle_fv*1e3:.0f} ms | "
+        f"oracle (pinned r4): dycore {oracle_dycore*1e3:.0f} ms, "
+        f"fv {oracle_fv*1e3:.0f} ms{oracle_live} | "
         f"extra: {extra}",
         file=sys.stderr,
     )
