@@ -396,9 +396,233 @@ class IRMaker:
                 out.append(ir.Assign(target=acc, value=val))
             return out
 
+        if self._has_matmult(value_node):
+            return self._parse_matmult_assign(target_node, value_node)
         value = self.parse_expr(value_node)
         acc = self._target_to_access(target_node)
         return [ir.Assign(target=acc, value=value)]
+
+    # ---- `@` matrix-vector products over data dimensions ---- #
+    #
+    # Reference: GTScript parses MatMult (gtscript_frontend.py:1506) and
+    # unrolls it into per-component multiply-add chains
+    # (defir_to_gtir.py:265-273, UnrollVectorExpressions), including the
+    # `.T` transposed read (UnaryOperator.TRANSPOSED).  The unroll here
+    # happens at parse time: the IR stays scalar-component-based, every
+    # backend (numpy oracle, debug, jax, pallas component-split) executes
+    # the same statements.  Accumulation order matches the reference:
+    # acc = m[j,0]*v[0]; acc = acc + m[j,i]*v[i] left-to-right.
+
+    def _field_data_dims(self, expr) -> tuple:
+        if not isinstance(expr, ir.FieldAccess) or expr.data_index:
+            return ()
+        decl = self.ctx.field_decls.get(expr.name) or self.ctx.temp_decls.get(
+            expr.name
+        )
+        return tuple(decl.data_dims) if decl is not None and decl.data_dims else ()
+
+    def _has_matmult(self, node: ast.expr) -> bool:
+        for n in ast.walk(node):
+            if isinstance(n, ast.BinOp) and isinstance(n.op, ast.MatMult):
+                return True
+            if (
+                isinstance(n, ast.Attribute)
+                and n.attr == "T"
+                and isinstance(n.value, (ast.Name, ast.Subscript))
+            ):
+                # `.T` only triggers the vector path when the base is a
+                # data-dims field (np.pi-style constants keep their path)
+                try:
+                    base = self.parse_expr(n.value)
+                except GTScriptSyntaxError:
+                    continue
+                if len(self._field_data_dims(base)) == 2:
+                    return True
+        return False
+
+    def _vector_expr(self, node: ast.expr):
+        """Parse a vector-valued expression into (nested) lists of scalar
+        component exprs; non-vector subexpressions return a plain Expr
+        (broadcast over components by the combiners)."""
+
+        def expand(expr: ir.Expr):
+            dd = self._field_data_dims(expr)
+            if len(dd) == 1:
+                return [
+                    self._component_ref(expr, (i,)) for i in range(dd[0])
+                ]
+            if len(dd) == 2:
+                return [
+                    [self._component_ref(expr, (r, c)) for c in range(dd[1])]
+                    for r in range(dd[0])
+                ]
+            return expr
+
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.MatMult):
+            lhs = self._vector_expr(node.left)
+            rhs = self._vector_expr(node.right)
+            if not (
+                isinstance(lhs, list)
+                and lhs
+                and isinstance(lhs[0], list)
+                and isinstance(rhs, list)
+                and not isinstance(rhs[0], list)
+            ):
+                raise GTScriptSyntaxError(
+                    "`@` requires a matrix (2 data dimensions) on the left "
+                    "and a vector (1 data dimension) on the right"
+                )
+            if len(lhs[0]) != len(rhs):
+                raise GTScriptSyntaxError(
+                    f"`@` dimension mismatch: matrix columns {len(lhs[0])} "
+                    f"!= vector length {len(rhs)}"
+                )
+            out = []
+            for row in lhs:
+                acc = ir.BinaryOp(
+                    op=ir.BinaryOperator.MUL,
+                    left=row[0],
+                    right=copy.deepcopy(rhs[0]),
+                )
+                for i in range(1, len(rhs)):
+                    acc = ir.BinaryOp(
+                        op=ir.BinaryOperator.ADD,
+                        left=acc,
+                        right=ir.BinaryOp(
+                            op=ir.BinaryOperator.MUL,
+                            left=row[i],
+                            right=copy.deepcopy(rhs[i]),
+                        ),
+                    )
+                out.append(acc)
+            return out
+        if isinstance(node, ast.Attribute) and node.attr == "T":
+            try:
+                base = self.parse_expr(node.value)
+            except GTScriptSyntaxError:
+                base = None
+            if base is not None and len(self._field_data_dims(base)) == 2:
+                mat = expand(base)
+                return [list(col) for col in zip(*mat)]
+            return self.parse_expr(node)
+        if isinstance(node, ast.BinOp) and not isinstance(node.op, ast.MatMult):
+            lhs = self._vector_expr(node.left)
+            rhs = self._vector_expr(node.right)
+            op = _BINOP_MAP[type(node.op)]
+            return self._combine_elementwise(
+                lhs, rhs, lambda a, b: ir.BinaryOp(op=op, left=a, right=b)
+            )
+        if isinstance(node, ast.UnaryOp) and isinstance(
+            node.op, (ast.USub, ast.UAdd)
+        ):
+            operand = self._vector_expr(node.operand)
+            uop = (
+                ir.UnaryOperator.NEG
+                if isinstance(node.op, ast.USub)
+                else ir.UnaryOperator.POS
+            )
+            return self._map_components(
+                operand, lambda e: ir.UnaryOp(op=uop, expr=e)
+            )
+        return expand(self.parse_expr(node))
+
+    def _component_ref(self, access: ir.FieldAccess, idx) -> ir.FieldAccess:
+        comp = copy.deepcopy(access)
+        comp.data_index = tuple(ir.Literal(value=int(i)) for i in idx)
+        return comp
+
+    def _map_components(self, v, fn):
+        if isinstance(v, list):
+            return [self._map_components(x, fn) for x in v]
+        return fn(v)
+
+    def _combine_elementwise(self, lhs, rhs, fn):
+        if isinstance(lhs, list) and isinstance(rhs, list):
+            if len(lhs) != len(rhs):
+                raise GTScriptSyntaxError(
+                    "elementwise vector operation on mismatched lengths"
+                )
+            return [
+                self._combine_elementwise(a, b, fn) for a, b in zip(lhs, rhs)
+            ]
+        if isinstance(lhs, list):
+            return [
+                self._combine_elementwise(a, copy.deepcopy(rhs), fn)
+                for a in lhs
+            ]
+        if isinstance(rhs, list):
+            return [
+                self._combine_elementwise(copy.deepcopy(lhs), b, fn)
+                for b in rhs
+            ]
+        return fn(lhs, rhs)
+
+    def _parse_matmult_assign(
+        self, target_node: ast.expr, value_node: ast.expr
+    ) -> List[ir.Stmt]:
+        comps = self._vector_expr(value_node)
+        if not isinstance(comps, list):
+            raise GTScriptSyntaxError(
+                "`@`/.T expression did not produce a vector value"
+            )
+        target = self._target_to_access(target_node)
+        if target.data_index:
+            raise GTScriptSyntaxError(
+                "cannot assign a vector `@` result to a single component"
+            )
+        tdd = self._field_data_dims(target)
+        shape = (len(comps),) if not isinstance(comps[0], list) else (
+            len(comps),
+            len(comps[0]),
+        )
+        if tuple(tdd) != shape:
+            # temporaries have no data dims in this frontend: `@` results
+            # must land in a declared data-dims field (assign the product
+            # directly, or through per-component scalar statements)
+            raise GTScriptSyntaxError(
+                f"assignment dimension mismatch: '{target.name}' has data "
+                f"dims {tuple(tdd) or None}; `@` result has {shape}"
+            )
+        flat: List[Tuple[Tuple[int, ...], ir.Expr]] = []
+        if len(shape) == 1:
+            flat = [((i,), comps[i]) for i in range(shape[0])]
+        else:
+            flat = [
+                ((r, c), comps[r][c])
+                for r in range(shape[0])
+                for c in range(shape[1])
+            ]
+        # simultaneity guard: if the target is read by the unrolled RHS,
+        # stage components through scalar temporaries so `v = m @ v`
+        # keeps whole-statement parallel-assignment semantics
+        reads_target = any(
+            isinstance(n, ir.FieldAccess) and n.name == target.name
+            for _, e in flat
+            for n in ir.walk_values(e)
+        )
+        stmts: List[ir.Stmt] = []
+        if reads_target:
+            tmps = []
+            for idx, e in flat:
+                tname = self.ctx.gensym(f"{target.name}_mm")
+                self.ctx.declare_temp(tname)
+                stmts.append(
+                    ir.Assign(target=ir.FieldAccess(name=tname), value=e)
+                )
+                tmps.append((idx, tname))
+            for idx, tname in tmps:
+                stmts.append(
+                    ir.Assign(
+                        target=self._component_ref(target, idx),
+                        value=ir.FieldAccess(name=tname),
+                    )
+                )
+        else:
+            for idx, e in flat:
+                stmts.append(
+                    ir.Assign(target=self._component_ref(target, idx), value=e)
+                )
+        return stmts
 
     def _target_to_access(self, node: ast.expr) -> ir.FieldAccess:
         if isinstance(node, ast.Name):
@@ -568,6 +792,11 @@ class IRMaker:
         if isinstance(node, ast.Subscript):
             return self._parse_subscript(node)
         if isinstance(node, ast.BinOp):
+            if isinstance(node.op, ast.MatMult):
+                raise GTScriptSyntaxError(
+                    "`@` (matrix-vector product) is only supported as the "
+                    "right-hand side of an assignment"
+                )
             return ir.BinaryOp(
                 op=_BINOP_MAP[type(node.op)],
                 left=self.parse_expr(node.left),

@@ -505,3 +505,105 @@ def test_static_data_index_out_of_range_rejected():
         def bad(vec: gtscript.Field[(np.float64, (3,))], out: Field3D):
             with computation(PARALLEL), interval(...):
                 out = vec[0, 0, 0][5]
+
+
+# ---- `@` matrix-vector products on data-dims fields ---- #
+# Reference: gtscript_frontend.py:1506 (MatMult), defir_to_gtir.py:265-273
+# (unrolled multiply-add chain), `.T` transposed reads.
+
+
+@pytest.mark.parametrize("backend", ["numpy", "debug", "jax", "pallas"])
+def test_matmul_globaltable(backend):
+    """GlobalTable[(f64,(3,3))] @ vec on every backend (VERDICT r4 #8)."""
+
+    @gtscript.stencil(backend=backend, name=f"mm_gt_{backend}")
+    def st(
+        table: gtscript.GlobalTable[(np.float64, (3, 3))],
+        vin: gtscript.Field[(np.float64, (3,))],
+        vout: gtscript.Field[(np.float64, (3,))],
+    ):
+        with computation(PARALLEL), interval(...):
+            vout = table @ vin
+
+    shape = (5, 4, 3)
+    rng = np.random.default_rng(1)
+    t = rng.uniform(-3, 3, (3, 3))
+    vi = rng.uniform(-3, 3, shape + (3,))
+    vo = np.zeros_like(vi)
+    st(t.copy(), vi.copy(), vo, origin=(0, 0, 0))
+    np.testing.assert_allclose(
+        vo, np.einsum("lm,ijkm->ijkl", t, vi), rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax", "pallas"])
+def test_matmul_self_aliasing_is_simultaneous(backend):
+    """`v = m @ v` must read the pre-statement v for every component
+    (parallel-assignment semantics; the unroll stages via temps)."""
+
+    @gtscript.stencil(backend=backend, name=f"mm_alias_{backend}")
+    def st(
+        m: gtscript.Field[(np.float64, (3, 3))],
+        v: gtscript.Field[(np.float64, (3,))],
+    ):
+        with computation(PARALLEL), interval(...):
+            v = m @ v
+
+    shape = (4, 4, 2)
+    rng = np.random.default_rng(2)
+    mv = rng.uniform(-2, 2, shape + (3, 3))
+    vv = rng.uniform(-2, 2, shape + (3,))
+    expect = np.einsum("ijklm,ijkm->ijkl", mv, vv)
+    got = vv.copy()
+    st(mv.copy(), got, origin=(0, 0, 0))
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_matmul_scaled_product_expression():
+    """`@` composes with elementwise vector arithmetic on the RHS."""
+
+    @gtscript.stencil(backend="numpy")
+    def st(
+        m: gtscript.Field[(np.float64, (2, 2))],
+        v: gtscript.Field[(np.float64, (2,))],
+        o: gtscript.Field[(np.float64, (2,))],
+    ):
+        with computation(PARALLEL), interval(...):
+            o = m @ v + 2.0 * v
+
+    shape = (3, 3, 2)
+    rng = np.random.default_rng(3)
+    mv = rng.uniform(-2, 2, shape + (2, 2))
+    vv = rng.uniform(-2, 2, shape + (2,))
+    ov = np.zeros_like(vv)
+    st(mv.copy(), vv.copy(), ov, origin=(0, 0, 0))
+    np.testing.assert_allclose(
+        ov, np.einsum("ijklm,ijkm->ijkl", mv, vv) + 2.0 * vv, rtol=1e-12
+    )
+
+
+def test_matmul_errors():
+    def dim_mismatch(
+        m: gtscript.Field[(np.float64, (2, 2))],
+        v: gtscript.Field[(np.float64, (3,))],
+        o: gtscript.Field[(np.float64, (2,))],
+    ):
+        with computation(PARALLEL), interval(...):
+            o = m @ v
+
+    def scalar_operands(a: gtscript.Field[np.float64], b: gtscript.Field[np.float64]):
+        with computation(PARALLEL), interval(...):
+            b = a @ a
+
+    def temp_target(
+        m: gtscript.Field[(np.float64, (2, 2))],
+        v: gtscript.Field[(np.float64, (2,))],
+        o: gtscript.Field[(np.float64, (2,))],
+    ):
+        with computation(PARALLEL), interval(...):
+            tmp = m @ v
+            o = tmp + v
+
+    for bad in (dim_mismatch, scalar_operands, temp_target):
+        with pytest.raises(Exception, match="@|vector|matrix|data dims"):
+            gtscript.stencil(backend="numpy", name=f"bad_{bad.__name__}")(bad)

@@ -99,3 +99,37 @@ class TestExternalSwitch(gt_testing.StencilTestSuite):
 
     def validation(inp, out, domain=None, origin=None, externals=None):
         out[...] = -inp if externals["NEGATE"] else inp
+
+
+class TestMatmul(gt_testing.StencilTestSuite):
+    """`matrix @ vector` + `.T` on data-dims fields (reference:
+    TestMatmul in tests/.../test_suites.py:1097; parser MatMult at
+    gtscript_frontend.py:1506, unroll at defir_to_gtir.py:265-273).
+    f64 only: the unrolled left-to-right multiply-add chain differs
+    from einsum's reduction order at f32 (same note in the reference)."""
+
+    dtypes = (np.float64,)
+    domain_range = [(2, 6), (2, 6), (2, 4)]
+    backends = ["numpy", "jax", "pallas"]
+    symbols = dict(
+        matrix=gt_testing.field(in_range=(-10, 10), data_dims=(4, 6)),
+        field_1=gt_testing.field(in_range=(-10, 10), data_dims=(6,)),
+        field_2=gt_testing.field(in_range=(-10, 10), data_dims=(4,)),
+    )
+
+    def definition(matrix, field_1, field_2):
+        with computation(PARALLEL):
+            with interval(0, 1):
+                field_2 = matrix @ field_1
+            with interval(1, 2):
+                field_1 = matrix.T @ field_2
+
+    def validation(
+        matrix, field_1, field_2, domain=None, origin=None, externals=None
+    ):
+        field_2[:, :, 0] = np.einsum(
+            "ijlm,ijm->ijl", matrix[:, :, 0], field_1[:, :, 0]
+        )
+        field_1[:, :, 1] = np.einsum(
+            "ijlm,ijl->ijm", matrix[:, :, 1], field_2[:, :, 1]
+        )
