@@ -67,6 +67,15 @@ class _PallasIneligible(Exception):
     pass
 
 
+class _PlanOnlyDone(Exception):
+    """Raised by ``_pallas_trace(plan_only=True)`` right after the tile
+    plan is chosen -- carries the plan, skips kernel build/execution."""
+
+    def __init__(self, plan):
+        super().__init__("plan-only")
+        self.plan = plan
+
+
 #: (stencil_name, traceback_tail) per XLA fallback -- observability for
 #: tests asserting the kernel path covers the language (a bitwise-equal
 #: result alone cannot distinguish the paths).  Bounded; diff with
@@ -219,9 +228,27 @@ class PallasBackend(JaxBackend):
             out = self._trace_split_data_dims(metas, env, scalars, domain, periodic)
             if out is not None:
                 return out
+        quiet_cost_decline = False
         try:
             return self._pallas_trace(metas, env, scalars, tuple(domain), periodic)
-        except _PallasIneligible:
+        except _PallasIneligible as first_err:
+            if (
+                first_err.args
+                and first_err.args[0] == "geometry"
+                and not periodic
+            ):
+                # alignment-infeasible buffer geometry (odd halo widths,
+                # unaligned origins): functionally pad the buffers to an
+                # aligned geometry and retry -- one XLA pad/slice per
+                # offending field instead of losing the kernel entirely
+                try:
+                    return self._trace_repaired(
+                        metas, env, scalars, tuple(domain), periodic
+                    )
+                except _PallasIneligible as rep_err:
+                    quiet_cost_decline = (
+                        rep_err.args and rep_err.args[0] == "repair-cost"
+                    )
             try:
                 # deep-K serial stencils: K-blocked per-loop passes
                 return self._trace_kblocked(
@@ -233,11 +260,12 @@ class PallasBackend(JaxBackend):
             import traceback
 
             tail = "".join(traceback.format_exc().splitlines(True)[-6:])
-            FALLBACK_EVENTS.record((self.analysis.stencil.name, tail))
-            config.warn_fallback(
-                f"stencil '{self.analysis.stencil.name}'",
-                tail.splitlines()[-1] if tail.splitlines() else "ineligible",
-            )
+            if not quiet_cost_decline:
+                FALLBACK_EVENTS.record((self.analysis.stencil.name, tail))
+                config.warn_fallback(
+                    f"stencil '{self.analysis.stencil.name}'",
+                    tail.splitlines()[-1] if tail.splitlines() else "ineligible",
+                )
             if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):
                 print(
                     f"[pallas] {self.analysis.stencil.name}: XLA fallback at\n" + tail,
@@ -325,6 +353,243 @@ class PallasBackend(JaxBackend):
                 we = ext.write_extent(name)
                 if we.i != (0, 0) or we.j != (0, 0):
                     raise _PallasIneligible()
+
+    # ------------------------------------------------------------------ #
+    # geometry repair: aligned-mode planning demands DMA windows landing
+    # on the dtype's (sub, 128) tiling INSIDE the user's buffers; exact
+    # 1-wide halos (the natural allocation for a 1-point read extent)
+    # violate that, and the r4 bench showed a production stencil silently
+    # de-kerneling on chip for exactly this reason (VERDICT r4 #2).
+    # Instead of losing the kernel, pad the offending buffers to an
+    # aligned geometry outside the kernel (one fused XLA pad per field,
+    # slice-back for written ones) and retry.
+    # ------------------------------------------------------------------ #
+
+    def _repair_pads(self, metas, domain):
+        """Compute the aligned-geometry repair: per-field
+        ((fi, bi), (fj, bj)) front/back buffer pads on I and J plus a
+        padded compute domain (dIp, dJp) such that every aligned-mode
+        gate passes -- origins land on the packing, expanded halos fit,
+        physical J rows become lane multiples (the mode-A full-row
+        constraint), and the domain itself becomes tileable (e.g. a
+        514-wide write domain has no sublane-divisible tile at all; the
+        kernel computes the rounded-up domain and the extra rows are
+        discarded at splice-back).  Returns (pads, (dIp, dJp)) or None
+        when nothing would change (the failure is not geometric).
+
+        Domain padding computes garbage values from pad content in the
+        extra rows/columns; that is sound for pure pointwise/column
+        execution but NOT for ``while`` loops (garbage conditions may
+        not terminate), so stencils containing While only get buffer
+        pads."""
+        dI, dJ, _dK = domain
+        ext = self.analysis.extents
+        up = lambda x, b: -(-x // b) * b
+        subx = self._sub_max(metas)
+        has_while = any(
+            isinstance(n, ir.While)
+            for n in ir.walk_values(self.analysis.stencil.vertical_loops)
+        )
+        dIp = dI if has_while else up(dI, subx)
+        dJp = dJ if has_while else up(dJ, _LANE)
+        pads = {}
+        any_pad = False
+        for name, m in metas.items():
+            e = ext.alloc_extent(name)
+            hi0, hi1 = -e.i[0], e.i[1]
+            hj0, hj1 = -e.j[0], e.j[1]
+            oi, oj, _ok = m.origin
+            ni, nj = m.shape[0], m.shape[1]
+            fi = bi = fj = bj = 0
+            if ni != 1:
+                sub = _sublane(m.dtype)
+                oi2 = up(max(oi, hi0), sub)
+                ni2 = max(ni + (oi2 - oi), oi2 + dIp + up(hi1, sub))
+                fi, bi = oi2 - oi, ni2 - (ni + (oi2 - oi))
+            if nj != 1:
+                oj2 = up(max(oj, hj0), _LANE)
+                hj1x = up(hj1, _LANE) if (hj0 or hj1) else 0
+                nj2 = up(max(nj + (oj2 - oj), oj2 + dJp + hj1x), _LANE)
+                fj, bj = oj2 - oj, nj2 - (nj + (oj2 - oj))
+            pads[name] = ((fi, bi), (fj, bj))
+            any_pad = any_pad or fi or bi or fj or bj
+        if not any_pad and (dIp, dJp) == (dI, dJ):
+            return None
+        return pads, (dIp, dJp)
+
+    def _padded_metas(self, metas, pads):
+        out = {}
+        for name, m in metas.items():
+            (fi, bi), (fj, bj) = pads[name]
+            out[name] = _FieldMeta(
+                shape=(m.shape[0] + fi + bi, m.shape[1] + fj + bj, m.shape[2])
+                + tuple(m.shape[3:]),
+                origin=(m.origin[0] + fi, m.origin[1] + fj, m.origin[2]),
+                dtype=m.dtype,
+                dimensions=m.dimensions,
+                data_ndim=m.data_ndim,
+            )
+        return out
+
+    def _repair_cost_ok(self, metas, pads, domain) -> bool:
+        """Is geometry repair worth its pad copies?  Each padded buffer
+        pays a full read+write (jnp.pad cannot fuse into pallas_call);
+        the kernel's advantage over staged XLA scales with statement
+        complexity x points.  Calibration (r5 chip session, v5e): the
+        4-statement hdiff program's SIMPLE statements ran 4.88 ms on
+        XLA vs 7.50 ms as repair-padded kernels (pads dominate), while
+        complex fused stencils win ~3.7x kernel-vs-XLA.  Small pads are
+        always fine (the common exact-halo model-buffer case)."""
+        pad_bytes = 0
+        for name, m in metas.items():
+            (fi, bi), (fj, bj) = pads[name]
+            if fi or bi or fj or bj:
+                buf = m.dtype.itemsize
+                for s in m.shape:
+                    buf *= max(1, s)
+                pad_bytes += 2 * buf
+                if name in self.written:
+                    pad_bytes += 2 * buf  # slice-back copy
+        if pad_bytes <= 4 * 1024 * 1024:
+            return True
+        nodes = sum(
+            1 for _ in ir.walk_values(self.analysis.stencil.vertical_loops)
+        )
+        points = domain[0] * domain[1] * domain[2]
+        savings_s = 1.9e-12 * nodes * points  # ~(XLA - kernel) per node-point
+        return savings_s > pad_bytes / 250e9  # effective HBM BW (docs)
+
+    def _trace_repaired(self, metas, env, scalars, domain, periodic):
+        import jax.numpy as jnp
+
+        repair = self._repair_pads(metas, domain)
+        if repair is None:
+            raise _PallasIneligible()
+        pads, (dIp, dJp) = repair
+        if not self._repair_cost_ok(metas, pads, domain):
+            # staged XLA is the better choice here: record a QUIET,
+            # distinguishable event (this is a measured decision, not a
+            # silent perf cliff) and decline
+            FALLBACK_EVENTS.record(
+                (
+                    self.analysis.stencil.name,
+                    "geometry repair declined by cost model (XLA chosen)",
+                )
+            )
+            raise _PallasIneligible("repair-cost")
+        dI, dJ, dK = domain
+        metas2 = self._padded_metas(metas, pads)
+        env2 = {}
+        for name, v in env.items():
+            (fi, bi), (fj, bj) = pads[name]
+            if fi or bi or fj or bj:
+                # buffers are physical (K, I, J[, *dd])
+                pw = [(0, 0), (fi, bi), (fj, bj)] + [(0, 0)] * (v.ndim - 3)
+                v = jnp.pad(v, pw)
+            env2[name] = v
+        out = self._pallas_trace(metas2, env2, scalars, (dIp, dJp, dK), periodic)
+        plan = LAST_PLAN.get(self.analysis.stencil.name)
+        if isinstance(plan, dict):
+            plan["repair"] = {
+                n: p for n, p in pads.items() if any(p[0]) or any(p[1])
+            }
+            if (dIp, dJp) != (dI, dJ):
+                plan["repair_domain"] = (dIp, dJp)
+        result = dict(env)
+        for name in self.written:
+            if name not in out or name not in metas:
+                continue
+            (fi, bi), (fj, bj) = pads[name]
+            m = metas[name]
+            ni, nj = m.shape[0], m.shape[1]
+            v = out[name]
+            if fi or bi or fj or bj:
+                v = v[:, fi : fi + ni, fj : fj + nj]
+            # domain padding computed garbage in the extra rows/columns
+            # of the write window: restore the original buffer content
+            # there (outside the TRUE write window the buffer must keep
+            # its pre-call values)
+            oi, oj, _ok = m.origin
+            orig = env[name]
+            if ni != 1 and dIp != dI:
+                g0, g1 = oi + dI, min(oi + dIp, ni)
+                if g1 > g0:
+                    v = v.at[:, g0:g1, :].set(orig[:, g0:g1, :])
+            if nj != 1 and dJp != dJ:
+                g0, g1 = oj + dJ, min(oj + dJp, nj)
+                if g1 > g0:
+                    v = v.at[:, :, g0:g1].set(orig[:, :, g0:g1])
+            result[name] = v
+        return result
+
+    def plan_tpu(self, metas, domain, periodic=()):
+        """ALIGNED-mode tile plan for these metas WITHOUT building or
+        executing a kernel: raises :class:`_PallasIneligible` exactly
+        when a chip run would fall back to the XLA executor, platform
+        independently (VERDICT r4 #2: TPU-only eligibility must be
+        CPU-testable).  Returns the LAST_PLAN-style dict, including the
+        ``repair`` pads when geometry repair is what keeps the kernel.
+        Limitation: the deep-K K-blocked fallback is not modeled -- this
+        is the single-kernel plan."""
+        from gt4py_tpu import config as _cfg
+
+        self._check_eligible(metas)
+        for n, decl in self.analysis.stencil.scalar_decls.items():
+            if decl.dtype is not None and np.dtype(decl.dtype).itemsize > 4:
+                raise _PallasIneligible()
+        env = {n: None for n in metas}
+        old = _cfg.ASSUME_TPU_PLANNING
+        _cfg.ASSUME_TPU_PLANNING = True
+        try:
+            try:
+                self._pallas_trace(
+                    metas, env, {}, tuple(domain), periodic, plan_only=True
+                )
+            except _PlanOnlyDone as done:
+                return dict(done.plan)
+            except _PallasIneligible as err:
+                if not (
+                    err.args and err.args[0] == "geometry" and not periodic
+                ):
+                    raise
+                repair = self._repair_pads(metas, domain)
+                if repair is None:
+                    raise
+                pads, (dIp, dJp) = repair
+                if not self._repair_cost_ok(metas, pads, domain):
+                    # mirrors _trace_repaired: staged XLA is the measured
+                    # better choice -- an explicit decision, not a cliff
+                    return {
+                        "mode": "xla-by-cost",
+                        "repair": {
+                            n: p
+                            for n, p in pads.items()
+                            if any(p[0]) or any(p[1])
+                        },
+                        "repair_domain": (dIp, dJp),
+                    }
+                try:
+                    self._pallas_trace(
+                        self._padded_metas(metas, pads),
+                        env,
+                        {},
+                        (dIp, dJp, domain[2]),
+                        periodic,
+                        plan_only=True,
+                    )
+                except _PlanOnlyDone as done:
+                    plan = dict(done.plan)
+                    plan["repair"] = {
+                        n: p
+                        for n, p in pads.items()
+                        if any(p[0]) or any(p[1])
+                    }
+                    if (dIp, dJp) != tuple(domain[:2]):
+                        plan["repair_domain"] = (dIp, dJp)
+                    return plan
+            raise _PallasIneligible("plan-only: no plan produced")
+        finally:
+            _cfg.ASSUME_TPU_PLANNING = old
 
     def _has_nonuniform_k(self) -> bool:
         """Variable/absolute-K reads need the full K column in VMEM
@@ -578,16 +843,22 @@ class PallasBackend(JaxBackend):
                 sub = _sublane(m.dtype)
                 oi, oj, _ = m.origin
                 hi0 += (oi - hi0) % sub
+                if hi0 > oi:
+                    # expanded lower halo would start the DMA window
+                    # before the buffer (possible when oi < sub)
+                    raise _PallasIneligible("geometry")
                 if m.shape[0] != 1:
                     hi1 += (-(hi0 + hi1)) % sub
                     if oi + dI + hi1 > m.shape[0]:
-                        raise _PallasIneligible()
+                        raise _PallasIneligible("geometry")
                 if expand_j:
                     hj0 += (oj - hj0) % _LANE
+                    if hj0 > oj:
+                        raise _PallasIneligible("geometry")
                     if m.shape[1] != 1 and (hj0 or hj1):
                         hj1 += (-(hj0 + hj1)) % _LANE
                         if oj + dJ + hj1 > m.shape[1]:
-                            raise _PallasIneligible()
+                            raise _PallasIneligible("geometry")
             halos[name] = (hi0, hi1, hj0, hj1)
         return halos
 
@@ -612,7 +883,7 @@ class PallasBackend(JaxBackend):
             # lane-dim slice sizes tiling-aligned even for full axes
             for m in metas.values():
                 if m.shape[1] != 1 and m.shape[1] % _LANE:
-                    raise _PallasIneligible()
+                    raise _PallasIneligible("geometry")
 
         halos = self._halos_ij(metas, aligned, domain, expand_j=False)
         if circular:
@@ -716,7 +987,9 @@ class PallasBackend(JaxBackend):
                 (d for d in _divisors(dI) if d >= min(8, dI)), reverse=True
             )
         if not ti_options:
-            raise _PallasIneligible()
+            # e.g. dI = 2 x prime: no sublane-divisible tile exists --
+            # repairable by computing over a rounded-up domain
+            raise _PallasIneligible("geometry")
         # experimental overrides for perf sweeps (unset = planner choice)
         import os
 
@@ -852,6 +1125,8 @@ class PallasBackend(JaxBackend):
                 (d for d in _divisors(dI) if d >= min(8, dI)), reverse=True
             )
 
+        if not tj_options or not ti_options:
+            raise _PallasIneligible("geometry")  # untileable domain size
         for slots in (2, 1):
             for tj in tj_options:
                 for ti in ti_options:
@@ -1005,7 +1280,7 @@ class PallasBackend(JaxBackend):
 
     # ------------------------------------------------------------------ #
 
-    def _pallas_trace(self, metas, env, scalars, domain, periodic=()):
+    def _pallas_trace(self, metas, env, scalars, domain, periodic=(), plan_only=False):
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
@@ -1015,7 +1290,10 @@ class PallasBackend(JaxBackend):
         dI, dJ, dK = domain
 
         interpret = jax.devices()[0].platform != "tpu"
-        aligned = not interpret
+        # ASSUME_TPU_PLANNING engages every aligned-mode eligibility and
+        # planning gate on CPU (kernels still run in interpret mode), so
+        # TPU-only planning divergence is CPU-testable (VERDICT r4 #2)
+        aligned = (not interpret) or config.ASSUME_TPU_PLANNING
         if aligned:
             # Mosaic has no 64-bit types; fall back to the XLA executor.
             # 16-bit dtypes run in-kernel: the planner is packing-aware
@@ -1147,7 +1425,7 @@ class PallasBackend(JaxBackend):
                         if hj1:
                             segs.append((oj + dJ, oj, hj1))
                         wrap_j[name] = segs
-            if prefill:
+            if prefill and not plan_only:
                 env = dict(env)
                 env.update(
                     self._periodic_fill_env(metas, env, domain, periodic, prefill)
@@ -1160,6 +1438,8 @@ class PallasBackend(JaxBackend):
         if len(LAST_PLAN) > 1024:  # bounded: long-running sweeps
             for k in list(LAST_PLAN)[:512]:
                 del LAST_PLAN[k]
+        if plan_only:
+            raise _PlanOnlyDone(LAST_PLAN[self.analysis.stencil.name])
 
         import os as _os
         if _os.environ.get("GT4PY_TPU_PALLAS_DEBUG"):

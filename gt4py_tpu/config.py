@@ -67,6 +67,15 @@ PERSISTENT_CACHE: bool = _env_bool("GT4PY_TPU_PERSISTENT_CACHE", True)
 #: green 837-test CPU suite could not see).
 FORCE_MOSAIC_TRACE: bool = _env_bool("GT4PY_TPU_FORCE_MOSAIC_TRACE", False)
 
+#: Run the Pallas planners in ALIGNED (TPU) mode even on CPU: all
+#: alignment/planning/64-bit eligibility gates engage exactly as on real
+#: hardware while the kernels still execute in interpret mode.  The r4
+#: bench exposed a stencil silently de-kerneling ON CHIP at bench scale
+#: that no CPU test could see (eligibility was gated on
+#: ``platform == "tpu"``); this knob makes that divergence class
+#: CPU-testable (VERDICT r4 #2).
+ASSUME_TPU_PLANNING: bool = _env_bool("GT4PY_TPU_PALLAS_ASSUME_TPU", False)
+
 #: Work around an XLA:CPU compiler crash (SIGSEGV in the MLIR fusion
 #: emitters) on certain bfloat16 fusions that mix sequential-K scans with
 #: variable-/absolute-K gathers (found by the differential fuzzer, seed
