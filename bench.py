@@ -498,6 +498,93 @@ def bench_tpu_next_hdiff_program(fused: bool = True):
         _cfg.PROGRAM_FUSION = old
 
 
+def bench_tpu_next_mixed_program(fused: bool = True):
+    """A dycore-shaped MIXED next-DSL program at 512^2x80: horizontal
+    laplacian (PARALLEL) -> vertical integration scan (FORWARD serial-K)
+    -> pointwise update.  ``fused=True`` runs it as ONE kernel (the scan
+    statement joins the fused segment as its own serial vertical loop,
+    r5); ``fused=False`` pays a kernel + HBM round trip per statement --
+    the r4 behavior where scans broke fusion."""
+    import jax
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu import config as _cfg
+    from gt4py_tpu.next import Dims, Field, program
+    from gt4py_tpu.next.common import Domain, UnitRange
+
+    OI, OJ = 8, 128
+    SI, SJ = OI + NI + 8, OJ + NJ + 128
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+    FT = Field[Dims[I, J, K], gtx.float32]
+
+    @gtx.field_operator
+    def lap_op(inp: FT) -> FT:
+        return 4.0 * inp - (
+            inp(Ioff[1]) + inp(Ioff[-1]) + inp(Joff[1]) + inp(Joff[-1])
+        )
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def integ(carry: gtx.float32, x: gtx.float32) -> gtx.float32:
+        return carry * 0.9 + x
+
+    @gtx.field_operator
+    def upd(inp: FT, acc: FT) -> FT:
+        return inp - 0.1 * acc
+
+    @program
+    def mixed_prog(inp: FT, lap: FT, acc: FT, res: FT):
+        lap_op(inp, out=lap)
+        integ(lap, out=acc)
+        upd(inp, acc, out=res)
+
+    rng = np.random.default_rng(9)
+    U = UnitRange
+    full = Domain((I, J, K), (U(0, SI), U(0, SJ), U(0, NK)))
+    inp0 = jnp.asarray(rng.random((SI, SJ, NK)).astype("float32"))
+    interior = Domain(
+        (I, J, K), (U(OI, OI + NI), U(OJ, OJ + NJ), U(0, NK))
+    )
+
+    def step(arr):
+        lap = gtx.Field(interior, jnp.zeros((NI, NJ, NK), jnp.float32))
+        acc = gtx.Field(interior, jnp.zeros((NI, NJ, NK), jnp.float32))
+        res = gtx.Field(interior, jnp.zeros((NI, NJ, NK), jnp.float32))
+        mixed_prog(gtx.Field(full, arr), lap, acc, res)
+        return arr.at[OI : OI + NI, OJ : OJ + NJ].set(res.data)
+
+    old = _cfg.PROGRAM_FUSION
+    _cfg.PROGRAM_FUSION = fused
+    try:
+
+        def timed(iters):
+            @jax.jit
+            def run(arr):
+                import jax.lax as lax
+
+                return jnp.sum(
+                    lax.fori_loop(0, iters, lambda _, a: step(a), arr)
+                )
+
+            float(run(inp0))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(run(inp0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        i1, i2 = 3, 15
+        return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
+    finally:
+        _cfg.PROGRAM_FUSION = old
+
+
 def bench_tpu_next_tridiag(pallas: bool):
     """next-DSL tridiagonal solve (tuple-carry forward elimination +
     backward substitution scan operators) at 512^2 x 80 f32: the scan
@@ -561,21 +648,34 @@ def bench_tpu_next_tridiag(pallas: bool):
     return max((timed(i2) - timed(i1)) / (i2 - i1), 1e-9)
 
 
-def bench_tpu_unstructured(n: int = 512):
+def bench_tpu_unstructured(n: int = 512, irregular: bool = False):
     """Unstructured FVM diffusion step (edge gradient + signed divergence,
     the examples/unstructured_fvm.py operators) on an n x n quad patch
     exposed as connectivity tables: ~2*n^2 gather-heavy edges through the
     jit-staged XLA path (the bridge correctly declines local dims; this
     row gives the gather path a measured number and a documented floor --
-    see docs/performance.md 'Unstructured gather path')."""
+    see docs/performance.md 'Unstructured gather path').
+
+    ``irregular=True`` runs the same physics on a SHUFFLED mesh (vertices
+    and edges renumbered randomly): the affine window fit provably
+    declines, so gathers exercise the sort-routing + Benes-butterfly
+    compiled path (next/sort_route.py, next/benes.py) -- the row the r4
+    verdict asked for (take-path floor at this scale: ~16 ms, r4)."""
     import jax
     import jax.numpy as jnp
 
     import gt4py_tpu.next as gtx
     from gt4py_tpu.next import Dims, Field, FieldOffset, backends, neighbor_sum
-    from gt4py_tpu.next.testing import E2VDim, Edge, V2EDim, Vertex, grid_mesh
+    from gt4py_tpu.next.testing import (
+        E2VDim,
+        Edge,
+        V2EDim,
+        Vertex,
+        grid_mesh,
+        shuffled_mesh,
+    )
 
-    mesh = grid_mesh(n)
+    mesh = shuffled_mesh(n, seed=7) if irregular else grid_mesh(n)
     E2V = FieldOffset("E2V", source=Vertex, target=(Edge, E2VDim))
     V2E = FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
     f64 = gtx.float32
@@ -926,6 +1026,16 @@ def main():
         except Exception as e:
             print(f"# unstructured bench failed: {e}", file=sys.stderr)
         try:
+            if over_budget("unstructured_irregular"):
+                raise RuntimeError("bench budget exhausted")
+            tui, n_edges_i = bench_tpu_unstructured(irregular=True)
+            extra["unstructured_fvm_irregular_ms"] = round(tui * 1e3, 2)
+            extra["unstructured_fvm_irregular_medges_s"] = round(
+                n_edges_i / tui / 1e6, 1
+            )
+        except Exception as e:
+            print(f"# unstructured-irregular bench failed: {e}", file=sys.stderr)
+        try:
             if over_budget("next_hdiff"):
                 raise RuntimeError("bench budget exhausted")
             nh = bench_tpu_next_hdiff()
@@ -960,6 +1070,15 @@ def main():
             extra["next_hdiff_program_stmtwise_512_ms"] = round(nhs * 1e3, 2)
         except Exception as e:
             print(f"# next-hdiff-program-stmtwise bench failed: {e}", file=sys.stderr)
+        try:
+            if over_budget("next_mixed_program"):
+                raise RuntimeError("bench budget exhausted")
+            nmf = bench_tpu_next_mixed_program(fused=True)
+            extra["next_mixed_program_fused_512_ms"] = round(nmf * 1e3, 2)
+            nms = bench_tpu_next_mixed_program(fused=False)
+            extra["next_mixed_program_stmtwise_512_ms"] = round(nms * 1e3, 2)
+        except Exception as e:
+            print(f"# next-mixed-program bench failed: {e}", file=sys.stderr)
         try:
             if over_budget("next_tridiag_pallas"):
                 raise RuntimeError("bench budget exhausted")

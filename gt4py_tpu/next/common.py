@@ -733,6 +733,24 @@ class Field:
                     gathered = gathered.reshape(
                         gathered.shape[: ax + 1] + gathered.shape[ax + 2 :]
                     )
+            if gathered is None:
+                # truly-irregular tables: sort-routing gather (seed
+                # permutation + doubling rounds, sort_route.py) -- the
+                # compiled path for connectivity the affine fit declines
+                from . import sort_route
+
+                splan = sort_route.plan_for(conn)
+                if splan is not None:
+                    flat = sort_route.apply_gather_plan(
+                        splan, self.data, own.start, ax
+                    )
+                    if flat is not None:
+                        new_shape = (
+                            self.data.shape[:ax]
+                            + tshape
+                            + self.data.shape[ax + 1 :]
+                        )
+                        gathered = flat.reshape(new_shape)
         if gathered is None:
             table = (
                 np.asarray(conn.table)

@@ -391,6 +391,42 @@ class ScanOperator(FieldOperator):
         with offset_provider_context(offset_provider):
             return self._scan_impl(*args, out=out, domain=domain, **kwargs)
 
+    def _scan_typed(self, scalar_ts):
+        """Typed body for scalarized arguments.  A plain Python init
+        literal (float/int) is weak: it adapts to the declared carry
+        annotation instead of forcing f64/i64 (reference: type_info
+        weak-literal adaptation); tuple inits adapt member-by-member."""
+        carry_t = ts.from_value(self.init)
+        decl = self.ir.params[0].type
+        if type(self.init) in (float, int) and isinstance(carry_t, ts.ScalarType):
+            if isinstance(decl, ts.ScalarType) and not ts.is_deferred(decl):
+                self.init = np.dtype(decl.kind).type(self.init)
+                carry_t = ts.from_value(self.init)
+        elif (
+            isinstance(self.init, tuple)
+            and isinstance(decl, ts.TupleType)
+            and len(decl.types) == len(self.init)
+        ):
+            self.init = tuple(
+                np.dtype(dt.kind).type(v)
+                if type(v) in (float, int)
+                and isinstance(dt, ts.ScalarType)
+                and not ts.is_deferred(dt)
+                else v
+                for v, dt in zip(self.init, decl.types)
+            )
+            carry_t = ts.from_value(self.init)
+        typed, ret_t = self._typed_for((carry_t, *tuple(scalar_ts)))
+        if not ts.is_deferred(ret_t) and not ts.accepts(
+            frontend._strip_weak(carry_t), frontend._strip_weak(ret_t)
+        ):
+            raise FieldViewError(
+                f"scan '{self.__name__}' carry has type {carry_t} but the "
+                f"body returns {ret_t}",
+                self.ir.loc,
+            )
+        return typed
+
     def _scan_impl(self, *args, out: Optional[Field] = None,
                    domain: Optional[Domain] = None, **kwargs):
         # the first parameter is the carry: callers bind the rest
@@ -411,45 +447,13 @@ class ScanOperator(FieldOperator):
             raise ValueError(f"No argument spans the scan axis {self.axis}")
         ax = dom.dims.index(self.axis)
 
-        # type-check the scalarized body against these argument dtypes.
-        # A plain Python init literal (float/int) is weak: it adapts to
-        # the declared carry annotation instead of forcing f64/i64
-        # (reference: type_info weak-literal adaptation).
-        carry_t = ts.from_value(self.init)
-        decl = self.ir.params[0].type
-        if type(self.init) in (float, int) and isinstance(carry_t, ts.ScalarType):
-            if isinstance(decl, ts.ScalarType) and not ts.is_deferred(decl):
-                self.init = np.dtype(decl.kind).type(self.init)
-                carry_t = ts.from_value(self.init)
-        elif (
-            isinstance(self.init, tuple)
-            and isinstance(decl, ts.TupleType)
-            and len(decl.types) == len(self.init)
-        ):
-            # weak tuple elements adapt member-by-member (same rule)
-            self.init = tuple(
-                np.dtype(dt.kind).type(v)
-                if type(v) in (float, int)
-                and isinstance(dt, ts.ScalarType)
-                and not ts.is_deferred(dt)
-                else v
-                for v, dt in zip(self.init, decl.types)
-            )
-            carry_t = ts.from_value(self.init)
+        # type-check the scalarized body against these argument dtypes
         scalar_ts = [
             ts.ScalarType(np.dtype(a.dtype)) if isinstance(a, Field)
             else _value_type(a)
             for a in args
         ]
-        typed, ret_t = self._typed_for((carry_t, *scalar_ts))
-        if not ts.is_deferred(ret_t) and not ts.accepts(
-            frontend._strip_weak(carry_t), frontend._strip_weak(ret_t)
-        ):
-            raise FieldViewError(
-                f"scan '{self.__name__}' carry has type {carry_t} but the "
-                f"body returns {ret_t}",
-                self.ir.loc,
-            )
+        typed = self._scan_typed(scalar_ts)
 
         oracle = all(isinstance(f.data, np.ndarray) for f in fields)
         xp = np if oracle else jnp

@@ -1073,7 +1073,32 @@ def _scan_return_type(op, argts, node) -> ts.TypeSpec:
     if not field_dims:
         raise _err("scan operator call needs at least one field argument", node)
     dims = promote_dims(*field_dims, (op.axis,))
+    # weak python init literals adapt to the declared carry annotation
+    # (same rule the call-time path applies in ScanOperator._scan_typed):
+    # a float32-annotated scan with init=0.0 must not deduce f64 here
     carry_t = _ts.from_value(op.init)
+    decl = op.ir.params[0].type if op.ir.params else None
+    if (
+        type(op.init) in (float, int)
+        and isinstance(decl, _ts.ScalarType)
+        and not _ts.is_deferred(decl)
+    ):
+        carry_t = _ts.ScalarType(np.dtype(decl.kind))
+    elif (
+        isinstance(op.init, tuple)
+        and isinstance(decl, _ts.TupleType)
+        and len(decl.types) == len(op.init)
+    ):
+        carry_t = _ts.TupleType(
+            tuple(
+                _ts.ScalarType(np.dtype(dt.kind))
+                if type(v) in (float, int)
+                and isinstance(dt, _ts.ScalarType)
+                and not _ts.is_deferred(dt)
+                else _ts.from_value(v)
+                for v, dt in zip(op.init, decl.types)
+            )
+        )
     ret = op._deduce_return([carry_t, *scalar_argts])
 
     def to_field(t):

@@ -247,6 +247,43 @@ def grid_mesh(n: int) -> SimpleMesh:
     )
 
 
+def shuffled_mesh(n: int, seed: int = 0) -> SimpleMesh:
+    """The :func:`grid_mesh` topology with vertices AND edges renumbered
+    by random permutations: the physics is identical but the neighbor
+    tables are truly IRREGULAR -- the affine window fit provably
+    declines, so gathers exercise the sort-routing compiled path
+    (next/sort_route.py).  Models adaptively-refined / partitioned
+    production meshes whose numbering has no exploitable structure."""
+    mesh = grid_mesh(n)
+    rng = np.random.default_rng(seed)
+    pv = rng.permutation(mesh.n_vertices).astype(np.int64)  # old -> new
+    pe = rng.permutation(mesh.n_edges).astype(np.int64)
+    e2v_old = np.asarray(mesh.e2v.table)
+    v2e_old = np.asarray(mesh.v2e.table)
+    e2v_new = np.empty_like(e2v_old)
+    e2v_new[pe] = pv[e2v_old]
+    v2e_new = np.empty_like(v2e_old)
+    v2e_new[pv] = np.where(v2e_old == -1, -1, pe[np.clip(v2e_old, 0, None)])
+    return SimpleMesh(
+        n_vertices=mesh.n_vertices,
+        n_edges=mesh.n_edges,
+        v2e=Connectivity(
+            table=v2e_new,
+            source=Vertex,
+            codomain=Edge,
+            local_dim=V2EDim,
+            skip_value=-1,
+        ),
+        e2v=Connectivity(
+            table=e2v_new,
+            source=Edge,
+            codomain=Vertex,
+            local_dim=E2VDim,
+            skip_value=None,
+        ),
+    )
+
+
 def simple_mesh_case(allocator: str = "numpy") -> Tuple[Case, SimpleMesh]:
     mesh = SimpleMesh.make()
     case = Case(

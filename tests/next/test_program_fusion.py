@@ -267,22 +267,29 @@ def scan_prog(a: F, c: F, o: F):
     scale_op(c, 2.0, out=o)
 
 
-def test_scan_statement_falls_back_to_per_statement_kernels():
-    """A 2-statement program with one scan has no fusible RUN (>= 2
-    consecutive eligible statements): the schedule declines quietly and
-    the per-statement kernel path runs both statements."""
+def test_scan_then_op_program_fuses():
+    """r5 (VERDICT r4 #3): a scan followed by an operator IS a fusible
+    run -- the scan loop and the scale statement execute as one kernel
+    (pre-r5 this program had no fusible run at all)."""
 
     def run(backend):
         a = _fld(0, N, 0, M, seed=5)
         c = _fld(0, N, 0, M)
         o = _fld(0, N, 0, M)
-        scan_prog.with_backend(backend)(a, c, o)
-        return [c, o]
+        prog = scan_prog.with_backend(backend)
+        prog(a, c, o)
+        return prog, [c, o]
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        refs = run(backends.numpy_oracle)
-        gots = run("pallas")
+        _, refs = run(backends.numpy_oracle)
+        cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+        p, gots = run("pallas")
+        assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    sched = _schedule(p)
+    assert sched is not None
+    assert [k for k, _ in sched.items] == ["fused"]
+    assert [ps.is_scan for ps in sched.items[0][1].stmts] == [True, False]
     for name, r, g in zip(("c", "o"), refs, gots):
         np.testing.assert_allclose(
             g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
@@ -299,10 +306,11 @@ def mixed_prog(a: F, lap: F, fx: F, c: F, out: F):
 
 
 def test_mixed_program_fuses_maximal_runs():
-    """Segment scheduling (r4): the lap->flx run fuses into ONE kernel;
-    the scan and the trailing single statement execute interpreted
-    (each still a per-op kernel) -- a scan no longer kills fusion for
-    the whole program."""
+    """r4: the lap->flx run fused and the scan interrupted the segment.
+    r5 (VERDICT r4 #3): the scan statement JOINS the fused kernel as its
+    own serial vertical loop, so the whole lap->flx->cumsum->incr
+    program is ONE kernel -- cross-statement temps never round-trip
+    through HBM at a scan boundary."""
 
     def run(backend):
         a = _fld(-2, N + 2, -2, M + 2, seed=11)
@@ -324,11 +332,21 @@ def test_mixed_program_fuses_maximal_runs():
             _fld(-1, N, -1, M + 1),
             _fld(-1, N, -1, M + 1),
         ]
+        cur = pallas_bridge.FALLBACK_EVENTS.cursor()
         p(a, *gots)
+        # the CALL itself must fuse (a structural "fused" schedule alone
+        # can still fall back per call)
+        assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
     sched = _schedule(p)
     kinds = [k for k, _ in sched.items]
-    assert kinds == ["fused", "interp", "interp"], kinds
-    assert len(sched.items[0][1].stmts) == 2
+    assert kinds == ["fused"], kinds
+    assert len(sched.items[0][1].stmts) == 4
+    assert [ps.is_scan for ps in sched.items[0][1].stmts] == [
+        False,
+        False,
+        True,
+        False,
+    ]
     for name, r, g in zip(("lap", "fx", "c", "out"), refs, gots):
         np.testing.assert_allclose(
             g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
@@ -421,6 +439,74 @@ def test_fresh_local_assignment_keeps_fusion():
     kinds = [k for k, _ in sched.items]
     assert "fused" in kinds, kinds
     for name, r, g in zip(("lap", "fx", "fy"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@gtx.scan_operator(axis=K, forward=False, init=(0.0, 1.0))
+def back_tuple_scan(
+    carry: tuple[gtx.float64, gtx.float64], x: gtx.float64
+) -> tuple[gtx.float64, gtx.float64]:
+    return (carry[0] + x, carry[1] * 0.5 + x)
+
+
+@program
+def back_prog(a: F, s: F, p: F, o: F):
+    back_tuple_scan(a, out=(s, p))
+    scale_op(s, 3.0, out=o)
+
+
+def test_backward_tuple_scan_fuses():
+    """BACKWARD order and tuple carries splice like forward scalars
+    (two serial out temps, then the parallel consumer)."""
+
+    def run(backend):
+        a = _fld(0, N, 0, M, seed=31)
+        s = _fld(0, N, 0, M)
+        p = _fld(0, N, 0, M)
+        o = _fld(0, N, 0, M)
+        prog = back_prog.with_backend(backend)
+        prog(a, s, p, o)
+        return prog, [s, p, o]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, refs = run(backends.numpy_oracle)
+        cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+        pr, gots = run("pallas")
+        assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    sched = _schedule(pr)
+    assert sched is not None and [k for k, _ in sched.items] == ["fused"]
+    for name, r, g in zip(("s", "p", "o"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@program
+def scan_trunc_prog(a: F, c: F, o: F):
+    cumsum_op(a, out=c)
+    scale_op(c, 2.0, out=o, domain={I: (0, 24), J: (0, 20), K: (1, 4)})
+
+
+def test_truncating_scan_k_domain_falls_back():
+    """A statement restricting the fused K domain below the scan's write
+    region must NOT truncate the scan (different computation): the
+    instance declines and the per-statement path preserves numerics."""
+
+    def run(backend):
+        a = _fld(0, N, 0, M, seed=33)
+        c = _fld(0, N, 0, M)
+        o = _fld(0, N, 0, M)
+        scan_trunc_prog.with_backend(backend)(a, c, o)
+        return [c, o]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        refs = run(backends.numpy_oracle)
+        gots = run("pallas")
+    for name, r, g in zip(("c", "o"), refs, gots):
         np.testing.assert_allclose(
             g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
         )

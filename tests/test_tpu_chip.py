@@ -768,7 +768,94 @@ def test_affine_remap_on_chip():
     finally:
         _OFFSET_PROVIDER.reset(tok)
     cols = mesh.v2e.__dict__.get("_column_conns")
-    assert cols and ar.plan_for(cols[2]) is not None
+    key = (ar.table_token(mesh.v2e.table), 2)
+    assert cols and ar.plan_for(cols[key]) is not None
     tv = np.asarray(mesh.v2e.table)[:, 2]
     safe = np.clip(tv, 0, mesh.n_edges - 1)
     np.testing.assert_array_equal(got_col, flux_np[safe])
+
+
+def test_sort_route_benes_on_chip():
+    """Irregular-table gathers (next/sort_route.py) through the Benes
+    butterfly kernel (next/benes.py) on the real chip: routed
+    permutations and the shuffled-mesh remap are pure data movement and
+    must be BITWISE equal to the take path; the FVM composite's fused
+    multiply+sum is compared at f32-FMA-ulp tolerance vs the oracle."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import benes
+    from gt4py_tpu.next import sort_route as sr
+    from gt4py_tpu.next import Dims, Field, FieldOffset, backends, neighbor_sum
+    from gt4py_tpu.next.testing import (
+        E2VDim,
+        Edge,
+        V2EDim,
+        Vertex,
+        shuffled_mesh,
+    )
+
+    rng = np.random.default_rng(33)
+    # raw butterfly permutation (power-of-two and hybrid sizes)
+    for P in (1 << 17, (1 << 17) + 311):
+        sigma = rng.permutation(P).astype(np.int64)
+        keys = np.empty(P, dtype=np.int64)
+        keys[sigma] = np.arange(P)
+        x_np = rng.random(P).astype(np.float32)
+        got = benes.permute(jnp.asarray(x_np), keys.astype(np.int32))
+        assert got is not None, f"benes declined on chip (P={P})"
+        np.testing.assert_array_equal(np.asarray(got), x_np[sigma])
+
+    # shuffled-mesh composite vs the numpy oracle (take path)
+    mesh = shuffled_mesh(192, seed=7)
+    assert sr.plan_for(mesh.v2e) is not None
+
+    # pure gather through the routed plan: data MOVEMENT only -> must
+    # stay bitwise even on chip
+    psi_g = np.random.default_rng(5).random(mesh.n_vertices).astype(
+        np.float32
+    )
+    f = gtx.as_field((Vertex,), jnp.asarray(psi_g))
+    got_g = np.asarray(f.remap(mesh.e2v).asnumpy())
+    t_e2v = np.asarray(mesh.e2v.table)
+    np.testing.assert_array_equal(got_g, psi_g[t_e2v])
+    E2V = FieldOffset("E2V", source=Vertex, target=(Edge, E2VDim))
+    V2E = FieldOffset("V2E", source=Edge, target=(Vertex, V2EDim))
+
+    @gtx.field_operator
+    def gradient(
+        psi: Field[Dims[Vertex], gtx.float32],
+    ) -> Field[Dims[Edge], gtx.float32]:
+        return psi(E2V[1]) - psi(E2V[0])
+
+    @gtx.field_operator
+    def divergence(
+        flux: Field[Dims[Edge], gtx.float32],
+        sign: Field[Dims[Vertex, V2EDim], gtx.float32],
+    ) -> Field[Dims[Vertex], gtx.float32]:
+        return neighbor_sum(flux(V2E) * sign, axis=V2EDim)
+
+    provider = {"E2V": mesh.e2v, "V2E": mesh.v2e}
+    t = np.asarray(mesh.v2e.table)
+    first = np.asarray(mesh.e2v.table)[np.clip(t, 0, mesh.n_edges - 1), 0]
+    sign_np = np.where(
+        t == -1,
+        0.0,
+        np.where(first == np.arange(mesh.n_vertices)[:, None], 1.0, -1.0),
+    ).astype(np.float32)
+    psi_np = rng.random(mesh.n_vertices).astype(np.float32)
+
+    def run(backend, wrap):
+        psi = gtx.as_field((Vertex,), wrap(psi_np))
+        sign = gtx.as_field((Vertex, V2EDim), wrap(sign_np))
+        g = gradient.with_backend(backend)(psi, offset_provider=provider)
+        d = divergence.with_backend(backend)(g, sign, offset_provider=provider)
+        return np.asarray(d.asnumpy())
+
+    ref = run(backends.numpy_oracle, np.asarray)
+    got = run(backends.jax_jit, jnp.asarray)
+    # the composite's multiply+neighbor-sum fuses with excess-precision
+    # FMA on chip: a couple of f32 ulps vs the host oracle (the CPU
+    # suite checks the same composite BITWISE; chip run observed
+    # rel <= 2.3e-4 on near-cancelled sums)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-5)
