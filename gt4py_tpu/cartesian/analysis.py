@@ -296,12 +296,27 @@ def compute_extents(stencil: ir.Stencil) -> ExtentAnalysis:
     )
 
 
-def compute_k_boundary(stencil: ir.Stencil) -> Dict[str, Tuple[int, int]]:
-    """Per-API-field K halo requirement: how far reads reach below the
+def compute_k_boundary(
+    stencil: ir.Stencil, names=None, extents=None
+) -> Dict[str, Tuple[int, int]]:
+    """Per-field K halo requirement: how far reads reach below the
     domain start / above the domain end, accounting for section intervals
-    (reference: gtc/passes/gtir_k_boundary.py:73)."""
+    (reference: gtc/passes/gtir_k_boundary.py:73).  Defaults to the API
+    fields; pass ``names`` to analyze other fields (e.g. the program
+    splicer's cross-statement temporaries, where the interval-blind
+    extent hull would overstate demands of K-sectioned reads).
+
+    ``extents`` (a StencilExtents, normally the one analyze() computed):
+    statements evaluated over an EXTENDED region -- temporaries consumed
+    at offsets -- reach further than their reads' own K offsets say; the
+    per-statement evaluation extent composes into the demand.  Without
+    it, K windows sized by this function are silently overrun by
+    temp-composed reads (found by fuzz seed 4076: a concat_where
+    operator whose temporary is consumed at Ioff/Joff offsets built
+    mismatched per-field K windows)."""
     k_boundary: Dict[str, Tuple[int, int]] = {
-        name: (0, 0) for name in stencil.field_decls
+        name: (0, 0)
+        for name in (stencil.field_decls if names is None else names)
     }
     for loop in stencil.vertical_loops:
         for section in loop.sections:
@@ -309,6 +324,10 @@ def compute_k_boundary(stencil: ir.Stencil) -> Dict[str, Tuple[int, int]]:
                 continue  # conservative: no static K-halo contribution
             start, end = section.interval.start, section.interval.end
             for stmt in section.body:
+                se_lo = se_hi = 0
+                if extents is not None:
+                    se = extents.stmt_extent(stmt)
+                    se_lo, se_hi = se.k
                 for r in _stmt_reads(stmt):
                     if r.name not in k_boundary:
                         continue
@@ -317,11 +336,128 @@ def compute_k_boundary(stencil: ir.Stencil) -> Dict[str, Tuple[int, int]]:
                     dk = r.offset.k
                     lower, upper = k_boundary[r.name]
                     if start.level == ir.LevelMarker.START:
-                        lower = max(lower, -(start.offset + dk))
+                        lower = max(lower, -(start.offset + dk + se_lo))
                     if end.level == ir.LevelMarker.END:
-                        upper = max(upper, end.offset + dk)
+                        upper = max(upper, end.offset + dk + se_hi)
                     k_boundary[r.name] = (lower, upper)
     return k_boundary
+
+
+def compute_k_boundary_resolved(
+    stencil: ir.Stencil, dK: int, names=None, extents=None
+) -> Dict[str, Tuple[int, int]]:
+    """K halo requirement with the section intervals RESOLVED against a
+    concrete domain size.  The static :func:`compute_k_boundary` can
+    only account for START-anchored starts / END-anchored ends; a
+    section ending at a fixed offset from the START (concat_where cut
+    sections) reaches ``end + dk`` ABSOLUTE planes -- whether that
+    exceeds the domain depends on dK (fuzz seed 4076: a +2 read in a
+    [0, 4) section on a dK=5 domain reaches one plane past the end,
+    which the static form cannot express, silently truncating the
+    per-field K windows)."""
+    k_boundary: Dict[str, Tuple[int, int]] = {
+        name: (0, 0)
+        for name in (stencil.field_decls if names is None else names)
+    }
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            if section.interval.is_runtime:
+                continue
+            a, b = section.interval.resolve(dK, {})
+            a, b = max(a, 0), min(b, dK)
+            if b <= a:
+                continue
+            for stmt in section.body:
+                se_lo = se_hi = 0
+                if extents is not None:
+                    se = extents.stmt_extent(stmt)
+                    se_lo, se_hi = se.k
+                for r in _stmt_reads(stmt):
+                    if r.name not in k_boundary:
+                        continue
+                    if not isinstance(r.offset, ir.CartesianOffset):
+                        continue
+                    dk = r.offset.k
+                    lower, upper = k_boundary[r.name]
+                    lower = max(lower, -(a + dk + se_lo))
+                    upper = max(upper, (b + dk + se_hi) - dK)
+                    k_boundary[r.name] = (lower, upper)
+    return k_boundary
+
+
+#: VPU-cycle weights per IR operation for the speed-of-light model
+#: (docs/performance.md).  ADD/SUB/MUL/select/compare pipeline at one
+#: lane-op; division and transcendentals run multi-pass on the v5e VPU.
+_FLOP_WEIGHTS = {
+    ir.BinaryOperator.ADD: 1,
+    ir.BinaryOperator.SUB: 1,
+    ir.BinaryOperator.MUL: 1,
+    ir.BinaryOperator.DIV: 4,
+    ir.BinaryOperator.FLOOR_DIV: 5,
+    ir.BinaryOperator.MOD: 5,
+    ir.BinaryOperator.POW: 8,
+}
+_NATIVE_WEIGHTS = {
+    "sqrt": 4, "rsqrt": 4, "cbrt": 12, "exp": 8, "log": 8, "log10": 9,
+    "sin": 10, "cos": 10, "tan": 14, "asin": 12, "acos": 12, "atan": 12,
+    "sinh": 12, "cosh": 12, "tanh": 12, "asinh": 14, "acosh": 14,
+    "atanh": 14, "gamma": 24, "erf": 10, "erfc": 10, "pow": 8,
+    "mod": 5, "atan2": 14,
+}
+
+
+def estimate_flops_bytes(stencil: ir.Stencil, dK: int):
+    """First-order per-GRID-POINT cost model from the IR: VPU lane-op
+    count (weighted; see _FLOP_WEIGHTS) and HBM bytes (each API field
+    read or written once at its declared dtype; K-less fields amortize
+    over the column).  Statements in partial K sections count only
+    their K fraction.  Halo recompute amplification (O(halo/N)) and
+    DMA granularity are deliberately ignored -- this is the MODEL FLOOR
+    numerator, not a simulator.  Returns (flops_per_point, bytes_per_point).
+    """
+    flops = 0.0
+    analysis_reads: set = set()
+    analysis_writes: set = set()
+    for loop in stencil.vertical_loops:
+        for section in loop.sections:
+            if section.interval.is_runtime:
+                frac = 1.0
+            else:
+                a, b = section.interval.resolve(dK, {})
+                frac = max(0, min(b, dK) - max(a, 0)) / max(1, dK)
+            w = 0
+            for node in ir.walk_values(section.body):
+                if isinstance(node, ir.BinaryOp):
+                    w += _FLOP_WEIGHTS.get(node.op, 1)
+                elif isinstance(node, ir.UnaryOp):
+                    w += 1
+                elif isinstance(node, ir.TernaryOp):
+                    w += 1
+                elif isinstance(node, ir.NativeFuncCall):
+                    w += _NATIVE_WEIGHTS.get(
+                        getattr(node.func, "value", str(node.func)), 6
+                    )
+            flops += w * frac
+            for stmt in section.body:
+                for r in _stmt_reads(stmt):
+                    if r.name in stencil.field_decls:
+                        analysis_reads.add(r.name)
+                for wr in _stmt_writes(stmt):
+                    if wr.name in stencil.field_decls:
+                        analysis_writes.add(wr.name)
+    bytes_pp = 0.0
+    for name in analysis_reads | analysis_writes:
+        decl = stencil.field_decls[name]
+        item = np.dtype(decl.dtype).itemsize if decl.dtype is not None else 4
+        col = 1.0 if decl.dimensions[2] else 1.0 / max(1, dK)
+        n_dd = 1
+        for d in decl.data_dims or ():
+            n_dd *= d
+        if name in analysis_reads:
+            bytes_pp += item * col * n_dd
+        if name in analysis_writes:
+            bytes_pp += item * col * n_dd
+    return flops, bytes_pp
 
 
 def compute_min_k_size(stencil: ir.Stencil) -> int:
@@ -392,7 +528,7 @@ def analyze(stencil: ir.Stencil) -> StencilAnalysis:
     resolve_temp_dtypes(stencil)
     validation.validate(stencil)
     extents = compute_extents(stencil)
-    k_bounds = compute_k_boundary(stencil)
+    k_bounds = compute_k_boundary(stencil, extents=extents)
 
     read_fields: Dict[str, bool] = {}
     written_fields: Dict[str, bool] = {}

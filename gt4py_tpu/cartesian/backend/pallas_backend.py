@@ -1027,7 +1027,15 @@ class PallasBackend(JaxBackend):
         origins) become possible.  Nonuniform-K stencils keep the full
         column: their clipped gathers address the WHOLE buffer (oracle
         semantics clip at buffer edges, numpy_backend._eval_variable_k)."""
+        from gt4py_tpu.cartesian.analysis import compute_k_boundary_resolved
+
         dK = domain[2]
+        # dK-RESOLVED boundaries: sections ending at fixed offsets from
+        # START (concat_where cuts) have dK-dependent beyond-domain reach
+        # the static analysis.k_boundary cannot express (fuzz seed 4076)
+        kb_resolved = compute_k_boundary_resolved(
+            self.analysis.stencil, dK, extents=self.analysis.extents
+        )
         wins: Dict[str, Tuple[int, int]] = {}  # name -> (sk, okt)
         for name, m in metas.items():
             if m.shape[2] == 1:
@@ -1035,7 +1043,7 @@ class PallasBackend(JaxBackend):
             elif not k_win:
                 wins[name] = (m.shape[2], m.origin[2])
             else:
-                kb0, kb1 = self.analysis.k_boundary.get(name, (0, 0))
+                kb0, kb1 = kb_resolved.get(name, (0, 0))
                 wins[name] = (dK + kb0 + kb1, kb0)
         return wins
 
@@ -1462,6 +1470,12 @@ class PallasBackend(JaxBackend):
         # addressable, exactly like full-column mode B)
         k_tiled = mode_a and TK != dK
         khalos: Dict[str, Tuple[int, int]] = {}
+        if k_win:
+            from gt4py_tpu.cartesian.analysis import compute_k_boundary_resolved
+
+            kb_resolved = compute_k_boundary_resolved(
+                self.analysis.stencil, dK, extents=self.analysis.extents
+            )
         for name, m in metas.items():
             if k_tiled and m.shape[2] != 1:
                 e = ext.alloc_extent(name)
@@ -1469,7 +1483,7 @@ class PallasBackend(JaxBackend):
                 # k boundary equals the k extent hull
                 khalos[name] = (-e.k[0], e.k[1])
             elif k_win and m.shape[2] != 1:
-                khalos[name] = self.analysis.k_boundary.get(name, (0, 0))
+                khalos[name] = kb_resolved.get(name, (0, 0))
             else:
                 khalos[name] = (0, 0)
 

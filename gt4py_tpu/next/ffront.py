@@ -822,29 +822,51 @@ class Program:
         if not config.PROGRAM_FUSION:
             return False
         plans = self.__dict__.setdefault("_prog_bridge_plans", {})
-        key = id(typed)  # typed IRs are cached for the Program's lifetime
-        if key not in plans:
-            try:
-                plans[key] = pallas_bridge.lower_program(typed)
-            except pallas_bridge.Ineligible as ex:
-                pallas_bridge._record_fallback(
-                    self.__name__,
-                    f"program fusion: {ex}",
-                    warn=not getattr(ex, "quiet", False),
-                )
-                plans[key] = None
-        sched = plans[key]
-        if sched is None:
-            return False
         env = {p.name: a for p, a in zip(typed.params, merged)}
-        try:
-            insts = {
-                idx: pallas_bridge.prepare_program_plan(payload, env)
-                for idx, (kind, payload) in enumerate(sched.items)
-                if kind == "fused"
-            }
-        except pallas_bridge.Ineligible as ex:
-            pallas_bridge._record_fallback(self.__name__, f"program fusion: {ex}")
+        sched = insts = None
+        # two schedule tiers: FULL fusion (scan/concat_where statements
+        # join their segments) first; when an instance fails its
+        # per-call gates (e.g. a scan whose vertical range differs from
+        # the fused domain for THESE arguments), degrade to the
+        # conservative r4-style schedule (serial statements interpreted)
+        # instead of losing fusion wholesale.
+        for fuse_serial in (True, False):
+            key = (id(typed), fuse_serial)
+            if key not in plans:
+                try:
+                    plans[key] = pallas_bridge.lower_program(
+                        typed, fuse_serial=fuse_serial
+                    )
+                except pallas_bridge.Ineligible as ex:
+                    if fuse_serial:
+                        pallas_bridge._record_fallback(
+                            self.__name__,
+                            f"program fusion: {ex}",
+                            warn=not getattr(ex, "quiet", False),
+                        )
+                    plans[key] = None
+            cand = plans[key]
+            if cand is None:
+                continue
+            try:
+                insts = {
+                    idx: pallas_bridge.prepare_program_plan(payload, env)
+                    for idx, (kind, payload) in enumerate(cand.items)
+                    if kind == "fused"
+                }
+                sched = cand
+                break
+            except pallas_bridge.Ineligible as ex:
+                if fuse_serial:
+                    # quiet breadcrumb; the conservative tier follows
+                    pallas_bridge.FALLBACK_EVENTS.record(
+                        (self.__name__, f"fusion degraded: {ex}")
+                    )
+                else:
+                    pallas_bridge._record_fallback(
+                        self.__name__, f"program fusion: {ex}"
+                    )
+        if sched is None:
             return False
         interp_env = None
         for idx, (kind, payload) in enumerate(sched.items):

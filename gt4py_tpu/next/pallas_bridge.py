@@ -1141,6 +1141,24 @@ def lower_field_operator(typed: fvir.OperatorIR) -> BridgePlan:
     )
 
 
+def _cw_dce(stmts: List[ir.Stmt], out_names: set) -> List[ir.Stmt]:
+    """Per-section dead-code elimination: a statement only feeding the
+    INACTIVE branches of this section's concat_wheres must not execute
+    here -- the embedded executor never evaluates it on this K range,
+    and its reads may be out of bounds there (e.g. the interior branch
+    reading K-1 dropped from the surface section)."""
+    need: set = set()
+    keep: List[ir.Stmt] = []
+    for st in reversed(stmts):
+        t = st.target.name
+        if t in out_names or t in need:
+            need.discard(t)
+            keep.append(st)
+            need |= {a.name for a in ir.field_accesses(st.value)}
+    keep.reverse()
+    return keep
+
+
 def _instantiate_cw(plan: BridgePlan, k0: int, k1: int):
     """Build (and cache) the K-sectioned stencil for a concat_where plan
     over the kernel K window [k0, k1): one PARALLEL section per region
@@ -1165,21 +1183,7 @@ def _instantiate_cw(plan: BridgePlan, k0: int, k1: int):
     out_names = {nm for nm, _, _, _ in plan.outs}
 
     def _dce(stmts: List[ir.Stmt]) -> List[ir.Stmt]:
-        """Per-section dead-code elimination: a statement only feeding
-        the INACTIVE branches of this section's concat_wheres must not
-        execute here -- the embedded executor never evaluates it on this
-        K range, and its reads may be out of bounds there (e.g. the
-        interior branch reading K-1 dropped from the surface section)."""
-        need: set = set()
-        keep: List[ir.Stmt] = []
-        for st in reversed(stmts):
-            t = st.target.name
-            if t in out_names or t in need:
-                need.discard(t)
-                keep.append(st)
-                need |= {a.name for a in ir.field_accesses(st.value)}
-        keep.reverse()
-        return keep
+        return _cw_dce(stmts, out_names)
 
     edges = [k0] + sorted(cuts) + [k1]
     sections = []
@@ -1232,6 +1236,42 @@ def _instantiate_cw(plan: BridgePlan, k0: int, k1: int):
     return inst
 
 
+def _cw_k_window(plan: BridgePlan, fields: Dict[str, "Field"]):
+    """The concat_where result K window from the runtime domain algebra
+    (the embedded piece semantics) given the op's field arguments."""
+    INF = 1 << 60
+    kranges = {}
+    unplaceable = None
+    for n, dims, mask in plan.field_params:
+        f = fields[n]
+        for d, r in zip(f.domain.dims, f.domain.ranges):
+            if plan.axis_of[d.value] == 2:
+                lim = 1 << 40  # UnitRange.infinite() sentinels
+                # clamp each side independently: a range infinite on
+                # one side only still contributes its finite bound,
+                # so half-open field domains can plan a finite result
+                kranges[n] = (
+                    -INF if r.start < -lim else int(r.start),
+                    INF if r.stop > lim else int(r.stop),
+                )
+                if r.start < -lim:
+                    # data windows are placed from the range START;
+                    # an unbounded-below field cannot be windowed
+                    unplaceable = n
+    out_ks = _eval_recipes(plan.recipes, plan.out_recipes, kranges)
+    if unplaceable is not None:
+        raise Ineligible(
+            f"field '{unplaceable}' K range is unbounded below; its"
+            " data window cannot be placed"
+        )
+    if any(k != out_ks[0] for k in out_ks[1:]):
+        raise Ineligible("tuple members with differing concat_where domains")
+    k0, k1 = out_ks[0]
+    if k0 <= -(1 << 40) or k1 >= (1 << 40):
+        raise Ineligible("unbounded concat_where result domain")
+    return k0, k1
+
+
 def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
     """Execute a lowered operator on canonical (jax-converted) arguments.
 
@@ -1266,37 +1306,7 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
     if plan.cw_body is not None:
         # concat_where plans: the K window comes from the runtime domain
         # algebra (the embedded piece semantics), not the extent hull
-        INF = 1 << 60
-        kranges = {}
-        unplaceable = None
-        for n, dims, mask in plan.field_params:
-            f = fields[n]
-            for d, r in zip(f.domain.dims, f.domain.ranges):
-                if plan.axis_of[d.value] == 2:
-                    lim = 1 << 40  # UnitRange.infinite() sentinels
-                    # clamp each side independently: a range infinite on
-                    # one side only still contributes its finite bound,
-                    # so half-open field domains can plan a finite result
-                    kranges[n] = (
-                        -INF if r.start < -lim else int(r.start),
-                        INF if r.stop > lim else int(r.stop),
-                    )
-                    if r.start < -lim:
-                        # data windows are placed from the range START;
-                        # an unbounded-below field cannot be windowed
-                        unplaceable = n
-        out_ks = _eval_recipes(plan.recipes, plan.out_recipes, kranges)
-        if unplaceable is not None:
-            raise Ineligible(
-                f"field '{unplaceable}' K range is unbounded below; its"
-                " data window cannot be placed"
-            )
-        if any(k != out_ks[0] for k in out_ks[1:]):
-            raise Ineligible("tuple members with differing concat_where domains")
-        k0, k1 = out_ks[0]
-        if k0 <= -(1 << 40) or k1 >= (1 << 40):
-            raise Ineligible("unbounded concat_where result domain")
-        starts[2], stops[2] = k0, k1
+        starts[2], stops[2] = _cw_k_window(plan, fields)
 
     if restrict:
         # explicit out=+domain= restriction: intersect before planning
@@ -1350,6 +1360,16 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
     backend = plan.backend
     if plan.cw_body is not None:
         analysis2, backend = _instantiate_cw(plan, starts[2], stops[2])
+        from gt4py_tpu.cartesian.analysis import compute_k_boundary_resolved
+        from gt4py_tpu.cartesian.backend.pallas_backend import PallasBackend
+
+        if not isinstance(plan.backend, PallasBackend):
+            # strip variants re-target at the XLA executor: keep that
+            # choice for the sectioned form too (thin restricted runs)
+            backend = type(plan.backend)(analysis2, {})
+        kb_resolved = compute_k_boundary_resolved(
+            analysis2.stencil, domain[2], extents=analysis2.extents
+        )
         # per-section K reads must stay inside each argument's buffer
         # (interval-aware compute_k_boundary over the STATIC sections)
         for n, dims, mask in plan.field_params:
@@ -1358,7 +1378,7 @@ def run_plan(plan: BridgePlan, args: Tuple[Any, ...], restrict=None) -> Field:
             if 2 not in axes:
                 continue
             r = f.domain.ranges[axes.index(2)]
-            kb0, kb1 = analysis2.k_boundary.get(n, (0, 0))
+            kb0, kb1 = kb_resolved.get(n, (0, 0))
             org_k = starts[2] - r.start
             if org_k < kb0 or org_k + domain[2] + kb1 > len(r):
                 raise Ineligible(
@@ -1768,6 +1788,8 @@ class ProgramStmt:
     src: Optional[Any] = None
     #: scan statements splice as their own serial vertical loop
     is_scan: bool = False
+    #: concat_where statements splice as their own K-sectioned loop
+    is_cw: bool = False
 
 
 @dataclasses.dataclass
@@ -1791,10 +1813,12 @@ class ProgramSchedule:
     items: List[Tuple[str, Any]]
 
 
-def _lower_program_stmt(typed, st, axis_of) -> ProgramStmt:
+def _lower_program_stmt(typed, st, axis_of, fuse_serial=True) -> ProgramStmt:
     """Lower one ``op(args..., out=...)`` statement against (and
     extending) ``axis_of``; raises :class:`Ineligible` outside the
-    fusible subset."""
+    fusible subset.  ``fuse_serial=False`` declines scan/concat_where
+    statements (the conservative r4-style schedule used when a
+    full-fusion instance fails its per-call gates)."""
     from .ffront import FieldOperator, ScanOperator
 
     param_types = {p.name: p.type for p in typed.params}
@@ -1871,10 +1895,9 @@ def _lower_program_stmt(typed, st, axis_of) -> ProgramStmt:
         raise
     except Exception as ex:
         raise Ineligible(f"operator typing failed: {ex}") from ex
-    if getattr(plan, "cw_body", None) is not None:
-        # a concat_where operator has piecewise K domains; the
-        # program splicer assumes one rectangular write per member
-        raise Ineligible("concat_where operator inside a program")
+    is_cw = getattr(plan, "cw_body", None) is not None
+    if (is_scan or is_cw) and not fuse_serial:
+        raise Ineligible("serial/sectioned statement (conservative schedule)")
     # spliced bodies reuse each op's i/j/k offset meaning: the
     # dimension->axis maps must agree within a segment
     trial = dict(axis_of)
@@ -1908,6 +1931,7 @@ def _lower_program_stmt(typed, st, axis_of) -> ProgramStmt:
         targets,
         call.kwargs.get("domain"),
         is_scan=is_scan,
+        is_cw=is_cw,
     )
 
 
@@ -1960,7 +1984,7 @@ def _demote_shadowed_segments(items) -> None:
     items[:] = out
 
 
-def lower_program(typed: fvir.OperatorIR) -> ProgramSchedule:
+def lower_program(typed: fvir.OperatorIR, fuse_serial: bool = True) -> ProgramSchedule:
     """Structurally schedule a TYPED program for fusion: consecutive
     eligible operator statements group into fused segments (each ONE
     kernel + strips at run time); ineligible statements (scans,
@@ -1992,13 +2016,13 @@ def lower_program(typed: fvir.OperatorIR) -> ProgramSchedule:
         ):
             continue  # docstring no-op
         try:
-            ps = _lower_program_stmt(typed, st, cur_axis)
+            ps = _lower_program_stmt(typed, st, cur_axis, fuse_serial)
         except Ineligible:
             # maybe the statement only conflicts with THIS segment's
             # axis map: retry against a fresh one
             flush()
             try:
-                ps = _lower_program_stmt(typed, st, cur_axis)
+                ps = _lower_program_stmt(typed, st, cur_axis, fuse_serial)
             except Ineligible:
                 flush()
                 items.append(("interp", st))
@@ -2030,9 +2054,6 @@ class _MemberWrite:
     td: Dict[int, Tuple[int, int]]
     #: halo completion boxes: each a restrict list [(dval, lo, hi), ...]
     strips: List[List[Tuple[str, int, int]]]
-    #: scan out temp with NO cross-statement readers: its extents hold
-    #: only the scan's own carry offset (exempt from the G2 gate)
-    scan_self: bool = False
 
 
 @dataclasses.dataclass
@@ -2138,6 +2159,15 @@ def _build_instance(
     all_writes: List[List[dict]] = []
     for pstmt, dval in zip(pplan.stmts, dom_vals):
         starts, stops = _stmt_windows(pstmt, env)
+        if pstmt.is_cw:
+            # concat_where: the K window comes from the runtime piece
+            # algebra on the ARG domains, not the extent hull
+            by_name_cw = dict(zip(pstmt.plan.signature_order, pstmt.bindings))
+            cw_fields = {
+                n: env[by_name_cw[n][1]]
+                for n, _dims, _mask in pstmt.plan.field_params
+            }
+            starts[2], stops[2] = _cw_k_window(pstmt.plan, cw_fields)
         writes = []
         for mi, ((nm, dims, mask, dt), (prog_param, slices)) in enumerate(
             zip(pstmt.plan.outs, pstmt.targets)
@@ -2255,16 +2285,6 @@ def _build_instance(
     stmt_writes: List[List[_MemberWrite]] = []
     strip_plans: List[Optional[BridgePlan]] = []
 
-    #: params read by any LATER statement (scan carry-copy elision)
-    read_after: List[set] = []
-    later: set = set()
-    for pstmt in reversed(pplan.stmts):
-        read_after.append(set(later))
-        for kind, q in pstmt.bindings:
-            if kind == "field":
-                later.add(q)
-    read_after.reverse()
-
     for si, (pstmt, writes) in enumerate(zip(pplan.stmts, all_writes)):
         plan = pstmt.plan
         sten = copy.deepcopy(plan.stencil)
@@ -2305,30 +2325,9 @@ def _build_instance(
                 is_api=False,
             )
         mwrites: List[_MemberWrite] = []
-        scan_copy = pstmt.is_scan and any(
-            w["prog_param"] in read_after[si] for w in writes
-        )
         for w, (nm, dims, mask, dt) in zip(writes, plan.outs):
             tnew = f"__t{si}_{w['member_idx']}"
-            if scan_copy:
-                # the scan's K-carry reads its OWN out at k-+1; exporting
-                # that temp directly would make the stale-halo gate (G2)
-                # see a cross-statement K read that is really the carry.
-                # Thread the carry on an internal temp and copy each
-                # level into the exported one: consumers' extents stay
-                # clean and the copy is a per-level VMEM move.  Elided
-                # when NO later statement reads the scan's result (then
-                # the carry temp feeds the output directly).
-                cnew = f"__c{si}_{w['member_idx']}"
-                fmap[nm] = cnew
-                temp_decls[cnew] = ir.FieldDecl(
-                    name=cnew,
-                    dtype=dt,
-                    dimensions=(True, True, True),
-                    is_api=False,
-                )
-            else:
-                fmap[nm] = tnew
+            fmap[nm] = tnew
             temp_decls[tnew] = ir.FieldDecl(
                 name=tnew, dtype=dt, dimensions=(True, True, True), is_api=False
             )
@@ -2362,35 +2361,74 @@ def _build_instance(
                     "than the fused domain (carry would re-seed)"
                 )
             flush_parallel()
-            copies = (
-                [
-                    ir.Assign(
-                        target=ir.FieldAccess(
-                            name=f"__t{si}_{w['member_idx']}"
-                        ),
-                        value=ir.FieldAccess(name=fmap[nm]),
-                    )
-                    for w, (nm, _dims, _mask, _dt) in zip(writes, plan.outs)
-                ]
-                if scan_copy
-                else []
-            )
+            # the scan's K-carry self-read (k-+1 inside the serial
+            # sections) does NOT trip the stale-halo gate: G2's K demand
+            # is interval-aware (compute_k_boundary), and the carry
+            # offsets cancel against their sections' interval anchors
             for loop in sten.vertical_loops:
                 secs = []
                 for sec in loop.sections:
                     body = copy.deepcopy(sec.body)
                     _rename_accesses(body, fmap, smap)
                     secs.append(
-                        ir.VerticalSection(
-                            interval=sec.interval,
-                            body=body + copy.deepcopy(copies),
-                        )
+                        ir.VerticalSection(interval=sec.interval, body=body)
                     )
                 loops.append(ir.VerticalLoop(loop.loop_order, secs))
-            if scan_copy:
-                for w, (nm, _dims, _mask, _dt) in zip(writes, plan.outs):
-                    # consumers bind the exported temp, not the carry
-                    fmap[nm] = f"__t{si}_{w['member_idx']}"
+        elif pstmt.is_cw:
+            # concat_where statements splice as their own K-sectioned
+            # PARALLEL loop (the r4 per-operator section machinery over
+            # the fused K domain) -- boundary-condition programs keep
+            # fusion (VERDICT r4 #5).  Sections are relative to the
+            # kernel K domain, so the statement's K window must equal it
+            # (I/J halo regions still complete via strips).
+            for w in writes:
+                if w["td"].get(2) != D.get(2):
+                    raise Ineligible(
+                        "concat_where statement K window differs from the "
+                        "fused domain"
+                    )
+            flush_parallel()
+            k0, k1 = D[2]
+            cuts = set()
+            for entry in plan.cw_body:
+                if isinstance(entry, CwSlot):
+                    for bnd in (entry.lo, entry.hi):
+                        if bnd is not None and k0 < bnd < k1:
+                            cuts.add(bnd)
+            out_nm = {nm for nm, _d, _m, _t in plan.outs}
+            edges = [k0] + sorted(cuts) + [k1]
+            secs = []
+            for a, b in zip(edges, edges[1:]):
+                body_r: List[ir.Stmt] = []
+                for entry in plan.cw_body:
+                    if isinstance(entry, CwSlot):
+                        active = (entry.lo is None or entry.lo <= a) and (
+                            entry.hi is None or b <= entry.hi
+                        )
+                        body_r.append(
+                            ir.Assign(
+                                target=ir.FieldAccess(name=entry.target),
+                                value=copy.deepcopy(
+                                    entry.t_expr if active else entry.f_expr
+                                ),
+                            )
+                        )
+                    else:
+                        body_r.append(copy.deepcopy(entry))
+                body_r = _cw_dce(body_r, out_nm)
+                _rename_accesses(body_r, fmap, smap)
+                secs.append(
+                    ir.VerticalSection(
+                        interval=ir.Interval(
+                            ir.AxisBound.start(a - k0),
+                            ir.AxisBound.start(b - k0)
+                            if b < k1
+                            else ir.AxisBound.end(0),
+                        ),
+                        body=body_r,
+                    )
+                )
+            loops.append(ir.VerticalLoop(ir.LoopOrder.PARALLEL, secs))
         else:
             body = [
                 s
@@ -2443,7 +2481,6 @@ def _build_instance(
                     dtype=dt,
                     td=w["td"],
                     strips=strips,
-                    scan_self=pstmt.is_scan and not scan_copy,
                 )
             )
             current[w["prog_param"]] = tnew
@@ -2476,15 +2513,25 @@ def _build_instance(
     # ---- gates on the static domains ---- #
     ext = analysis.extents
     # (G2) every cross-statement read of an intermediate must land inside
-    # the producer's written region: demand(temp) within td - D
+    # the producer's written region: demand(temp) within td - D.  The K
+    # demand uses the INTERVAL-AWARE k_boundary (K-sectioned reads --
+    # concat_where interior branches, scan seeds -- demand less than the
+    # extent hull says).
+    from gt4py_tpu.cartesian.analysis import compute_k_boundary_resolved
+
+    kb = compute_k_boundary_resolved(
+        stencil,
+        domain[2],
+        names=[m.temp_name for writes in stmt_writes for m in writes],
+        extents=ext,
+    )
     for writes in stmt_writes:
         for m in writes:
-            if m.scan_self:
-                continue  # only the scan's own carry reads this temp
             fe = ext.field_extents.get(m.temp_name)
             if fe is None:
                 continue
-            spans = (fe.i, fe.j, fe.k)
+            kb0, kb1 = kb.get(m.temp_name, (0, 0))
+            spans = (fe.i, fe.j, (-kb0, kb1))
             for ax in m.td:
                 lo, hi = spans[ax]
                 e_lo = m.td[ax][0] - D[ax][0]

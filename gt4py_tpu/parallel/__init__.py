@@ -20,6 +20,7 @@ levels fit comfortably (SURVEY.md §5 "long-context analog").
 from .mesh import CartesianMesh  # noqa: F401
 from .halo import (  # noqa: F401
     from_extended,
+    halo_comm_bytes,
     halo_exchange,
     overlapped_shard_map_stencil,
     shard_map_stencil,

@@ -61,6 +61,7 @@ def halo_exchange(
     spatial_axes=(0, 1),
     periodic: Tuple[bool, bool] = (True, True),
     boundary: str = "zero",
+    wire_dtype=None,
 ):
     """Swap halos of a local block with mesh neighbors.
 
@@ -70,6 +71,16 @@ def halo_exchange(
     ring vs open topology per mesh axis; open edges fill their outer halo
     per ``boundary`` ("zero" | "clamp").  Must run inside ``shard_map``
     over a mesh with the given axes.
+
+    ``wire_dtype`` (e.g. ``jnp.bfloat16``) casts the exchanged edge
+    strips to a narrower WIRE format before the ppermute and back to the
+    block dtype on arrival: the interior compute stays full precision,
+    only the halo values round once -- halving (f32) or quartering (f64)
+    the ICI/DCN bytes per exchange.  This is where 16-bit formats
+    actually pay on v5e (kernel time does not: the fused kernels are
+    compute-bound, docs/performance.md round-4 section 6).  Single-shard
+    wrap/boundary fills apply the same rounding so an N=1 mesh axis is
+    bit-identical to an N>1 one.
     """
     import jax
     from jax import lax
@@ -80,6 +91,14 @@ def halo_exchange(
 
     hi, hj = halo
 
+    def _wire(strip):
+        if wire_dtype is None or strip.dtype == jnp.dtype(wire_dtype):
+            return strip
+        return strip.astype(wire_dtype)
+
+    def _unwire(strip):
+        return strip if wire_dtype is None else strip.astype(local.dtype)
+
     def _exchange_axis(block, h, mesh_axis, array_axis, wrap):
         if h == 0:
             return block
@@ -88,8 +107,8 @@ def halo_exchange(
         if n == 1:
             if wrap:
                 interior = _slice_axis(block, array_axis, h, -h)
-                lo_strip = _slice_axis(interior, array_axis, 0, h)
-                hi_strip = _slice_axis(interior, array_axis, -h, None)
+                lo_strip = _unwire(_wire(_slice_axis(interior, array_axis, 0, h)))
+                hi_strip = _unwire(_wire(_slice_axis(interior, array_axis, -h, None)))
                 block = _set_axis(block, array_axis, slice(0, h), hi_strip)
                 block = _set_axis(
                     block, array_axis, _end_slice(block, array_axis, h), lo_strip
@@ -117,11 +136,11 @@ def halo_exchange(
         fwd = [(i, (i + 1) % n) for i in range(n if wrap else n - 1)]
         bwd = [(i, (i - 1) % n) for i in range(n) if wrap or i > 0]
         # my interior high edge -> right neighbor's low halo
-        hi_edge = _slice_axis(block, array_axis, -2 * h, -h)
-        lo_halo = lax.ppermute(hi_edge, mesh_axis, fwd)
+        hi_edge = _wire(_slice_axis(block, array_axis, -2 * h, -h))
+        lo_halo = _unwire(lax.ppermute(hi_edge, mesh_axis, fwd))
         # my interior low edge -> left neighbor's high halo
-        lo_edge = _slice_axis(block, array_axis, h, 2 * h)
-        hi_halo = lax.ppermute(lo_edge, mesh_axis, bwd)
+        lo_edge = _wire(_slice_axis(block, array_axis, h, 2 * h))
+        hi_halo = _unwire(lax.ppermute(lo_edge, mesh_axis, bwd))
         if not wrap and boundary == "clamp":
             # edge shards received zeros (ppermute no-sender); replace with
             # their own edge plane (zero-gradient)
@@ -164,6 +183,7 @@ def shard_map_stencil(
     periodic: Tuple[bool, bool] = (True, True),
     boundary: str = "zero",
     extended_state: bool = False,
+    halo_wire_dtype=None,
 ):
     """Wrap a local stencil function into a sharded step.
 
@@ -203,6 +223,7 @@ def shard_map_stencil(
             padded[name] = halo_exchange(
                 arr, halo, spatial_axes=spatial_axes,
                 periodic=periodic, boundary=boundary,
+                wire_dtype=halo_wire_dtype,
             )
         out = stencil_fn(**padded, **scalars)
         merged = dict(padded)
@@ -253,6 +274,7 @@ def overlapped_shard_map_stencil(
     boundary: str = "zero",
     extended_state: bool = False,
     local_shape: Tuple[int, int],
+    halo_wire_dtype=None,
 ):
     """Sharded step with communication/computation overlap.
 
@@ -314,6 +336,7 @@ def overlapped_shard_map_stencil(
             name: halo_exchange(
                 arr, halo, spatial_axes=spatial_axes,
                 periodic=periodic, boundary=boundary,
+                wire_dtype=halo_wire_dtype,
             )
             for name, arr in stale.items()
         }
@@ -399,3 +422,24 @@ def from_extended(cmesh, array, halo: Tuple[int, int], spatial_axes=(0, 1)):
     return jax.shard_map(
         crop, mesh=cmesh.mesh, in_specs=(spec,), out_specs=spec, check_vma=False
     )(array)
+
+
+def halo_comm_bytes(
+    local_shape, halo: Tuple[int, int], dtype, spatial_axes=(0, 1),
+    wire_dtype=None, n_fields: int = 1,
+) -> int:
+    """ICI/DCN bytes ONE halo_exchange moves per device per step: two
+    directions per mesh axis, strips of the halo width times the other
+    dimensions, at the WIRE dtype.  The accounting behind the bf16-wire
+    claim (docs/performance.md): f32 payloads halve on the wire."""
+    import numpy as np
+
+    item = np.dtype(wire_dtype if wire_dtype is not None else dtype).itemsize
+    hi, hj = halo
+    other = 1
+    for ax, n in enumerate(local_shape):
+        if ax not in spatial_axes:
+            other *= n
+    ni, nj = local_shape[spatial_axes[0]], local_shape[spatial_axes[1]]
+    per_field = 2 * (hi * nj + hj * ni) * other * item
+    return per_field * n_fields

@@ -16,7 +16,7 @@ import numpy as np
 import pytest
 
 import gt4py_tpu.next as gtx
-from gt4py_tpu.next import Dims, Field, backends, program, where
+from gt4py_tpu.next import Dims, Field, backends, concat_where, program, where
 from gt4py_tpu.next import pallas_bridge
 
 I = gtx.Dimension("I")
@@ -24,6 +24,7 @@ J = gtx.Dimension("J")
 K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
 Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
 Joff = gtx.FieldOffset("Joff", source=J, target=(J,))
+Koff = gtx.FieldOffset("Koff", source=K, target=(K,))
 F = Field[Dims[I, J, K], gtx.float64]
 U = gtx.UnitRange
 
@@ -500,6 +501,96 @@ def test_truncating_scan_k_domain_falls_back():
         c = _fld(0, N, 0, M)
         o = _fld(0, N, 0, M)
         scan_trunc_prog.with_backend(backend)(a, c, o)
+        return [c, o]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        refs = run(backends.numpy_oracle)
+        gots = run("pallas")
+    for name, r, g in zip(("c", "o"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+# ------------------- concat_where statements in fusion ------------------- #
+
+
+@gtx.field_operator
+def interior_lap(t: F) -> F:
+    return t(Ioff[1]) + t(Ioff[-1]) - 2.0 * t
+
+
+@gtx.field_operator
+def bc_op(lap: F, sfc: F) -> F:
+    return concat_where(K < 1, sfc * 10.0, lap(Koff[-1]) + lap)
+
+
+@gtx.field_operator
+def half_op(t: F, b: F) -> F:
+    return t - 0.5 * b
+
+
+@program
+def bc_prog(t: F, sfc: F, lap: F, b: F, o: F):
+    interior_lap(t, out=lap, domain={I: (0, 24), J: (0, 20), K: (0, 5)})
+    bc_op(lap, sfc, out=b)
+    half_op(t, b, out=o)
+
+
+def test_concat_where_statement_fuses():
+    """VERDICT r4 #5: the boundary-condition pattern -- interior stencil,
+    concat_where surface/interior select (whose interior branch reads
+    K-1, legal only through the K sections), pointwise update -- fuses
+    into ONE kernel; parity is exact vs the embedded oracle."""
+
+    def run(backend):
+        t = _fld(-1, N + 1, 0, M, seed=41)
+        sfc = _fld(0, N, 0, M, seed=42)
+        lap = gtx.Field(
+            gtx.Domain((I, J, K), (U(0, N), U(0, M), U(-1, NK))),
+            np.zeros((N, M, NK + 1)),
+        )
+        b = _fld(0, N, 0, M)
+        o = _fld(0, N, 0, M)
+        prog = bc_prog.with_backend(backend)
+        prog(t, sfc, lap, b, o)
+        return prog, [lap, b, o]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, refs = run(backends.numpy_oracle)
+        cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+        pr, gots = run("pallas")
+        assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    sched = _schedule(pr)
+    assert sched is not None and [k for k, _ in sched.items] == ["fused"]
+    assert [ps.is_cw for ps in sched.items[0][1].stmts] == [False, True, False]
+    for name, r, g in zip(("lap", "b", "o"), refs, gots):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=1e-12, atol=0, err_msg=name
+        )
+
+
+@gtx.field_operator
+def cw_plain_op(a: F) -> F:
+    return concat_where(K < 1, a * 10.0, a + 1.0)
+
+
+@program
+def cw_mismatch_prog(a: F, c: F, o: F):
+    # the cw statement's K window [0, NK) differs from the second
+    # statement's restricted K domain -> per-call fallback, same values
+    cw_plain_op(a, out=c)
+    scale_op(c, 2.0, out=o, domain={I: (0, 24), J: (0, 20), K: (1, 4)})
+
+
+def test_concat_where_k_window_mismatch_falls_back():
+    def run(backend):
+        a = _fld(0, N, 0, M, seed=43)
+        c = _fld(0, N, 0, M)
+        o = _fld(0, N, 0, M)
+        cw_mismatch_prog.with_backend(backend)(a, c, o)
         return [c, o]
 
     with warnings.catch_warnings():

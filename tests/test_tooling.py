@@ -214,3 +214,29 @@ def test_fallback_warning_fires_once():
     msgs = [w for w in rec if issubclass(w.category, config.PerformanceFallbackWarning)]
     assert len(msgs) == 2
     assert "staged-XLA" in str(msgs[0].message)
+
+
+def test_estimate_flops_bytes():
+    """The SOL model's IR accounting (tools/sol_table.py): weighted ops,
+    once-per-field bytes, partial-K proration."""
+    import numpy as np
+
+    from gt4py_tpu.cartesian import gtscript
+    from gt4py_tpu.cartesian.analysis import estimate_flops_bytes
+    from gt4py_tpu.cartesian.gtscript import PARALLEL, computation, interval, sqrt
+
+    @gtscript.stencil(backend="numpy")
+    def st(a: gtscript.Field[np.float32], b: gtscript.Field[np.float32]):
+        with computation(PARALLEL):
+            with interval(0, 1):
+                b = sqrt(a) + a / a
+            with interval(...):
+                b = a * 2.0 + a[1, 0, 0]
+
+    ir_st = st.analysis.stencil
+    flops, bytes_pp = estimate_flops_bytes(ir_st, 10)
+    # full-interval stmt: MUL(1) + ADD(1) = 2; [0,1) stmt: sqrt(4) +
+    # DIV(4) + ADD(1) = 9 prorated by 1/10
+    assert abs(flops - (2.0 + 0.9)) < 1e-9, flops
+    # a read + b written, f32
+    assert bytes_pp == 8.0, bytes_pp

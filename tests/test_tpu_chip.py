@@ -859,3 +859,88 @@ def test_sort_route_benes_on_chip():
     # suite checks the same composite BITWISE; chip run observed
     # rel <= 2.3e-4 on near-cancelled sums)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-5)
+
+
+def test_next_program_scan_and_cw_fusion_on_chip():
+    """r5 fused-program splicing on real Mosaic: a scan statement (own
+    serial loop) and a concat_where statement (K-sectioned loop) inside
+    fused programs; values vs the embedded oracle."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import (
+        Dims,
+        Field,
+        backends,
+        concat_where,
+        pallas_bridge,
+        program,
+    )
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Ioff = gtx.FieldOffset("Ioff", source=I, target=(I,))
+    Koff = gtx.FieldOffset("Koff", source=K, target=(K,))
+    F = Field[Dims[I, J, K], gtx.float32]
+    U = gtx.UnitRange
+    N, M, NK = 24, 256, 6
+
+    @gtx.field_operator
+    def lap_op(t: F) -> F:
+        return t(Ioff[1]) + t(Ioff[-1]) - 2.0 * t
+
+    @gtx.scan_operator(axis=K, forward=True, init=0.0)
+    def integ(c: gtx.float32, x: gtx.float32) -> gtx.float32:
+        return c * 0.9 + x
+
+    @gtx.field_operator
+    def bc_op(lap: F, sfc: F) -> F:
+        return concat_where(K < 1, sfc * 10.0, lap(Koff[-1]) + lap)
+
+    @gtx.field_operator
+    def upd(t: F, b: F) -> F:
+        return t - 0.5 * b
+
+    @program
+    def mixprog(t: F, sfc: F, lap: F, acc: F, b: F, o: F):
+        lap_op(t, out=lap, domain={I: (0, 24), J: (0, 256), K: (0, 6)})
+        integ(lap, out=acc)
+        bc_op(acc, sfc, out=b)
+        upd(t, b, out=o)
+
+    rng = np.random.default_rng(55)
+
+    def mk(wrap):
+        full = gtx.Domain((I, J, K), (U(-1, N + 1), U(0, M), U(0, NK)))
+        interior = gtx.Domain((I, J, K), (U(0, N), U(0, M), U(0, NK)))
+        acc_dom = gtx.Domain((I, J, K), (U(0, N), U(0, M), U(-1, NK)))
+        t = wrap(rng.random((N + 2, M, NK)).astype(np.float32))
+        sfc = wrap(rng.random((N, M, NK)).astype(np.float32))
+        z = lambda s: wrap(np.zeros(s, np.float32))
+        return (
+            gtx.Field(full, t),
+            gtx.Field(interior, sfc),
+            gtx.Field(interior, z((N, M, NK))),
+            gtx.Field(acc_dom, z((N, M, NK + 1))),
+            gtx.Field(interior, z((N, M, NK))),
+            gtx.Field(interior, z((N, M, NK))),
+        )
+
+    rng = np.random.default_rng(55)
+    refs = mk(np.asarray)
+    mixprog.with_backend(backends.numpy_oracle)(*refs)
+    rng = np.random.default_rng(55)
+    gots = mk(jnp.asarray)
+    cur = pallas_bridge.FALLBACK_EVENTS.cursor()
+    p = mixprog.with_backend("pallas")
+    p(*gots)
+    assert not pallas_bridge.FALLBACK_EVENTS.since(cur)
+    sched = next(
+        v for v in p.__dict__["_prog_bridge_plans"].values() if v is not None
+    )
+    assert [k for k, _ in sched.items] == ["fused"]
+    for name, r, g in zip(("lap", "acc", "b", "o"), refs[2:], gots[2:]):
+        np.testing.assert_allclose(
+            g.asnumpy(), r.asnumpy(), rtol=2e-4, atol=1e-5, err_msg=name
+        )
