@@ -218,6 +218,105 @@ def make_vadv_update(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
     return vertical_advection_update
 
 
+def make_dycore_fused(dtype, backend="jax", *, bet_m=0.5, bet_p=0.5):
+    """The WHOLE dycore step as ONE stencil: horizontal diffusion
+    (PARALLEL) feeding the vertical-advection tridiagonal solve
+    (FORWARD+BACKWARD) and the prognostic update -- the diffused stage
+    becomes an in-kernel TEMPORARY instead of an HBM round trip, and
+    ``u`` is read once instead of twice.  Named by the r5 SOL table
+    (docs/performance.md): the 2-kernel step is traffic-bound at ~50%
+    attained with 40 bytes/pt; this form models at 28 bytes/pt."""
+    Field = gtscript.Field[dtype]
+
+    @gtscript.stencil(
+        backend=backend,
+        name=f"dycore_fused_{np.dtype(dtype).name}",
+        externals={"BET_M": bet_m, "BET_P": bet_p},
+        literal_precision=_literal_precision(dtype),
+    )
+    def dycore_fused(
+        u: Field,
+        coeff: Field,
+        wcon: Field,
+        utens: Field,
+        utens_stage: Field,
+        u_out: Field,
+        *,
+        dtr_stage: dtype,
+    ):
+        from __externals__ import BET_M, BET_P
+
+        with computation(PARALLEL), interval(...):
+            lap_field = 4.0 * u[0, 0, 0] - (
+                u[1, 0, 0] + u[-1, 0, 0] + u[0, 1, 0] + u[0, -1, 0]
+            )
+            res = lap_field[1, 0, 0] - lap_field[0, 0, 0]
+            flx_field = 0 if (res * (u[1, 0, 0] - u[0, 0, 0])) > 0 else res
+            res = lap_field[0, 1, 0] - lap_field[0, 0, 0]
+            fly_field = 0 if (res * (u[0, 1, 0] - u[0, 0, 0])) > 0 else res
+            u_stage = u[0, 0, 0] - coeff[0, 0, 0] * (
+                flx_field[0, 0, 0] - flx_field[-1, 0, 0]
+                + fly_field[0, 0, 0] - fly_field[0, -1, 0]
+            )
+
+        with computation(FORWARD):
+            with interval(0, 1):
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+                cs = gcv * BET_M
+                ccol = gcv * BET_P
+                bcol = dtr_stage - ccol[0, 0, 0]
+                correction_term = -cs * (u_stage[0, 0, 1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_stage[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / bcol[0, 0, 0]
+                ccol = ccol[0, 0, 0] * divided
+                dcol = dcol[0, 0, 0] * divided
+            with interval(1, -1):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                gcv = 0.25 * (wcon[1, 0, 1] + wcon[0, 0, 1])
+                as_ = gav * BET_M
+                cs = gcv * BET_M
+                acol = gav * BET_P
+                ccol = gcv * BET_P
+                bcol = dtr_stage - acol[0, 0, 0] - ccol[0, 0, 0]
+                correction_term = -as_ * (
+                    u_stage[0, 0, -1] - u_stage[0, 0, 0]
+                ) - cs * (u_stage[0, 0, 1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_stage[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                ccol = ccol[0, 0, 0] * divided
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+            with interval(-1, None):
+                gav = -0.25 * (wcon[1, 0, 0] + wcon[0, 0, 0])
+                as_ = gav * BET_M
+                acol = gav * BET_P
+                bcol = dtr_stage - acol[0, 0, 0]
+                correction_term = -as_ * (u_stage[0, 0, -1] - u_stage[0, 0, 0])
+                dcol = (
+                    dtr_stage * u_stage[0, 0, 0] + utens[0, 0, 0]
+                    + utens_stage[0, 0, 0] + correction_term
+                )
+                divided = 1.0 / (bcol[0, 0, 0] - ccol[0, 0, -1] * acol[0, 0, 0])
+                dcol = (dcol[0, 0, 0] - (dcol[0, 0, -1]) * acol[0, 0, 0]) * divided
+
+        with computation(BACKWARD):
+            with interval(-1, None):
+                datacol = dcol[0, 0, 0]
+                utens_stage = dtr_stage * (datacol - u_stage[0, 0, 0])
+                u_out = u_stage[0, 0, 0] + utens_stage[0, 0, 0] * (1.0 / dtr_stage)
+            with interval(0, -1):
+                datacol = dcol[0, 0, 0] - ccol[0, 0, 0] * datacol[0, 0, 1]
+                utens_stage = dtr_stage * (datacol - u_stage[0, 0, 0])
+                u_out = u_stage[0, 0, 0] + utens_stage[0, 0, 0] * (1.0 / dtr_stage)
+
+    return dycore_fused
+
+
 def periodic_fill(arr, h: int, ni: int, nj: int, oi: int = None, oj: int = None):
     """Fill I/J halos (width h) of a physical (K, I, J) array periodically
     (axes 1=I, 2=J).  ``ni``/``nj`` are the DOMAIN sizes and must be passed
@@ -298,6 +397,11 @@ class MiniDycore:
         # tile DMA -- the step then needs no explicit fill passes
         self.hdiff_fn_p = self.hdiff.functional(**kw, periodic=("I", "J"))
         self.vadv_upd_fn_p = self.vadv_upd.functional(**kw, periodic=("I", "J"))
+        # single-kernel form (SOL-table lever): diffusion feeds the
+        # tridiagonal solve through an in-VMEM temp -- 28 bytes/pt vs 40
+        self.fused = make_dycore_fused(dtype, backend)
+        self.fused_fn = self.fused.functional(**kw)
+        self.fused_fn_p = self.fused.functional(**kw, periodic=("I", "J"))
 
     def field_shape(self) -> Tuple[int, int, int]:
         """Physical (K, I, J) buffer shape (see aligned_field_shape)."""
@@ -322,11 +426,34 @@ class MiniDycore:
     #: +-2, vadv wcon at i+1) -- the only ones whose halos a step needs
     FILL_FIELDS = ("u", "wcon")
 
-    def step_fn(self, *, fill_halos: bool = True, dtr_stage: float = 3.0):
+    def step_fn(self, *, fill_halos: bool = True, dtr_stage: float = 3.0,
+                fused: bool = False):
         """``fill_halos=True``: periodic boundaries, handled as a stencil
         execution option (reads wrap in the kernels' tile DMA -- no fill
         passes).  ``fill_halos=False``: halos assumed pre-filled by the
-        shard_map halo exchange; plain stencils."""
+        shard_map halo exchange; plain stencils.  ``fused=True``: the
+        whole step as ONE kernel (make_dycore_fused)."""
+        if fused:
+            fn = self.fused_fn_p if fill_halos else self.fused_fn
+
+            def step(state: Dict) -> Dict:
+                import jax.numpy as jnp
+
+                outs = fn(
+                    u=state["u"],
+                    coeff=state["coeff"],
+                    wcon=state["wcon"],
+                    utens=state["utens"],
+                    utens_stage=state["utens_stage"],
+                    u_out=state["u"],
+                    dtr_stage=jnp.asarray(dtr_stage, dtype=self.dtype),
+                )
+                new_state = dict(state)
+                new_state["u"] = outs["u_out"]
+                new_state["utens_stage"] = outs["utens_stage"]
+                return new_state
+
+            return step
         hdiff_fn = self.hdiff_fn_p if fill_halos else self.hdiff_fn
         vadv_upd_fn = self.vadv_upd_fn_p if fill_halos else self.vadv_upd_fn
         return self._make_step(hdiff_fn, vadv_upd_fn, dtr_stage)

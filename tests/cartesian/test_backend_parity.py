@@ -94,3 +94,25 @@ def test_backend_parity_with_halo(name, backend):
             atol=1e-12,
             err_msg=f"{name}.{fname} halo-run mismatch on backend {backend}",
         )
+
+
+def test_dycore_fused_single_kernel_matches_two_kernel():
+    """models.dycore.make_dycore_fused (the SOL-table lever): the
+    single-stencil form equals the hdiff -> vadv_update composition on
+    the jax backend (f32 ulps; the diffused stage becomes a temp)."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models.dycore import MiniDycore
+
+    m = MiniDycore(16, 128, 6, dtype=np.float32, backend="jax", aligned=True)
+    st = {k: jnp.asarray(v) for k, v in m.init_state(seed=3).items()}
+    out2 = m.step_fn()(dict(st))
+    out1 = m.step_fn(fused=True)(dict(st))
+    for k in ("u", "utens_stage"):
+        np.testing.assert_allclose(
+            np.asarray(out1[k]),
+            np.asarray(out2[k]),
+            rtol=3e-6,
+            atol=3e-6,
+            err_msg=k,
+        )
