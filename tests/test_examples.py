@@ -13,7 +13,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
 
 @pytest.mark.parametrize(
     "script",
-    ["next_quickstart.py", "unstructured_fvm.py", "laplacian_cartesian_vs_next.py"],
+    ["next_quickstart.py", "unstructured_fvm.py", "laplacian_cartesian_vs_next.py", "cartesian_tutorial.py"],
 )
 def test_example_runs(script):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
