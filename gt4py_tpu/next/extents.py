@@ -237,6 +237,29 @@ class _ExtentAnalysis:
                 return _full(merged, at.codomain)
         if fname in (fb.as_offset,):
             return merged  # the index field itself
+        if fname in (fb.concat_where,) and merged is not None:
+            # piecewise semantics: a branch's VERTICAL offsets apply only
+            # on its K pieces, so the hull over-states the demand (the
+            # classic interior branch reading K-1 under `K < 1` needs NO
+            # extra plane).  Mark non-zero vertical extents FULL: the
+            # domain checker then leaves validation to the runtime piece
+            # algebra (bridge recipes / embedded intersection), which is
+            # exact and raises located errors.
+            from .common import DimensionKind
+
+            return {
+                param: {
+                    d: (
+                        FULL
+                        if d.kind == DimensionKind.VERTICAL
+                        and e is not FULL
+                        and e != (0, 0)
+                        else e
+                    )
+                    for d, e in dims.items()
+                }
+                for param, dims in merged.items()
+            }
         return merged
 
 

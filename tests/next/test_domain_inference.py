@@ -148,3 +148,53 @@ def test_program_dict_domain_literal():
         @program
         def bad2(x: IJ, o: IJ):
             shift(x, out=o, domain={I: (0.0, 4.0)})
+
+
+def test_concat_where_vertical_demand_is_piecewise():
+    """The domain checker must NOT hull a concat_where branch's vertical
+    offsets over the whole out domain: the interior branch's K-1 read
+    under ``K < 1`` needs no extra plane (runtime piece algebra
+    validates exactly).  r5: previously such programs were rejected with
+    'must cover K[-1:...)' unless the caller passed domain=."""
+    import jax.numpy as jnp
+
+    import gt4py_tpu.next as gtx
+    from gt4py_tpu.next import Dims, Field, backends, concat_where, program
+
+    I = gtx.Dimension("I")
+    J = gtx.Dimension("J")
+    K = gtx.Dimension("K", kind=gtx.DimensionKind.VERTICAL)
+    Koff = gtx.FieldOffset("Koff", source=K, target=(K,))
+    F = Field[Dims[I, J, K], gtx.float64]
+
+    @gtx.field_operator
+    def bc_op(lap: F, sfc: F) -> F:
+        return concat_where(K < 1, sfc * 10.0, lap(Koff[-1]) + lap)
+
+    @program
+    def prog(lap: F, sfc: F, b: F):
+        bc_op(lap, sfc, out=b)
+
+    N, M, NK = 8, 6, 5
+    rng = np.random.default_rng(0)
+
+    def mk(wrap):
+        dom = gtx.Domain(
+            (I, J, K),
+            (gtx.UnitRange(0, N), gtx.UnitRange(0, M), gtx.UnitRange(0, NK)),
+        )
+        return (
+            gtx.Field(dom, wrap(rng.random((N, M, NK)))),
+            gtx.Field(dom, wrap(rng.random((N, M, NK)))),
+            gtx.Field(dom, wrap(np.zeros((N, M, NK)))),
+        )
+
+    rng = np.random.default_rng(0)
+    refs = mk(np.asarray)
+    prog.with_backend(backends.numpy_oracle)(*refs)  # exact-cover buffers pass
+    rng = np.random.default_rng(0)
+    gots = mk(jnp.asarray)
+    prog.with_backend(backends.jax_jit)(*gots)
+    np.testing.assert_allclose(
+        gots[2].asnumpy(), refs[2].asnumpy(), rtol=1e-12, atol=0
+    )
