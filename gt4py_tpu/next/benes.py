@@ -145,8 +145,15 @@ def _pack_ctrl(ctrl_stages: np.ndarray) -> np.ndarray:
 
 def _plan(keys_np: np.ndarray):
     """Executor plan for the permutation encoded by sort keys
-    (dest[j] = src[sigma(j)] with keys = sigma^{-1})."""
-    token = (id(keys_np), keys_np.shape[0])
+    (dest[j] = src[sigma(j)] with keys = sigma^{-1}).  The cache token
+    includes a strided content sample: id() alone is unsafe across
+    allocator reuse (same hazard class as affine_remap.table_token)."""
+    step = max(1, keys_np.shape[0] // 64)
+    token = (
+        id(keys_np),
+        keys_np.shape[0],
+        hash(np.ascontiguousarray(keys_np[::step][:64]).tobytes()),
+    )
     plan = _plan_cache.get(token)
     if plan is not None:
         return plan
