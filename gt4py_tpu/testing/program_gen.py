@@ -31,8 +31,16 @@ class ProgramGenerator:
         n_inputs: int = 3,
         n_outputs: int = 2,
         dtype=np.float64,
+        allow_while: bool = True,
     ):
         self.rng = rng
+        #: ``while`` loops compare against thresholds; at 16-bit dtypes a
+        #: value within one ulp of the bound can round differently under
+        #: the chip's excess-precision arithmetic than under the numpy
+        #: oracle, flipping the ITERATION COUNT -- a divergence no
+        #: tolerance can cover (chip bf16 fuzz seed 11).  Decision-
+        #: boundary-sensitive legs disable whiles.
+        self.allow_while = allow_while
         self.inputs = [f"in{i}" for i in range(n_inputs)]
         self.outputs = [f"out{i}" for i in range(n_outputs)]
         self.scalars = ["s0", "s1"]
@@ -122,7 +130,7 @@ class ProgramGenerator:
                     else []
                 )
                 stmt = ir.If(cond=cond, body=body, orelse=orelse)
-            elif kind < 0.9 and self.temps_assigned:
+            elif kind < 0.9 and self.temps_assigned and self.allow_while:
                 # bounded pointwise while: increment a definitely-assigned
                 # temp until it clears a nearby bound (terminates in <= ~4
                 # iterations since fields start in [0, 1) plus a few ops)
@@ -321,6 +329,7 @@ def run_differential_case(
     atol=1e-12,
     periodic=(),
     canonical_f16=False,
+    allow_while: bool = True,
 ) -> None:
     """Generate one program, run the numpy oracle vs each backend in
     ``backends`` ("jax", "pallas"), assert allclose.  On CPU the pallas
@@ -347,7 +356,7 @@ def run_differential_case(
             # vary the domain shape per seed: exercises extent clipping,
             # single-plane K, and non-square IJ paths
             domain = (rng.randint(3, 9), rng.randint(3, 9), rng.randint(1, 7))
-    gen = ProgramGenerator(rng, dtype=dtype)
+    gen = ProgramGenerator(rng, dtype=dtype, allow_while=allow_while)
     stencil = gen.generate()
     if canonical_f16:
         # the product build path's f16-storage canonicalization (16-bit

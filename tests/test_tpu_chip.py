@@ -52,6 +52,10 @@ def test_bf16_fuzz_on_chip(seed):
 
     from gt4py_tpu.testing.program_gen import run_differential_case
 
+    # allow_while=False: at bf16 a value within one ulp of a while
+    # threshold can round differently under chip excess precision than
+    # under the oracle, flipping the iteration count -- a class no
+    # tolerance covers (seed 11, r5; the f32 leg keeps whiles)
     run_differential_case(
         seed,
         backends=("pallas",),
@@ -59,6 +63,7 @@ def test_bf16_fuzz_on_chip(seed):
         aligned=True,
         rtol=0.02,
         atol=0.01,
+        allow_while=False,
     )
 
 
