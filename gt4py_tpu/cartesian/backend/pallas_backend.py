@@ -100,6 +100,11 @@ _LANE = 128
 _LIVE_VALUES = int(_env_os.environ.get("GT4PY_TPU_PALLAS_LIVE_VALUES", "8"))
 
 
+def _os_env_trim() -> bool:
+    """Kill switch for the mode-A J-row tail trim (perf bisection)."""
+    return _env_os.environ.get("GT4PY_TPU_PALLAS_TRIM_J", "1") != "0"
+
+
 def _sublane(dtype) -> int:
     """Mosaic packs VMEM at (32/itemsize * 8, 128): f32/i32 -> (8, 128),
     bf16/f16 -> (16, 128), i8/bool -> (32, 128).  DMA slice starts and
@@ -867,32 +872,54 @@ class PallasBackend(JaxBackend):
         (temps are VMEM-only scratch: no DMA constraint)."""
         return max((_sublane(m.dtype) for m in metas.values()), default=_SUBLANE)
 
-    def _plan_rows(self, metas, domain, aligned: bool, circular: bool = False):
-        """Mode A (all-PARALLEL): K-tiled full-J-row tiles.
+    def _plan_rows(
+        self,
+        metas,
+        domain,
+        aligned: bool,
+        circular: bool = False,
+        trim_j: bool = False,
+    ):
+        """Mode A (all-PARALLEL): K-tiled J-row tiles.
 
-        Tile = (TK + k-halo, TI + i-halo, full physical J row) -- or, in
-        circular-J mode, exactly the J domain (halo reads wrap as lane
-        rolls).  Returns (TK, TI, halos) or raises _PallasIneligible.
+        Tile = (TK + k-halo, TI + i-halo, J row) -- the full physical
+        row, or, with ``trim_j`` (non-periodic kernels), the row TRIMMED
+        after the last lane block the domain + halo can touch
+        (``roundup(oj + dJ + hj1, 128)``): buffers with alignment slack
+        beyond the interior stop paying DMA for it (~17% of read traffic
+        at the bench geometry).  In circular-J mode the window is exactly
+        the J domain (halo reads wrap as lane rolls).  Returns
+        (TK, TI, halos, slots) or raises _PallasIneligible.
         """
         dI, dJ, dK = domain
         ext = self.analysis.extents
         subx = self._sub_max(metas)
 
-        if aligned and not circular:
-            # full-row tiles DMA the whole physical J axis: Mosaic needs
-            # lane-dim slice sizes tiling-aligned even for full axes
-            for m in metas.values():
-                if m.shape[1] != 1 and m.shape[1] % _LANE:
-                    raise _PallasIneligible("geometry")
-
         halos = self._halos_ij(metas, aligned, domain, expand_j=False)
         if circular:
             halos = {n: (h[0], h[1], 0, 0) for n, h in halos.items()}
 
-        def row_nj(m):
+        def row_nj(name, m):
             if m.shape[1] == 1:
                 return 1
-            return dJ if circular else m.shape[1]
+            if circular:
+                return dJ
+            if trim_j:
+                oj = m.origin[1]
+                hj1 = halos[name][3]
+                win = oj + dJ + hj1
+                if aligned:
+                    win = -(-win // _LANE) * _LANE
+                return min(m.shape[1], win)
+            return m.shape[1]
+
+        if aligned and not circular:
+            # J windows DMA from lane 0: Mosaic needs the slice SIZE
+            # tiling-aligned (trimmed windows round up to lanes; full
+            # rows must be lane multiples themselves)
+            for name, m in metas.items():
+                if m.shape[1] != 1 and row_nj(name, m) % _LANE:
+                    raise _PallasIneligible("geometry")
 
         reads_set = self._read_names()
 
@@ -904,7 +931,7 @@ class PallasBackend(JaxBackend):
                 e = ext.alloc_extent(name)
                 sk = 1 if m.shape[2] == 1 else min(tk - e.k[0] + e.k[1], m.shape[2])
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
-                nj = row_nj(m)
+                nj = row_nj(name, m)
                 pi, pj = _pad_tile(ni, nj, _sublane(m.dtype))
                 total += slots * sk * pi * pj * m.dtype.itemsize  # buffering
                 if name in self.written:
@@ -962,7 +989,7 @@ class PallasBackend(JaxBackend):
                 else:
                     sk = m.shape[2]
                 ni = 1 if m.shape[0] == 1 else ti + hi0 + hi1
-                nj = row_nj(m)
+                nj = row_nj(name, m)
                 per_tile += sk * ni * nj * m.dtype.itemsize
                 if name in self.written:
                     wk = 1 if m.shape[2] == 1 else (tk if k_t else m.shape[2])
@@ -1330,10 +1357,14 @@ class PallasBackend(JaxBackend):
             and "J" in periodic
             and self._circular_ok(metas, domain, aligned)
         )
+        # non-periodic mode-A windows trim the J row after the last lane
+        # block the domain + halo touches (alignment slack stops costing
+        # DMA); periodic wrap/prefill needs the full row geometry
+        trim_j = not periodic and _os_env_trim()
         if mode_a:
             try:
                 TK, TI, halos, slots = self._plan_rows(
-                    metas, domain, aligned, circular
+                    metas, domain, aligned, circular, trim_j=trim_j
                 )
                 TJ = dJ
             except _PallasIneligible:
@@ -1442,6 +1473,7 @@ class PallasBackend(JaxBackend):
         LAST_PLAN[self.analysis.stencil.name] = {
             "mode_a": mode_a, "circular": circular,
             "TI": TI, "TJ": TJ, "TK": TK, "slots": slots,
+            "trim_j": bool(trim_j and mode_a),
         }
         if len(LAST_PLAN) > 1024:  # bounded: long-running sweeps
             for k in list(LAST_PLAN)[:512]:
@@ -1503,9 +1535,16 @@ class PallasBackend(JaxBackend):
             ni = 1 if m.shape[0] == 1 else TI + hi0 + hi1
             if m.shape[1] == 1:
                 nj, ojt = 1, 0
-            elif mode_a:
+            elif circular:
                 # circular: the window is exactly the J domain (the circle)
-                nj, ojt = (dJ, 0) if circular else (m.shape[1], m.origin[1])
+                nj, ojt = dJ, 0
+            elif mode_a:
+                nj, ojt = m.shape[1], m.origin[1]
+                if trim_j:
+                    win = m.origin[1] + dJ + hj1
+                    if aligned:
+                        win = -(-win // _LANE) * _LANE
+                    nj = min(nj, win)
             else:
                 nj, ojt = TJ + hj0 + hj1, hj0
             if m.shape[2] == 1:
@@ -1557,6 +1596,11 @@ class PallasBackend(JaxBackend):
                 jsegs = [("seg", d, s, z) for (d, s, z) in wrap_j[name]]
             elif nj == m.shape[1]:
                 jsegs = [("all", 0, 0, nj)]
+            elif mode_a:
+                # trimmed mode-A row: a PREFIX of the physical row (the
+                # "win" kind would offset by oj-hj0, which mode A's raw
+                # J halos do not lane-align)
+                jsegs = [("seg", 0, 0, nj)]
             else:
                 jsegs = [("win", 0, 0, nj)]
             return isegs, jsegs

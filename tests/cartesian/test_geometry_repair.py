@@ -164,3 +164,22 @@ def test_aligned_geometry_needs_no_repair():
         lap, fields, {"a": (8, 0, 0), "b": (0, 0, 0)}, (16, 256, 4), "repair_none"
     )
     assert plan and "repair" not in plan, plan
+
+
+def test_mode_a_j_row_trim_geometry_and_parity():
+    """Non-periodic mode-A tiles trim the J row after
+    roundup(oj + dJ + hj1, 128): same values, less DMA.  Buffer carries
+    256 lanes of alignment slack beyond the window end."""
+
+    def lap(a: F32, b: F32):
+        with computation(PARALLEL), interval(...):
+            b = a[0, 1, 0] + a[0, -1, 0] - 2.0 * a
+
+    dI, dJ, dK = 16, 256, 4
+    fields = {
+        "a": _mk((dI, 128 + dJ + 256, dK), 20),
+        "b": np.zeros((dI, 128 + dJ + 256, dK), np.float32),
+    }
+    origins = {"a": (0, 128, 0), "b": (0, 128, 0)}
+    plan = _run_pair(lap, fields, origins, (dI, dJ, dK), "trimlap")
+    assert plan and plan.get("mode_a") and plan.get("trim_j"), plan
