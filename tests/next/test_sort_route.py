@@ -180,3 +180,15 @@ def test_benes_executor_interpret(P, monkeypatch):
 def test_benes_declines_gracefully():
     # non-f32 -> None (sort fallback handles it)
     assert benes.permute(jnp.zeros(256, jnp.int32), np.arange(256)) is None
+
+
+def test_middle_axis_gather():
+    """Codomain on a non-leading axis (e.g. (K, Edge, comp) layouts)."""
+    rng = np.random.default_rng(6)
+    M, N = 65536, 131072
+    t = rng.integers(0, M, N).astype(np.int64)
+    plan = sr.build_gather_plan(t, None)
+    data = rng.random((3, M, 2)).astype(np.float32)
+    got = sr.apply_gather_plan(plan, jnp.asarray(data), 0, 1)
+    ref = np.take(data, np.clip(t, 0, M - 1), axis=1)
+    assert np.array_equal(np.asarray(got), ref)
