@@ -57,18 +57,22 @@ def _build_state(model):
     return {k: jnp.asarray(v) for k, v in model.init_state(seed=3).items()}
 
 
-def _slope(t1: float, t2: float, i1: int, i2: int) -> float:
+def _robust_slope(timed, i1: int, i2: int) -> float:
     """Per-iteration time from two-point measurements, robust to relay
-    contention: when one sample hits a degraded (or anomalously fast)
-    relay window the raw slope can collapse to near zero -- the r5 full
-    bench captured a physically impossible 0.05 ms tridiagonal solve
-    this way.  A true per-iter cannot be far below the i2-run average
-    (dispatch overhead only INFLATES the average), so slopes under 20%%
-    of it are rejected in favor of the conservative average."""
+    contention: when one sample hits a degraded relay window the raw
+    slope can collapse toward zero (the r5 full bench captured a
+    physically impossible 0.05 ms tridiagonal solve).  The i2-run
+    AVERAGE cannot distinguish that from a genuinely fast kernel -- the
+    relay's per-call dispatch overhead (~tens of ms) dominates fast
+    rows' averages -- so an implausibly small slope triggers ONE fresh
+    re-measurement and the larger of the two slopes wins: a collapsed
+    slope is near zero and does not reproduce, a real fast row
+    reproduces its small slope."""
+    t1, t2 = timed(i1), timed(i2)
     per = (t2 - t1) / (i2 - i1)
-    avg = t2 / i2
-    if per < 0.2 * avg:
-        return avg
+    if per < 0.2 * (t2 / i2):
+        u1, u2 = timed(i1), timed(i2)
+        per = max(per, (u2 - u1) / (i2 - i1))
     return per
 
 
@@ -110,9 +114,9 @@ def bench_tpu_dycore(dtype=None):
     state = _build_state(model)
 
     i1, i2 = 3, 15
-    t1 = _timed_loop(step, state, i1)
-    t2 = _timed_loop(step, state, i2)
-    return max(_slope(t1, t2, i1, i2), 1e-9)
+    return max(
+        _robust_slope(lambda n: _timed_loop(step, state, n), i1, i2), 1e-9
+    )
 
 
 def bench_tpu_fv(dtype=None):
@@ -136,9 +140,9 @@ def bench_tpu_fv(dtype=None):
 
     st["u"] = st["q"]
     i1, i2 = 3, 15
-    t1 = _timed_loop(step, st, i1)
-    t2 = _timed_loop(step, st, i2)
-    return max(_slope(t1, t2, i1, i2), 1e-9)
+    return max(
+        _robust_slope(lambda n: _timed_loop(step, st, n), i1, i2), 1e-9
+    )
 
 
 def bench_oracle_fv(n_iters=1):
@@ -220,9 +224,12 @@ def bench_tpu_full_dycore():
     # sum ALL prognostic chains: u (dycore), q (FV), qsl (semi-Lagrangian)
     # are independent -- summing only u lets XLA dead-code the tracers
     keys = ("u", "q", "qsl")
-    t1 = _timed_loop(step, state, i1, sum_keys=keys)
-    t2 = _timed_loop(step, state, i2, sum_keys=keys)
-    return max(_slope(t1, t2, i1, i2), 1e-9)
+    return max(
+        _robust_slope(
+            lambda n: _timed_loop(step, state, n, sum_keys=keys), i1, i2
+        ),
+        1e-9,
+    )
 
 
 def bench_tpu_fv_1024():
@@ -245,9 +252,9 @@ def bench_tpu_fv_1024():
 
     st["u"] = st["q"]
     i1, i2 = 3, 9
-    t1 = _timed_loop(step, st, i1)
-    t2 = _timed_loop(step, st, i2)
-    return max(_slope(t1, t2, i1, i2), 1e-9)
+    return max(
+        _robust_slope(lambda n: _timed_loop(step, st, n), i1, i2), 1e-9
+    )
 
 
 def bench_tpu_next_hdiff():
@@ -312,7 +319,7 @@ def bench_tpu_next_hdiff():
         return best
 
     i1, i2 = 3, 15
-    return max(_slope(timed(i1), timed(i2), i1, i2), 1e-9)
+    return max(_robust_slope(timed, i1, i2), 1e-9)
 
 
 def bench_tpu_next_hdiff_pallas():
@@ -389,7 +396,7 @@ def bench_tpu_next_hdiff_pallas():
         return best
 
     i1, i2 = 3, 15
-    return max(_slope(timed(i1), timed(i2), i1, i2), 1e-9)
+    return max(_robust_slope(timed, i1, i2), 1e-9)
 
 
 def bench_tpu_next_hdiff_program(fused: bool = True):
@@ -507,7 +514,7 @@ def bench_tpu_next_hdiff_program(fused: bool = True):
             return best
 
         i1, i2 = 3, 15
-        return max(_slope(timed(i1), timed(i2), i1, i2), 1e-9)
+        return max(_robust_slope(timed, i1, i2), 1e-9)
     finally:
         _cfg.PROGRAM_FUSION = old
 
@@ -594,7 +601,7 @@ def bench_tpu_next_mixed_program(fused: bool = True):
             return best
 
         i1, i2 = 3, 15
-        return max(_slope(timed(i1), timed(i2), i1, i2), 1e-9)
+        return max(_robust_slope(timed, i1, i2), 1e-9)
     finally:
         _cfg.PROGRAM_FUSION = old
 
@@ -659,7 +666,7 @@ def bench_tpu_next_tridiag(pallas: bool):
         return best
 
     i1, i2 = 3, 15
-    return max(_slope(timed(i1), timed(i2), i1, i2), 1e-9)
+    return max(_robust_slope(timed, i1, i2), 1e-9)
 
 
 def bench_tpu_unstructured(n: int = 512, irregular: bool = False):
@@ -738,8 +745,12 @@ def bench_tpu_unstructured(n: int = 512, irregular: bool = False):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    i1, i2 = 4, 20
-    return max(_slope(timed(i1), timed(i2), i1, i2), 1e-9), mesh.n_edges
+    # the affine-remap path runs at ~0.03 ms/step -- far below the
+    # relay's per-call noise at small iteration counts (slopes scattered
+    # 0.0-1.4 ms across sessions).  Large counts put the signal well
+    # above the noise for BOTH rows (irregular ~2 ms/step: ~0.2 s/run).
+    i1, i2 = 10, 110
+    return max(_robust_slope(timed, i1, i2), 1e-9), mesh.n_edges
 
 
 def bench_tpu_shallow_water():
@@ -759,9 +770,12 @@ def bench_tpu_shallow_water():
 
     i1, i2 = 3, 15
     keys = ("h", "u", "v")
-    t1 = _timed_loop(step, st, i1, sum_keys=keys)
-    t2 = _timed_loop(step, st, i2, sum_keys=keys)
-    return max(_slope(t1, t2, i1, i2), 1e-9)
+    return max(
+        _robust_slope(
+            lambda n: _timed_loop(step, st, n, sum_keys=keys), i1, i2
+        ),
+        1e-9,
+    )
 
 
 def _wait_for_tpu(max_wait_s: float = None) -> bool:
@@ -894,9 +908,9 @@ def bench_mesh(n_devices: int):
         return new
 
     i1, i2 = (1, 3) if not real_multi else (3, 15)
-    t1 = _timed_loop(step, state, i1)
-    t2 = _timed_loop(step, state, i2)
-    dy = max(_slope(t1, t2, i1, i2), 1e-9)
+    dy = max(
+        _robust_slope(lambda n: _timed_loop(step, state, n), i1, i2), 1e-9
+    )
 
     fv_local = FvAdvection(ni_l, nj_l, NK, dtype=DTYPE, backend="jax", aligned=False)
     fv_lstep = fv_local.local_step_fn()
@@ -920,9 +934,9 @@ def bench_mesh(n_devices: int):
         return new
 
     fv_state["u"] = fv_state["q"]
-    t1 = _timed_loop(fv_one, fv_state, i1)
-    t2 = _timed_loop(fv_one, fv_state, i2)
-    fv = max(_slope(t1, t2, i1, i2), 1e-9)
+    fv = max(
+        _robust_slope(lambda n: _timed_loop(fv_one, fv_state, n), i1, i2), 1e-9
+    )
 
     points = NI * NJ * NK
     gps = 2 * points / (dy + fv)
