@@ -251,13 +251,23 @@ def _inner_kernel(n_words: int, dists, interpret: bool):
 
 
 def permute(vals, keys_np: np.ndarray):
-    """Static permutation dest[j] = src[keys^{-1}(j)] of a 1D f32 jax
-    array via the butterfly network; None when unavailable (non-TPU
-    without force flag, unsupported dtype/size, router missing)."""
+    """Static permutation dest[j] = src[keys^{-1}(j)] of a 1D jax array
+    via the butterfly network; None when unavailable (non-TPU without
+    force flag, unsupported dtype/size, router missing).  32-bit
+    integer arrays ride the f32 network through bitcasts: every stage
+    is a select/rotate (pure data movement, no arithmetic), so the bit
+    pattern survives exactly -- including patterns that alias NaN
+    payloads (differentially pinned vs take in the tests)."""
     import jax
     import jax.numpy as jnp
 
-    if vals.ndim != 1 or vals.dtype != jnp.float32:
+    if vals.ndim != 1:
+        return None
+    cast_back = None
+    if vals.dtype in (jnp.int32.dtype, jnp.uint32.dtype):
+        cast_back = vals.dtype
+        vals = jax.lax.bitcast_convert_type(vals, jnp.float32)
+    elif vals.dtype != jnp.float32:
         return None
     if os.environ.get("GT4PY_TPU_BENES", "1") == "0":
         return None
@@ -308,4 +318,7 @@ def permute(vals, keys_np: np.ndarray):
     for d, flags in plan["post"]:
         x = _xla_stage(x, d, jnp.asarray(flags))
 
-    return x[: plan["P"]]
+    out = x[: plan["P"]]
+    if cast_back is not None:
+        out = jax.lax.bitcast_convert_type(out, cast_back)
+    return out

@@ -178,8 +178,37 @@ def test_benes_executor_interpret(P, monkeypatch):
 
 
 def test_benes_declines_gracefully():
-    # non-f32 -> None (sort fallback handles it)
-    assert benes.permute(jnp.zeros(256, jnp.int32), np.arange(256)) is None
+    # non-32-bit dtypes -> None (sort fallback handles them)
+    assert benes.permute(jnp.zeros(256, jnp.float64), np.arange(256)) is None
+    assert benes.permute(jnp.zeros(256, jnp.bfloat16), np.arange(256)) is None
+    # 2D -> None
+    assert benes.permute(jnp.zeros((16, 16), jnp.float32), np.arange(256)) is None
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.uint32])
+def test_benes_int32_bitcast_rides_network(dtype, monkeypatch):
+    """i32/u32 arrays permute through the f32 network via bitcasts.
+    Every stage is a select/rotate (no arithmetic), so arbitrary bit
+    patterns -- including ones aliasing f32 NaN payloads and +-inf --
+    must survive EXACTLY."""
+    if benes.route(np.array([1, 0], dtype=np.int64)) is None:
+        pytest.skip("native router unavailable")
+    monkeypatch.setenv("GT4PY_TPU_BENES_INTERPRET", "1")
+    P = 4096
+    rng = np.random.default_rng(P)
+    sigma = rng.permutation(P).astype(np.int64)
+    keys = np.empty(P, dtype=np.int64)
+    keys[sigma] = np.arange(P)
+    x_np = rng.integers(0, 2**32, P, dtype=np.uint64).astype(np.uint32)
+    # adversarial patterns: sNaN/qNaN payloads, +-inf, -0.0, all-ones
+    x_np[:6] = np.array(
+        [0x7F800001, 0x7FC00000, 0x7F800000, 0xFF800000, 0x80000000, 0xFFFFFFFF],
+        dtype=np.uint32,
+    )
+    x_np = x_np.view(dtype)
+    got = benes.permute(jnp.asarray(x_np), keys.astype(np.int32))
+    assert got is not None and got.dtype == dtype
+    assert np.array_equal(np.asarray(got), x_np[sigma])
 
 
 def test_middle_axis_gather():

@@ -811,6 +811,22 @@ def test_sort_route_benes_on_chip():
         assert got is not None, f"benes declined on chip (P={P})"
         np.testing.assert_array_equal(np.asarray(got), x_np[sigma])
 
+    # i32 bitcast ride-through: selects/rotates must move NaN-aliasing
+    # bit patterns EXACTLY on real Mosaic/XLA TPU select hardware
+    P = 1 << 17
+    sigma = rng.permutation(P).astype(np.int64)
+    keys = np.empty(P, dtype=np.int64)
+    keys[sigma] = np.arange(P)
+    xi = rng.integers(0, 2**32, P, dtype=np.uint64).astype(np.uint32)
+    xi[:6] = np.array(
+        [0x7F800001, 0x7FC00000, 0x7F800000, 0xFF800000, 0x80000000, 0xFFFFFFFF],
+        dtype=np.uint32,
+    )
+    xi = xi.view(np.int32)
+    goti = benes.permute(jnp.asarray(xi), keys.astype(np.int32))
+    assert goti is not None and goti.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(goti), xi[sigma])
+
     # shuffled-mesh composite vs the numpy oracle (take path)
     mesh = shuffled_mesh(192, seed=7)
     assert sr.plan_for(mesh.v2e) is not None
