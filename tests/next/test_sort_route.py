@@ -221,3 +221,12 @@ def test_middle_axis_gather():
     got = sr.apply_gather_plan(plan, jnp.asarray(data), 0, 1)
     ref = np.take(data, np.clip(t, 0, M - 1), axis=1)
     assert np.array_equal(np.asarray(got), ref)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_gather_fuzz(seed):
+    """Randomized table families vs the clipped-take semantics, bitwise
+    (gt4py_tpu/testing/gather_fuzz.py; offline sweeps raise the count)."""
+    from gt4py_tpu.testing.gather_fuzz import run_gather_case
+
+    run_gather_case(seed)
