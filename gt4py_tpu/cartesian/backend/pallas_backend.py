@@ -492,7 +492,14 @@ class PallasBackend(JaxBackend):
                 pw = [(0, 0), (fi, bi), (fj, bj)] + [(0, 0)] * (v.ndim - 3)
                 v = jnp.pad(v, pw)
             env2[name] = v
-        out = self._pallas_trace(metas2, env2, scalars, (dIp, dJp, dK), periodic)
+        out = self._pallas_trace(
+            metas2,
+            env2,
+            scalars,
+            (dIp, dJp, dK),
+            periodic,
+            mask_domain=domain,
+        )
         plan = LAST_PLAN.get(self.analysis.stencil.name)
         if isinstance(plan, dict):
             plan["repair"] = {
@@ -1315,7 +1322,16 @@ class PallasBackend(JaxBackend):
 
     # ------------------------------------------------------------------ #
 
-    def _pallas_trace(self, metas, env, scalars, domain, periodic=(), plan_only=False):
+    def _pallas_trace(
+        self,
+        metas,
+        env,
+        scalars,
+        domain,
+        periodic=(),
+        plan_only=False,
+        mask_domain=None,
+    ):
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
@@ -1323,6 +1339,14 @@ class PallasBackend(JaxBackend):
 
         self._check_eligible(metas)
         dI, dJ, dK = domain
+        # under geometry repair the kernel iterates a ROUNDED-UP domain:
+        # horizontal-region masks must still resolve END against the
+        # TRUE domain (the extra rows are discarded at splice-back) --
+        # anchoring them at the padded END writes boundary regions into
+        # rows the user never sees and leaves the true boundary rows on
+        # the base branch (found by the r5 unaligned on-chip fuzz leg,
+        # seed 8003)
+        mask_domain = mask_domain or domain
 
         interpret = jax.devices()[0].platform != "tpu"
         # ASSUME_TPU_PLANNING engages every aligned-mode eligibility and
@@ -1964,7 +1988,7 @@ class PallasBackend(JaxBackend):
             }
             tracer.value_temps = value_temps
             tracer.axis_offset = (gi, gj)
-            tracer.global_domain = (dI, dJ, dK)
+            tracer.global_domain = mask_domain
             tracer.trace(tile_env, tile_scalars)
 
             # drain the store of tile t-slots before reusing its stage slot

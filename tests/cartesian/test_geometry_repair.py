@@ -183,3 +183,26 @@ def test_mode_a_j_row_trim_geometry_and_parity():
     origins = {"a": (0, 128, 0), "b": (0, 128, 0)}
     plan = _run_pair(lap, fields, origins, (dI, dJ, dK), "trimlap")
     assert plan and plan.get("mode_a") and plan.get("trim_j"), plan
+
+
+def test_end_anchored_region_with_domain_padding():
+    """END-anchored horizontal regions must resolve against the TRUE
+    domain when the kernel computes a rounded-up one: anchoring at the
+    padded END writes the boundary region into discarded rows and
+    leaves the true boundary on the base branch (r5 unaligned on-chip
+    fuzz, seed 8003)."""
+    from gt4py_tpu.cartesian.gtscript import I, J, horizontal, region
+
+    def bc(a: F32, b: F32):
+        with computation(PARALLEL), interval(...):
+            b = a
+            with horizontal(region[I[-1] - 1 :, :]):
+                b = a + 1.0
+            with horizontal(region[: I[0] + 1, J[-1] - 2 :]):
+                b = a - 2.0
+
+    fields = {"a": _mk((33, 228, 2), 11), "b": _mk((33, 228, 2), 12)}
+    plan = _run_pair(
+        bc, fields, {"a": (0, 0, 0), "b": (0, 0, 0)}, (33, 228, 2), "repair_region"
+    )
+    assert plan and plan.get("repair_domain") == (40, 256), plan
