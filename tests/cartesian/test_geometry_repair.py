@@ -206,3 +206,24 @@ def test_end_anchored_region_with_domain_padding():
         bc, fields, {"a": (0, 0, 0), "b": (0, 0, 0)}, (33, 228, 2), "repair_region"
     )
     assert plan and plan.get("repair_domain") == (40, 256), plan
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_unaligned_fuzz_cpu(seed):
+    """CPU mirror of the on-chip unaligned leg (same seed derivation:
+    test_tpu_chip.test_unaligned_fuzz_on_chip): random programs at
+    repair-triggering domains, interpret-mode kernels vs the oracle."""
+    import random as _random
+
+    from gt4py_tpu.testing.program_gen import run_differential_case
+
+    rng = _random.Random((8000 + seed) * 31 + 7)
+    domain = (rng.randint(9, 40), rng.randint(90, 300), rng.randint(1, 7))
+    run_differential_case(
+        8000 + seed,
+        domain=domain,
+        backends=("pallas",),
+        dtype=np.float32,
+        rtol=1e-3,
+        atol=2e-4,
+    )

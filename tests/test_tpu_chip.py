@@ -44,6 +44,31 @@ def test_fuzz_on_chip(seed):
     )
 
 
+@pytest.mark.parametrize(
+    "seed", range(int(os.environ.get("GT4PY_TPU_CHIP_UNALIGNED_SEEDS", "8")))
+)
+def test_unaligned_fuzz_on_chip(seed):
+    """UNALIGNED geometry on real Mosaic: random programs at domains off
+    the (8, 128) grid either repair onto the kernel path (functional
+    pads + rounded-up domains) or choose XLA by cost model -- both must
+    match the oracle.  This leg found the padded-domain region-anchor
+    bug (seed 8003, r5): keep seed*31+7 so that case stays pinned."""
+    import random as _random
+
+    from gt4py_tpu.testing.program_gen import run_differential_case
+
+    rng = _random.Random((8000 + seed) * 31 + 7)
+    domain = (rng.randint(9, 40), rng.randint(90, 300), rng.randint(1, 7))
+    run_differential_case(
+        8000 + seed,
+        domain=domain,
+        backends=("pallas",),
+        dtype=np.float32,
+        rtol=1e-3,
+        atol=2e-4,
+    )
+
+
 @pytest.mark.parametrize("seed", range(int(os.environ.get("GT4PY_TPU_CHIP_BF16_SEEDS", "6"))))
 def test_bf16_fuzz_on_chip(seed):
     """bf16 random programs at the (16, 128)-packed aligned geometry on
