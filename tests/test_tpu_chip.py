@@ -69,6 +69,27 @@ def test_unaligned_fuzz_on_chip(seed):
     )
 
 
+@pytest.mark.parametrize(
+    "seed", range(int(os.environ.get("GT4PY_TPU_CHIP_PERIODIC_SEEDS", "6")))
+)
+def test_periodic_fuzz_on_chip(seed):
+    """Random programs under periodic ("I", "J") wrap on real Mosaic:
+    exercises the circular-J lane-roll mode and wrapped-window DMA with
+    generator-shaped programs (the CPU mirror is
+    test_fuzz_differential.test_random_program_periodic_f32_aligned)."""
+    from gt4py_tpu.testing.program_gen import run_differential_case
+
+    run_differential_case(
+        seed,
+        backends=("pallas",),
+        dtype=np.float32,
+        aligned=True,
+        periodic=("I", "J"),
+        rtol=1e-3,
+        atol=2e-4,
+    )
+
+
 @pytest.mark.parametrize("seed", range(int(os.environ.get("GT4PY_TPU_CHIP_BF16_SEEDS", "6"))))
 def test_bf16_fuzz_on_chip(seed):
     """bf16 random programs at the (16, 128)-packed aligned geometry on
