@@ -227,3 +227,27 @@ def test_unaligned_fuzz_cpu(seed):
         rtol=1e-3,
         atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_unaligned_fuzz_bf16_cpu(seed):
+    """bf16 repair geometry: pads follow the (16, 128) packed tiling
+    (sublane multiple 16 for 2-byte dtypes); 30-seed offline sweep
+    clean at r5."""
+    import random as _random
+
+    import ml_dtypes
+
+    from gt4py_tpu.testing.program_gen import run_differential_case
+
+    rng = _random.Random((8200 + seed) * 31 + 7)
+    domain = (rng.randint(9, 40), rng.randint(90, 300), rng.randint(1, 7))
+    run_differential_case(
+        8200 + seed,
+        domain=domain,
+        backends=("pallas",),
+        dtype=np.dtype(ml_dtypes.bfloat16),
+        rtol=0.02,
+        atol=0.01,
+        allow_while=False,
+    )
