@@ -330,6 +330,7 @@ def run_differential_case(
     periodic=(),
     canonical_f16=False,
     allow_while: bool = True,
+    max_flip_fraction: float = 0.0,
 ) -> None:
     """Generate one program, run the numpy oracle vs each backend in
     ``backends`` ("jax", "pallas"), assert allclose.  On CPU the pallas
@@ -414,7 +415,25 @@ def run_differential_case(
         # oracle, but functional backends cannot return unwritten fields:
         # compare written fields only (their halos DO carry fill parity)
         names = gen.outputs if periodic else gen.outputs + gen.inputs
+        flips_ok = max_flip_fraction > 0 and _has_data_branches(stencil)
         for name in names:
+            if flips_ok:
+                # REAL-CHIP comparison contract: XLA/Mosaic compile with
+                # excess-precision FMA fusion, so a data-dependent branch
+                # condition within one ulp of its threshold can FLIP vs
+                # the oracle -- an isolated point then takes a different
+                # branch (or while-iteration count) and no tolerance
+                # covers the delta.  Allow a TINY fraction of such points
+                # (far below any systematic-bug signature: the r5
+                # region-anchor bug diverged at 2.1e-2, 200x the cap)
+                # for programs that actually contain data-dependent
+                # branches; everything else stays exact-tolerance.
+                a, b = jx[name], ref[name]
+                with np.errstate(invalid="ignore"):
+                    bad = ~np.isclose(a, b, rtol=rtol, atol=atol, equal_nan=True)
+                frac = bad.sum() / bad.size
+                if 0 < frac <= max_flip_fraction:
+                    continue
             np.testing.assert_allclose(
                 jx[name],
                 ref[name],
@@ -423,6 +442,27 @@ def run_differential_case(
                 err_msg=f"seed {seed}: field '{name}' diverges ({backend})\n"
                 + _dump(stencil),
             )
+
+
+def _has_data_branches(stencil) -> bool:
+    """Does any If/While/ternary condition read a field or temp?  Only
+    such programs can exhibit on-chip branch flips (scalar/literal
+    conditions evaluate identically everywhere)."""
+
+    def cond_reads_field(cond) -> bool:
+        if isinstance(cond, ir.FieldAccess):
+            return True
+        return any(
+            cond_reads_field(c)
+            for c in ir.children(cond)
+            if not isinstance(c, (str, int, float, bool, type(None)))
+        )
+
+    for node in ir.walk_values(stencil.vertical_loops):
+        if isinstance(node, (ir.If, ir.While, ir.TernaryOp)):
+            if cond_reads_field(node.cond):
+                return True
+    return False
 
 
 def _dump(stencil) -> str:

@@ -41,6 +41,10 @@ def test_fuzz_on_chip(seed):
         aligned=True,
         rtol=1e-3,
         atol=2e-4,
+        # branch-flip allowance: excess-precision FMA can flip a
+        # data-dependent condition at ulp-close points (isolated huge
+        # deltas no tolerance covers; corpus batch r5 seeds 192/8081)
+        max_flip_fraction=1e-4,
     )
 
 
@@ -66,6 +70,7 @@ def test_unaligned_fuzz_on_chip(seed):
         dtype=np.float32,
         rtol=1e-3,
         atol=2e-4,
+        max_flip_fraction=1e-4,
     )
 
 
@@ -87,6 +92,7 @@ def test_periodic_fuzz_on_chip(seed):
         periodic=("I", "J"),
         rtol=1e-3,
         atol=2e-4,
+        max_flip_fraction=1e-4,
     )
 
 
@@ -110,6 +116,7 @@ def test_bf16_fuzz_on_chip(seed):
         rtol=0.02,
         atol=0.01,
         allow_while=False,
+        max_flip_fraction=1e-4,
     )
 
 
