@@ -232,6 +232,12 @@ def _rewrite_section_for_planes(body, written, const_fields, backward: bool,
 
     stream_specs = stream_specs or {}
     out = []
+    # frontends may legally ALIAS an IR node into several expression
+    # positions (the bridge's scan lowering does); deepcopy preserves the
+    # aliasing, so the mutating rename below must visit each OBJECT once
+    # -- a second visit would stack suffixes ('__out__carry[1]__xs[0]',
+    # bridge-tpuplan fuzz seed 10008) and the plane env has no such key
+    seen: set = set()
     for stmt in body:
         cloned = _copy.deepcopy(stmt)
         for node in ir.walk_values(cloned):
@@ -243,6 +249,9 @@ def _rewrite_section_for_planes(body, written, const_fields, backward: bool,
         for node in ir.walk_values(cloned):
             if not isinstance(node, ir.FieldAccess):
                 continue
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
             off = node.offset
             if not isinstance(off, ir.CartesianOffset):
                 raise _ScanIneligible()

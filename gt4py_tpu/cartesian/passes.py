@@ -31,8 +31,16 @@ def _shift_expr(expr: ir.Expr, off: Tuple[int, int, int]) -> Optional[ir.Expr]:
     expression cannot be shifted (variable-K, absolute-K)."""
     di, dj, dk = off
     expr = copy.deepcopy(expr)
+    # frontends may alias one node into several positions and deepcopy
+    # preserves that: the mutating shift must apply ONCE per object or
+    # aliased accesses get double-shifted (same hazard class as
+    # jax_backend._rewrite_section_for_planes, bridge fuzz seed 10008)
+    seen: set = set()
     for node in ir.walk_values(expr):
         if isinstance(node, ir.FieldAccess):
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
             o = node.offset
             if not isinstance(o, ir.CartesianOffset):
                 return None

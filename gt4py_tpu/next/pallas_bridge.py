@@ -2072,7 +2072,14 @@ class _FusedInstance:
 
 
 def _rename_accesses(nodes, fmap: Dict[str, str], smap: Dict[str, str]) -> None:
+    # alias-safe: a node reused at several expression positions must be
+    # renamed ONCE (a second visit could chain through a colliding map
+    # key; hazard class of jax_backend._rewrite_section_for_planes)
+    seen: set = set()
     for n in ir.walk_values(nodes):
+        if id(n) in seen:
+            continue
+        seen.add(id(n))
         if isinstance(n, ir.FieldAccess) and n.name in fmap:
             n.name = fmap[n.name]
         elif isinstance(n, ir.ScalarAccess) and n.name in smap:

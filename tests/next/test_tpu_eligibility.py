@@ -204,3 +204,17 @@ def test_plan_tpu_rejects_f64_on_cpu():
     metas, _ = backend._prepare(arrays, origins, as_device=False)
     with pytest.raises(pb._PallasIneligible):
         backend.plan_tpu(metas, (8, 128, 4))
+
+
+@pytest.mark.parametrize("seed", [10008, 10030, 10081, 10126])
+def test_bridge_fuzz_under_tpu_planning(seed, monkeypatch):
+    """Bridge fuzz with ASSUME_TPU_PLANNING: f64 cases lower through the
+    bridge, the ALIGNED kernel gate then rejects them (as on a real
+    chip) and the scan-plan XLA-fallback route runs -- the path where
+    aliased IR nodes were double-renamed by the lax.scan plane rewrite
+    (KeyError '__out__carry[1]__xs[0]', r5 sweep seed 10008)."""
+    from gt4py_tpu import config
+    from gt4py_tpu.testing.next_fuzz import run_bridge_case
+
+    monkeypatch.setattr(config, "ASSUME_TPU_PLANNING", True)
+    run_bridge_case(seed)
