@@ -130,3 +130,45 @@ def test_shard_map_serial_k_stencil(cmesh):
     inp = distribute(cmesh, inp_np)
     result = gather(jax.jit(lambda **kw: step(**kw)["out"])(inp=inp, out=out))
     np.testing.assert_allclose(result, np.cumsum(inp_np, axis=2), rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(11000, 11006))
+def test_random_program_gspmd_parity(cmesh, seed):
+    """Randomized GSPMD leg: generator-shaped stencils (serial scans,
+    regions, whiles, variable-K) applied to 2x4-sharded global fields
+    under jit match the single-device result at the distributed
+    contract (1e-12: partitioning changes XLA's per-partition fusion by
+    an f64 ulp, so bitwise does not hold).  80-seed offline sweep clean
+    at r5."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from gt4py_tpu.cartesian import analysis as analysis_mod
+    from gt4py_tpu.cartesian.backend import from_name
+    from gt4py_tpu.testing.program_gen import ProgramGenerator
+
+    rng = random.Random(seed)
+    domain = (2 * rng.randint(2, 8), 4 * rng.randint(2, 6), rng.randint(1, 7))
+    gen = ProgramGenerator(rng, dtype=np.float64)
+    an = analysis_mod.analyze(gen.generate())
+    h = 6
+    shape = (domain[0] + 2 * h, domain[1] + 2 * h, domain[2] + 2)
+    nprng = np.random.default_rng(seed)
+    arrays = {n: nprng.random(shape) for n in gen.inputs + gen.outputs}
+    origins = {n: (h, h, 1) for n in arrays}
+    scalars = {"s0": nprng.uniform(-1, 1), "s1": nprng.uniform(-1, 1)}
+
+    bk = from_name("jax")(an, {})
+    fn = jax.jit(lambda arrs: bk.apply(arrs, scalars, domain, origins))
+    single = fn({k: jnp.asarray(v) for k, v in arrays.items()})
+    dist = fn({k: distribute(cmesh, v) for k, v in arrays.items()})
+    for name in single:
+        np.testing.assert_allclose(
+            np.asarray(single[name]),
+            gather(dist[name]),
+            rtol=1e-12,
+            atol=1e-12,
+            err_msg=name,
+        )
