@@ -308,6 +308,12 @@ class JaxTracer:
     #: per point and the tile planner can afford wider TI
     value_temps: frozenset = frozenset()
 
+    #: temps stored as a SINGLE K plane of scratch (pallas kernels only:
+    #: serial loops, zero K offsets, write-first sections -- see
+    #: passes.plane_local_temps).  The K-size-1 meta routes every access
+    #: through the existing shape[2]==1 addressing (static K index 0).
+    plane_temps: frozenset = frozenset()
+
     def __init__(self, analysis: StencilAnalysis, meta: Dict[str, _FieldMeta], domain):
         if not _NATIVE_JNP:
             _init_native_jnp()
@@ -330,14 +336,15 @@ class JaxTracer:
             if self.circular_j:
                 # the whole periodic circle is the temp's J footprint
                 ext = Extent(i=ext.i, j=(0, 0), k=ext.k)
+            plane = name in self.plane_temps
             shape = (
                 self.domain[0] - ext.i[0] + ext.i[1],
                 self.domain[1] - ext.j[0] + ext.j[1],
-                self.domain[2] - ext.k[0] + ext.k[1],
+                1 if plane else self.domain[2] - ext.k[0] + ext.k[1],
             ) + tuple(decl.data_dims)
             self.meta[name] = _FieldMeta(
                 shape=shape,
-                origin=(-ext.i[0], -ext.j[0], -ext.k[0]),
+                origin=(-ext.i[0], -ext.j[0], 0 if plane else -ext.k[0]),
                 dtype=np.dtype(decl.dtype),
                 dimensions=(True, True, True),
                 data_ndim=len(decl.data_dims),

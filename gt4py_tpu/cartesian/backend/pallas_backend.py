@@ -234,7 +234,14 @@ class PallasBackend(JaxBackend):
             if out is not None:
                 return out
         quiet_cost_decline = False
+        import os as _os_env
+
+        force_serial = _os_env.environ.get("GT4PY_TPU_PALLAS_SERIALIZE") == "1"
         try:
+            if force_serial and self._serial_child() is not None:
+                return self._trace_serialized(
+                    metas, env, scalars, tuple(domain), periodic
+                )
             return self._pallas_trace(metas, env, scalars, tuple(domain), periodic)
         except _PallasIneligible as first_err:
             if (
@@ -254,6 +261,15 @@ class PallasBackend(JaxBackend):
                     quiet_cost_decline = (
                         rep_err.args and rep_err.args[0] == "repair-cost"
                     )
+            if not force_serial and self._serial_child() is not None:
+                # mixed-stencil VMEM rescue: re-plan with PARALLEL loops
+                # serialized (per-plane values, plane-local temp scratch)
+                try:
+                    return self._trace_serialized(
+                        metas, env, scalars, tuple(domain), periodic
+                    )
+                except _PallasIneligible:
+                    pass
             try:
                 # deep-K serial stencils: K-blocked per-loop passes
                 return self._trace_kblocked(
@@ -552,6 +568,19 @@ class PallasBackend(JaxBackend):
         env = {n: None for n in metas}
         old = _cfg.ASSUME_TPU_PLANNING
         _cfg.ASSUME_TPU_PLANNING = True
+
+        def _serialized_plan():
+            # mirror of _trace_serialized: the mixed-stencil VMEM rescue
+            child = self._serial_child()
+            if child is None:
+                return None
+            try:
+                plan = child.plan_tpu(metas, domain, periodic)
+            except _PallasIneligible:
+                return None
+            plan["serialized"] = True
+            return plan
+
         try:
             try:
                 self._pallas_trace(
@@ -563,9 +592,15 @@ class PallasBackend(JaxBackend):
                 if not (
                     err.args and err.args[0] == "geometry" and not periodic
                 ):
+                    plan = _serialized_plan()
+                    if plan is not None:
+                        return plan
                     raise
                 repair = self._repair_pads(metas, domain)
                 if repair is None:
+                    plan = _serialized_plan()
+                    if plan is not None:
+                        return plan
                     raise
                 pads, (dIp, dJp) = repair
                 if not self._repair_cost_ok(metas, pads, domain):
@@ -589,6 +624,11 @@ class PallasBackend(JaxBackend):
                         periodic,
                         plan_only=True,
                     )
+                except _PallasIneligible:
+                    plan = _serialized_plan()
+                    if plan is not None:
+                        return plan
+                    raise
                 except _PlanOnlyDone as done:
                     plan = dict(done.plan)
                     plan["repair"] = {
@@ -711,6 +751,69 @@ class PallasBackend(JaxBackend):
             out.add(name)
         self._vt_cache = frozenset(out)
         return self._vt_cache
+
+    def _plane_temp_names(self) -> frozenset:
+        """Temps storable as a SINGLE K plane of scratch (serial loops,
+        zero K offsets, write-first sections -- passes.plane_local_temps).
+        Cached per backend instance."""
+        if not hasattr(self, "_pt_cache"):
+            from gt4py_tpu.cartesian import passes
+
+            self._pt_cache = passes.plane_local_temps(self.analysis.stencil)
+        return self._pt_cache
+
+    def _serial_child(self):
+        """Backend over the PARALLEL->FORWARD serialized stencil (see
+        passes.serialize_parallel_k); None when nothing to serialize or
+        unsafe.  Used as a VMEM rescue: mixed stencils whose mode-B plan
+        cannot hold whole-column Mosaic values re-plan all-serial with
+        per-plane values and plane-local temp scratch."""
+        if not hasattr(self, "_serial_child_backend"):
+            self._serial_child_backend = None
+            # policy: MIXED stencils only.  A pure-PARALLEL stencil that
+            # exceeds VMEM is well served by the staged-XLA fallback
+            # (XLA fuses elementwise chains); chip measurement of the
+            # fused dycore shows the serialized kernel roughly at XLA
+            # fallback parity for the mixed class, so the rescue keeps
+            # the kernel-path invariant without a perf cliff either way.
+            orders = {
+                vl.loop_order for vl in self.analysis.stencil.vertical_loops
+            }
+            mixed = ir.LoopOrder.PARALLEL in orders and len(orders) > 1
+            if mixed and _env_os.environ.get("GT4PY_TPU_PALLAS_SERIALIZE") != "0":
+                try:
+                    from gt4py_tpu.cartesian.analysis import analyze
+                    from gt4py_tpu.cartesian.passes import serialize_parallel_k
+
+                    ser = serialize_parallel_k(self.analysis.stencil)
+                    if ser is not None:
+                        self._serial_child_backend = PallasBackend(
+                            analyze(ser), self.options
+                        )
+                except Exception:
+                    pass
+        return self._serial_child_backend
+
+    def _trace_serialized(self, metas, env, scalars, domain, periodic):
+        """Run the serialized (all-serial) form as a Mosaic kernel, with
+        the same geometry-repair retry as the primary path; re-records the
+        child's plan under the parent stencil name with a ``serialized``
+        marker."""
+        child = self._serial_child()
+        if child is None:
+            raise _PallasIneligible()
+        try:
+            out = child._pallas_trace(metas, env, scalars, domain, periodic)
+        except _PallasIneligible as err:
+            if not (err.args and err.args[0] == "geometry" and not periodic):
+                raise
+            out = child._trace_repaired(metas, env, scalars, domain, periodic)
+        plan = LAST_PLAN.get(child.analysis.stencil.name)
+        if isinstance(plan, dict):
+            plan = dict(plan)
+            plan["serialized"] = True
+            LAST_PLAN[self.analysis.stencil.name] = plan
+        return out
 
     def _value_liveness(self):
         """(n_stmts, {name: [def_idx, last_idx]}) over top-level statements
@@ -1132,6 +1235,7 @@ class PallasBackend(JaxBackend):
                 skv = sk if has_parallel else min(sk, _SUBLANE)
                 max_val = max(max_val, skv * pi * pj * m.dtype.itemsize)
             value_temps = self._value_temp_names()
+            plane_temps = self._plane_temp_names()
 
             def temp_bytes(name):
                 decl = self.analysis.stencil.temp_decls[name]
@@ -1141,9 +1245,8 @@ class PallasBackend(JaxBackend):
                     tj - e.j[0] + e.j[1],
                     _sublane(decl.dtype),
                 )
-                return (
-                    (dK - e.k[0] + e.k[1]) * pi * pj * np.dtype(decl.dtype).itemsize
-                )
+                sk = 1 if name in plane_temps else dK - e.k[0] + e.k[1]
+                return sk * pi * pj * np.dtype(decl.dtype).itemsize
 
             for name in self.analysis.stencil.temp_decls:
                 if name not in value_temps:
@@ -1691,6 +1794,9 @@ class PallasBackend(JaxBackend):
         # except single-assign PARALLEL temps, which stay SSA values
         # (no scratch, no store/load round trip; Mosaic register-allocates)
         value_temps = self._value_temp_names()
+        # serial-loop plane-local temps: one K plane of scratch, reused
+        # across the fori sweep (write-first sections guarantee init)
+        plane_temps = self._plane_temp_names()
         temp_names = sorted(
             n for n in analysis.stencil.temp_decls if n not in value_temps
         )
@@ -1698,7 +1804,7 @@ class PallasBackend(JaxBackend):
         for name in temp_names:
             e = ext.alloc_extent(name)
             temp_tile_shapes[name] = (
-                TK - e.k[0] + e.k[1],
+                1 if name in plane_temps else TK - e.k[0] + e.k[1],
                 TI - e.i[0] + e.i[1],
                 TJ if circular else TJ - e.j[0] + e.j[1],
             )
@@ -1987,6 +2093,7 @@ class PallasBackend(JaxBackend):
                 name: temp_scratch[i] for i, name in enumerate(temp_names)
             }
             tracer.value_temps = value_temps
+            tracer.plane_temps = plane_temps
             tracer.axis_offset = (gi, gj)
             tracer.global_domain = mask_domain
             tracer.trace(tile_env, tile_scalars)

@@ -684,6 +684,127 @@ def split_serial_passes(stencil: ir.Stencil):
 
 
 # --------------------------------------------------------------------------- #
+# Serializing PARALLEL K (mixed-stencil VMEM rescue)
+# --------------------------------------------------------------------------- #
+
+
+def serialize_parallel_k(stencil: ir.Stencil) -> Optional[ir.Stencil]:
+    """PARALLEL vertical loops rewritten to FORWARD (plane-by-plane serial
+    evaluation).
+
+    Bitwise-identical to the parallel statement semantics whenever no field
+    written inside a PARALLEL loop is read *in that same loop* at a nonzero
+    (or non-Cartesian) K offset: serializing only over K keeps each plane's
+    statement sequence complete over the full IJ domain, so horizontal
+    reads of same-loop outputs still see post-statement values, and K-offset
+    reads only ever target fields the loop never writes.  The GTIR race
+    rules already forbid the unsafe pattern for frontend stencils
+    (reference: src/gt4py/cartesian/gtc/gtir.py:222-293); the check here
+    re-verifies it for raw-IR callers (the next bridge, fuzzers).
+
+    Purpose: a mixed PARALLEL+serial stencil whose mode-B pallas plan
+    cannot fit VMEM (whole-column Mosaic values for the parallel sections)
+    re-plans with every loop serial -- values become per-plane and most
+    temporaries become plane-local scratch (see
+    :func:`plane_local_temps`), e.g. the fused whole-dycore kernel
+    (models.dycore.make_dycore_fused).
+
+    Returns None when there is nothing to serialize or a loop is unsafe
+    (including runtime interval bounds, which the serial kernel path does
+    not resolve statically).
+    """
+    has_parallel = any(
+        vl.loop_order == ir.LoopOrder.PARALLEL for vl in stencil.vertical_loops
+    )
+    if not has_parallel:
+        return None
+    for loop in stencil.vertical_loops:
+        for sec in loop.sections:
+            if sec.interval.is_runtime:
+                return None
+        if loop.loop_order != ir.LoopOrder.PARALLEL:
+            continue
+        written = {
+            n.target.name
+            for n in ir.walk_values(loop.sections)
+            if isinstance(n, ir.Assign)
+        }
+        for acc in ir.field_accesses(loop.sections):
+            if acc.name not in written:
+                continue
+            off = acc.offset
+            if not isinstance(off, ir.CartesianOffset) or off.k != 0:
+                return None
+    out = copy.deepcopy(stencil)
+    out.name = f"{stencil.name}__serK"
+    for loop in out.vertical_loops:
+        if loop.loop_order == ir.LoopOrder.PARALLEL:
+            loop.loop_order = ir.LoopOrder.FORWARD
+    return out
+
+
+def plane_local_temps(stencil: ir.Stencil) -> frozenset:
+    """Temporaries whose kernel scratch can be a SINGLE K plane.
+
+    A temp qualifies when every access sits in a *serial* vertical loop at
+    a zero Cartesian K offset, and every section touching it WRITES it
+    first -- the first top-level statement of the section that mentions
+    the temp must be an unconditional ``Assign`` to it (zero offset, no
+    data index) whose RHS does not read it.  Plane-by-plane evaluation
+    then always initializes the plane before any read, so reusing one
+    plane of scratch across K is invisible: stale content from the
+    previous plane can never be observed (the write statement's compute
+    extent covers every downstream read window by extent analysis).
+
+    This is the serial-loop complement of the SSA value temps (which
+    require PARALLEL single-assign): after :func:`serialize_parallel_k`
+    the bulk of a stencil's temporaries drop from whole-K VMEM arrays to
+    one plane each, which is what lets VMEM-tight fused kernels plan at
+    all.  TPU analog of the reference's LocalTemporariesToScalars
+    (src/gt4py/cartesian/gtc/passes/oir_optimizations/temporaries.py:97).
+    """
+    cand = {n for n, d in stencil.temp_decls.items() if not d.data_dims}
+    if not cand:
+        return frozenset()
+    for loop in stencil.vertical_loops:
+        parallel = loop.loop_order == ir.LoopOrder.PARALLEL
+        for sec in loop.sections:
+            first_touch: Dict[str, ir.Stmt] = {}
+            for stmt in sec.body:
+                names_here = set()
+                for acc in ir.field_accesses(stmt):
+                    if acc.name not in cand:
+                        continue
+                    names_here.add(acc.name)
+                    if parallel:
+                        cand.discard(acc.name)
+                        continue
+                    off = acc.offset
+                    if not isinstance(off, ir.CartesianOffset) or off.k != 0:
+                        cand.discard(acc.name)
+                for name in names_here:
+                    first_touch.setdefault(name, stmt)
+            for name, stmt in first_touch.items():
+                if name not in cand:
+                    continue
+                ok = (
+                    isinstance(stmt, ir.Assign)
+                    and stmt.target.name == name
+                    and isinstance(stmt.target.offset, ir.CartesianOffset)
+                    and (stmt.target.offset.i, stmt.target.offset.j,
+                         stmt.target.offset.k) == (0, 0, 0)
+                    and not stmt.target.data_index
+                    and not any(
+                        acc.name == name
+                        for acc in ir.field_accesses(stmt.value)
+                    )
+                )
+                if not ok:
+                    cand.discard(name)
+    return frozenset(cand)
+
+
+# --------------------------------------------------------------------------- #
 # 16-bit floats as a STORAGE format (f32 statement compute)
 # --------------------------------------------------------------------------- #
 

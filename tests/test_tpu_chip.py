@@ -153,6 +153,36 @@ def test_dycore_step_on_chip_matches_xla():
         np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6, err_msg=name)
 
 
+def test_dycore_fused_serialized_on_chip(monkeypatch):
+    """The serialized whole-dycore single kernel (PARALLEL loops rewritten
+    to FORWARD by passes.serialize_parallel_k, plane-local temp scratch)
+    compiles and runs on real Mosaic, matching the XLA executor.  At this
+    shape the whole-column plan also fits, so the knob forces the
+    serialized form; at bench scale (512^2x80) serialization is what
+    keeps the fused kernel on the Mosaic path at all."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.models.dycore import MiniDycore
+
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_SERIALIZE", "1")
+    k_args = dict(dtype=np.float32, aligned=True)
+    pal = MiniDycore(64, 256, 16, backend="pallas", **k_args)
+    ref = MiniDycore(64, 256, 16, backend="jax", **k_args)
+    state = {k: jnp.asarray(v) for k, v in pal.init_state().items()}
+
+    out_p = _no_new_fallbacks(lambda: pal.step_fn(fused=True)(dict(state)))
+    out_j = ref.step_fn(fused=True)(dict(state))
+    from gt4py_tpu.cartesian.backend import pallas_backend
+
+    plan = pallas_backend.LAST_PLAN.get("dycore_fused_float32")
+    assert plan and plan.get("serialized"), plan
+    for name in ("u", "utens_stage"):
+        np.testing.assert_allclose(
+            np.asarray(out_p[name]), np.asarray(out_j[name]),
+            rtol=2e-6, atol=2e-6, err_msg=name,
+        )
+
+
 def test_fv_step_on_chip_matches_xla():
     """The single-kernel FVTP2D step matches the XLA executor on the chip
     to a couple of f32 ulps."""
