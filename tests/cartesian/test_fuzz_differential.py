@@ -32,6 +32,30 @@ def test_random_program_pallas_f32_aligned(seed):
 
 
 @pytest.mark.parametrize("seed", range(20))
+def test_random_program_serialized_parity(seed, monkeypatch):
+    """Forced PARALLEL->FORWARD serialization (the mixed-stencil VMEM
+    rescue, passes.serialize_parallel_k) + plane-local temp scratch:
+    every mixed random program must stay at oracle parity when its
+    parallel loops evaluate plane-by-plane.  Offline sweeps run 200+
+    seeds; these pin the CI floor."""
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_SERIALIZE", "1")
+    run_differential_case(seed + 50000, backends=("pallas",))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_program_serialized_f32_aligned(seed, monkeypatch):
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_SERIALIZE", "1")
+    run_differential_case(
+        seed + 51000,
+        backends=("pallas",),
+        dtype=np.float32,
+        aligned=True,
+        rtol=3e-5,
+        atol=3e-6,
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
 def test_random_program_bf16_parity(seed):
     """bfloat16 leg: random programs in bf16 on jax + the interpret-mode
     kernel path.  Pure arithmetic matches the oracle bitwise; the
