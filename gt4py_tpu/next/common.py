@@ -446,6 +446,133 @@ def _check_offset_connectivity(off: "FieldOffset", conn: Connectivity) -> None:
         )
 
 
+def _column_conn(prov: Connectivity, k: int) -> Connectivity:
+    """Cached k-th-neighbor column view of a 2D connectivity.  Column
+    gathers are hot (every ``f(V2E[k])``) and a persistent instance lets
+    the affine-remap plan cache survive calls.  Keyed on the parent
+    table's identity token so a REPLACED table drops the stale column
+    views (tables are otherwise documented immutable once used; see
+    affine_remap.plan_for)."""
+    from . import affine_remap
+
+    columns = prov.__dict__.setdefault("_column_conns", {})
+    token = affine_remap.table_token(prov.table)
+    key = (token, k)
+    column = columns.get(key)
+    if column is None:
+        for stale in [kk for kk in columns if kk[0] != token]:
+            del columns[stale]
+        column = Connectivity(
+            prov.table[:, k],
+            source=prov.source,
+            codomain=prov.codomain,
+            local_dim=None,
+            skip_value=prov.skip_value,
+        )
+        columns[key] = column
+    return column
+
+
+def _peek_conn(off) -> Optional[Connectivity]:
+    """Resolve an offset application to its concrete Connectivity WITHOUT
+    side effects, for multi-hop chain folding; None when the offset is a
+    cartesian shift, unresolvable, or malformed (the sequential path then
+    raises the proper error)."""
+    try:
+        if isinstance(off, Connectivity):
+            return off
+        if isinstance(off, FieldOffset):
+            prov = _provider_lookup(off.value)
+            if isinstance(prov, Connectivity):
+                _check_offset_connectivity(off, prov)
+                return prov
+            return None
+        if isinstance(off, OffsetIndex) and isinstance(off.offset, FieldOffset):
+            prov = _provider_lookup(off.offset.value)
+            if (
+                isinstance(prov, Connectivity)
+                and getattr(prov.table, "ndim", 0) == 2
+            ):
+                _check_offset_connectivity(off.offset, prov)
+                nb = prov.table.shape[1]
+                if -nb <= off.index < nb:
+                    return _column_conn(prov, off.index % nb)
+        return None
+    except Exception:
+        return None
+
+
+def _maybe_compose(c1: Connectivity, c2: Connectivity):
+    """The composite connectivity for the hop pair ``remap(c1)`` then
+    ``remap(c2)``, or None when ineligible or unprofitable.
+
+    Exactness: the intermediate field of the two-hop base path always
+    lives on range ``[0, len(t1))`` with clip-to-range gather semantics,
+    so ``comp[x, ...] = t1[clip(t2[x], 0, len(t1)-1), ...]`` gathered
+    once reproduces the chain bit-for-bit -- including skip entries
+    (both paths read the same clipped positions).  ROADMAP multi-hop
+    item: one composite gather replaces two materialized hops, and on
+    quasi-structured meshes the composite table usually refits affine,
+    so indexed chains like ``v(E2V0[0], V2E1[1])`` run as dense strided
+    windows end-to-end.  Reference behavior: sequential premap
+    composition, src/gt4py/next/embedded/nd_array_field.py:240-376.
+
+    Cost policy: the composite is used when it fits an affine plan, or
+    when at least one original hop did NOT (one irregular gather beats
+    two gathers of which one is irregular); two affine hops whose
+    composite loses the structure stay sequential."""
+    t1, t2 = c1.table, c2.table
+    if not (isinstance(t1, np.ndarray) and isinstance(t2, np.ndarray)):
+        return None
+    if t2.ndim != 1 or c2.codomain.value != c1.source.value:
+        return None
+    from . import affine_remap
+
+    key = (affine_remap.table_token(t1), affine_remap.table_token(t2))
+    cache = c2.__dict__.setdefault("_compose_cache", {})
+    if key in cache:
+        return cache[key]
+    for stale in [kk for kk in cache if kk[1] != key[1]]:
+        del cache[stale]
+    safe2 = np.clip(t2, 0, t1.shape[0] - 1)
+    comp = Connectivity(
+        np.ascontiguousarray(t1[safe2]),
+        source=c2.source,
+        codomain=c1.codomain,
+        local_dim=c1.local_dim if t1.ndim == 2 else None,
+        skip_value=c1.skip_value,
+    )
+    profitable = affine_remap.plan_for(comp) is not None or (
+        affine_remap.plan_for(c1) is None or affine_remap.plan_for(c2) is None
+    )
+    result = comp if profitable else None
+    cache[key] = result
+    return result
+
+
+def _fold_offset_chain(offs):
+    """Fold adjacent concrete connectivity hops of a multi-offset
+    application into composite Connectivities (see _maybe_compose);
+    non-foldable items pass through for sequential application."""
+    out = []
+    cur = None  # (resolved Connectivity | None, item to apply)
+    for o in offs:
+        c = _peek_conn(o)
+        if cur is None:
+            cur = (c, o)
+            continue
+        pc, po = cur
+        comp = _maybe_compose(pc, c) if pc is not None and c is not None else None
+        if comp is not None:
+            cur = (comp, comp)
+        else:
+            out.append(po)
+            cur = (c, o)
+    if cur is not None:
+        out.append(cur[1])
+    return out
+
+
 #: types accepted anywhere a "field or scalar" is expected
 Scalar = (int, float, bool, np.generic)
 
@@ -711,7 +838,14 @@ class Field:
         """Gather through a neighbor table: result dims replace the
         codomain dim with (source[, local])."""
         xp = self.xp
-        ax = self.dims.index(conn.codomain)
+        try:
+            ax = self.dims.index(conn.codomain)
+        except ValueError:
+            raise ValueError(
+                f"cannot remap: field dims "
+                f"({', '.join(d.value for d in self.dims)}) do not include "
+                f"the connectivity codomain {conn.codomain.value}"
+            ) from None
         own = self.domain[conn.codomain]
         tshape = tuple(conn.table.shape)
         gathered = None
@@ -779,16 +913,20 @@ class Field:
         """Compose the field with index mappings, ``(f∘c)(x) = f(c(x))``
         (reference: embedded/nd_array_field.py:240-…).  Each connectivity's
         codomain must be a dim of the field; gathers are applied one at a
-        time (codomains pairwise distinct)."""
+        time (codomains pairwise distinct); adjacent concrete hops fold
+        into one composite gather (_maybe_compose)."""
         seen = set()
-        out = self
         for c in conns:
-            if isinstance(c, OffsetIndex):  # cartesian shift: domain translation
-                out = out(c)
+            if isinstance(c, OffsetIndex):
                 continue
             if c.codomain in seen:
                 raise ValueError(f"duplicate codomain {c.codomain} in premap")
             seen.add(c.codomain)
+        out = self
+        for c in _fold_offset_chain(conns):
+            if isinstance(c, OffsetIndex):  # cartesian shift: domain translation
+                out = out(c)
+                continue
             if c.codomain not in out.dims:
                 raise ValueError(
                     f"premap codomain {c.codomain.value} not in field dims "
@@ -802,10 +940,14 @@ class Field:
     ) -> "Field":
         if more:
             # reference: NdArrayField.__call__ reduces over premap
-            # (nd_array_field.py:367-376)
-            out = self(off)
-            for o in more:
-                out = out(o)
+            # (nd_array_field.py:367-376).  Adjacent concrete hops fold
+            # into ONE composite gather first (_maybe_compose): indexed
+            # chains like v(E2V0[0], V2E1[1]) then run as a single
+            # (usually affine-windowed) gather instead of materializing
+            # each intermediate.
+            out = self
+            for o in _fold_offset_chain((off,) + more):
+                out = out.remap(o) if isinstance(o, Connectivity) else out(o)
             return out
         if isinstance(off, Connectivity):
             return self.remap(off)
@@ -842,31 +984,7 @@ class Field:
                     f"neighbor index {off.index} out of range for "
                     f"'{off.offset.value}' with {nb} neighbors"
                 )
-            # cache the column view on the parent connectivity: column
-            # gathers are hot (every `f(V2E[k])`), and a persistent
-            # instance lets the affine-remap plan cache survive calls.
-            # Keyed on the parent table's identity token so a REPLACED
-            # table drops the stale column views (tables are otherwise
-            # documented immutable once used; see affine_remap.plan_for).
-            from . import affine_remap
-
-            k = off.index % nb
-            columns = prov.__dict__.setdefault("_column_conns", {})
-            token = affine_remap.table_token(prov.table)
-            key = (token, k)
-            column = columns.get(key)
-            if column is None:
-                for stale in [kk for kk in columns if kk[0] != token]:
-                    del columns[stale]
-                column = Connectivity(
-                    prov.table[:, k],
-                    source=prov.source,
-                    codomain=prov.codomain,
-                    local_dim=None,
-                    skip_value=prov.skip_value,
-                )
-                columns[key] = column
-            return self.remap(column)
+            return self.remap(_column_conn(prov, off.index % nb))
         dim = prov if isinstance(prov, Dimension) else off.offset.source
         try:
             ax = [d.value for d in self.dims].index(dim.value)

@@ -101,3 +101,88 @@ def run_gather_case(seed: int) -> str:
     )
     np.testing.assert_array_equal(np.asarray(got), ref, err_msg=f"seed {seed}")
     return "routed"
+
+
+def run_chain_case(seed: int) -> str:
+    """Differential fuzz for multi-hop composition (common._maybe_compose
+    + _fold_offset_chain): a random two-hop chain through random-family
+    tables (affine / uniform / narrow-window, optional skips, shifted
+    shard-local starts, 1D and 2D first hops) must make
+    ``premap(c1, c2)`` BITWISE equal to ``remap(c1).remap(c2)``.
+    Returns 'composed' or 'sequential' (the cost guard declining is a
+    valid outcome; both paths must still agree)."""
+    import jax.numpy as jnp
+
+    from gt4py_tpu.next import common as C
+
+    rng = np.random.default_rng(seed)
+    A = C.Dimension("ChA")
+    B = C.Dimension("ChB")
+    Cd = C.Dimension("ChC")
+    L = C.Dimension("ChL", kind=C.DimensionKind.LOCAL) if hasattr(
+        C, "DimensionKind"
+    ) else C.Dimension("ChL")
+
+    n0 = int(rng.integers(3000, 30000))   # data codomain size
+    n1 = int(rng.integers(3000, 30000))   # intermediate size
+    n2 = int(rng.integers(3000, 30000))   # final size
+
+    def make_col(n, m):
+        fam = int(rng.integers(0, 3))
+        if fam == 0:  # uniform random (irregular)
+            return rng.integers(0, m, n)
+        if fam == 1:  # affine-structured
+            stride = int(rng.integers(1, 5))
+            return (np.arange(n, dtype=np.int64) * stride) % m
+        c = int(rng.integers(0, m))  # narrow window
+        W = int(rng.integers(64, max(65, m // 2)))
+        return np.clip(c + rng.integers(0, W, n), 0, m - 1)
+
+    if rng.random() < 0.4:  # 2D first hop (neighbor table)
+        k1 = int(rng.integers(2, 4))
+        t1 = np.stack([make_col(n1, n0) for _ in range(k1)], axis=1)
+        local = L
+    else:
+        t1 = make_col(n1, n0)
+        local = None
+    t2 = make_col(n2, n1)
+    skip1 = None
+    if rng.random() < 0.3:
+        skip1 = -1
+        t1 = t1.copy()
+        t1[rng.random(t1.shape) < 0.02] = skip1
+    if rng.random() < 0.3:
+        t2 = t2.copy()
+        t2[rng.random(t2.shape) < 0.02] = -1  # clips in both paths
+
+    conn1 = C.Connectivity(
+        t1.astype(np.int64), source=B, codomain=A,
+        local_dim=local, skip_value=skip1,
+    )
+    conn2 = C.Connectivity(
+        t2.astype(np.int64), source=Cd, codomain=B, skip_value=None,
+    )
+
+    own_start = int(rng.integers(-3, 4))
+    if rng.random() < 0.5:
+        data = rng.random(n0).astype(np.float32)
+    else:
+        data = (
+            rng.integers(0, 2**32, n0, dtype=np.uint64)
+            .astype(np.uint32)
+            .view(np.int32)
+        )
+    dom = C.Domain((A,), (C.UnitRange(own_start, own_start + n0),))
+    f = C.Field(dom, jnp.asarray(data))
+
+    seq = f.remap(conn1).remap(conn2)
+    one = f.premap(conn1, conn2)
+    assert tuple(d.value for d in one.dims) == tuple(
+        d.value for d in seq.dims
+    ), f"seed {seed}"
+    np.testing.assert_array_equal(
+        np.asarray(one.data), np.asarray(seq.data), err_msg=f"seed {seed}"
+    )
+    cache = conn2.__dict__.get("_compose_cache") or {}
+    composed = any(v is not None for v in cache.values())
+    return "composed" if composed else "sequential"
