@@ -157,7 +157,8 @@ def test_replaced_table_rekeys_compose_cache():
 @pytest.mark.parametrize("seed", range(12))
 def test_chain_fuzz(seed):
     """Differential chain-composition fuzz (12 CI seeds; offline sweeps
-    raise the count -- 60 seeds clean at bring-up)."""
+    raise the count -- 260 seeds clean at bring-up, 198 composed / 2
+    cost-guard-sequential in the 200-seed sweep)."""
     from gt4py_tpu.testing.gather_fuzz import run_chain_case
 
     run_chain_case(seed)
