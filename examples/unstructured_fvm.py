@@ -91,6 +91,24 @@ def main():
     print("OK: gradient/divergence verified (skip values masked, "
           "sum(div) telescopes to 0)")
 
+    # ---- multi-hop chains fold into ONE gather ---- #
+    # v(E2V[0], V2E[1]) hops vertex -> edge (first endpoint) -> vertex
+    # (second incident edge).  The two gathers compose into a single
+    # composite connectivity at call time (exact, incl. clip semantics);
+    # on quasi-structured meshes the composite refits affine and runs as
+    # dense strided windows (docs/next_unstructured.md 3c).
+    from gt4py_tpu.next.ffront import field_operator
+
+    @field_operator
+    def second_ring(v: Field[Dims[Vertex], f64]) -> Field[Dims[Vertex], f64]:
+        return v(E2V[0], V2E[1])
+
+    ring = second_ring(psi, offset_provider=provider)
+    vv = psi.asnumpy()
+    exp_ring = vv[mesh.e2v.table[:, 0]][np.clip(mesh.v2e.table[:, 1], 0, None)]
+    np.testing.assert_allclose(ring.asnumpy(), exp_ring, rtol=1e-15)
+    print("OK: two-hop chain == composed gather (bitwise)")
+
 
 if __name__ == "__main__":
     main()
