@@ -130,6 +130,38 @@ def _no_new_fallbacks(fn):
     return out
 
 
+@pytest.mark.parametrize(
+    "seed", range(int(os.environ.get("GT4PY_TPU_CHIP_SERIALIZE_SEEDS", "6")))
+)
+def test_serialized_fuzz_on_chip(seed, monkeypatch):
+    """Forced PARALLEL->FORWARD serialization (the mixed-stencil VMEM
+    rescue) on real Mosaic: plane-by-plane evaluation with plane-local
+    temp scratch must stay at oracle parity for random programs."""
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_SERIALIZE", "1")
+    from gt4py_tpu.testing.program_gen import run_differential_case
+
+    run_differential_case(
+        seed + 60000,
+        backends=("pallas",),
+        dtype=np.float32,
+        aligned=True,
+        rtol=1e-3,
+        atol=2e-4,
+        max_flip_fraction=1e-4,
+    )
+
+
+@pytest.mark.parametrize(
+    "seed", range(int(os.environ.get("GT4PY_TPU_CHIP_CHAIN_SEEDS", "6")))
+)
+def test_chain_fuzz_on_chip(seed):
+    """Multi-hop composite gathers on real hardware: BITWISE vs the
+    sequential two-hop path (values are only moved, never recomputed)."""
+    from gt4py_tpu.testing.gather_fuzz import run_chain_case
+
+    run_chain_case(seed + 70000)
+
+
 def test_dycore_step_on_chip_matches_xla():
     """The product-path dycore kernels (hdiff + vadv tridiagonal + update,
     periodic wrap in the tile DMA) match the XLA executor on the chip to
