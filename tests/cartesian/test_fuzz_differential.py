@@ -42,6 +42,24 @@ def test_random_program_serialized_parity(seed, monkeypatch):
     run_differential_case(seed + 50000, backends=("pallas",))
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_random_program_serialized_bf16(seed, monkeypatch):
+    """Forced serialization x bf16: plane-local scratch at the (16, 128)
+    packing (40-seed offline sweep clean at bring-up)."""
+    import ml_dtypes
+
+    monkeypatch.setenv("GT4PY_TPU_PALLAS_SERIALIZE", "1")
+    run_differential_case(
+        seed + 70000,
+        backends=("pallas",),
+        dtype=np.dtype(ml_dtypes.bfloat16),
+        aligned=True,
+        rtol=3e-2,
+        atol=3e-2,
+        allow_while=False,
+    )
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_random_program_serialized_f32_aligned(seed, monkeypatch):
     monkeypatch.setenv("GT4PY_TPU_PALLAS_SERIALIZE", "1")
